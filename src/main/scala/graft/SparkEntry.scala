@@ -1,13 +1,41 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` and `oracleSql` are derived from one registry
+  * (`SparkEntry.defs`) so a query can never be registered without its
+  * oracle falling out of the same definition.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Every declared operator, one QueryDef each (SURVEY.md §2.3). */
+  def defs: Seq[QueryDef] =
+    _root_.graft.queries.Core.all ++
+      _root_.graft.queries.FunctionsQ.all ++
+      _root_.graft.queries.WindowsQ.all ++
+      _root_.graft.queries.SetOpsQ.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Star-join + agg — exercises scan, broadcast join, partial agg. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        Det.dsum2(col("l_quantity")).as("sum_qty"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    defs.collect { case QueryDef(n, Some(sql), _) => n -> sql }.toMap
 }

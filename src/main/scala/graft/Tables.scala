@@ -21,7 +21,19 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  /** `events.ts` is parquet timestamp[ns], which Spark's vectorized reader
+    * rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` (set in our
+    * session builders) it arrives as nanos-since-epoch LongType; we truncate
+    * to micros — exactly DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) — so both
+    * engines see identical event times. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -1,0 +1,468 @@
+package graft.queries
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch relational core: projection/filter, every join type, core and
+  * statistical aggregations. Each query is paired with ANSI SQL the driver
+  * runs in DuckDB as the oracle (SURVEY.md §2.3).
+  *
+  * Determinism rules (SURVEY §7.4 risk 5):
+  *   - double SUM/AVG go through exact DECIMAL accumulation (Det.*) so both
+  *     engines agree bit-for-bit regardless of accumulation order;
+  *   - higher moments (var/std/corr) are computed from exact decimal power
+  *     sums with an identical double expression tree on both sides;
+  *   - every row-limited query carries a total order with a unique tiebreak.
+  *
+  * Reference precedent: samsa delegates all computation to a user callback
+  * (/root/reference/samsa/kafka/storage.py:237); this file declares that
+  * surface explicitly as Spark built-ins.
+  */
+object Core {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def reg(s: SparkSession, d: String) = Tables.region(s, d)
+  private def sup(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def prt(s: SparkSession, d: String) = Tables.part(s, d)
+
+  // ---------------------------------------------------------------------
+  // Projection / filter
+  // ---------------------------------------------------------------------
+
+  val projectFilter: Seq[QueryDef] = Seq(
+    QueryDef(
+      "proj_select",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS net_price,
+        |       CAST(l_quantity AS BIGINT) AS qty_int
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+          col("l_quantity").cast("bigint").as("qty_int"))
+    },
+
+    QueryDef(
+      "proj_withcolumn_drop",
+      """SELECT o_orderkey, o_orderstatus,
+        |       o_totalprice * 0.9 AS discounted
+        |FROM orders""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .withColumn("discounted", col("o_totalprice") * 0.9)
+        .drop("o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    },
+
+    QueryDef(
+      "filter_predicates",
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R')
+        |  AND l_quantity BETWEEN 10 AND 20
+        |  AND NOT (l_linestatus = 'O')
+        |  AND (l_discount > 0.05 OR l_tax < 0.03)""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(col("l_returnflag").isin("A", "R")
+          && col("l_quantity").between(10, 20)
+          && !(col("l_linestatus") === "O")
+          && (col("l_discount") > 0.05 || col("l_tax") < 0.03))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    },
+
+    QueryDef(
+      "filter_like_null",
+      """SELECT p_partkey, p_name, p_brand,
+        |       NULLIF(p_size, 1) AS size_or_null
+        |FROM part
+        |WHERE p_name LIKE '%gold%' OR NULLIF(p_brand, p_brand) IS NULL AND p_size < 10""".stripMargin) { (s, d) =>
+      prt(s, d)
+        .filter(col("p_name").like("%gold%")
+          || nullif(col("p_brand"), col("p_brand")).isNull && col("p_size") < 10)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          nullif(col("p_size"), lit(1)).as("size_or_null"))
+    },
+
+    QueryDef(
+      "filter_timestamp_range",
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31 23:59:59'""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1995-01-01").cast("timestamp"),
+          lit("1995-03-31 23:59:59").cast("timestamp")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    }
+  )
+
+  // ---------------------------------------------------------------------
+  // Joins — every type; Catalyst picks broadcast/SMJ physical, AQE adjusts.
+  // ---------------------------------------------------------------------
+
+  val joins: Seq[QueryDef] = Seq(
+    QueryDef(
+      "join_inner",
+      """SELECT l_orderkey, l_linenumber, o_orderstatus, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 100000""".stripMargin) { (s, d) =>
+      li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"), "inner")
+        .filter(col("o_totalprice") > 100000)
+        .select("l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice")
+    },
+
+    // Join condition includes a non-matching predicate so genuinely
+    // unmatched left rows exist (nulls on the right).
+    QueryDef(
+      "join_left",
+      """SELECT o_orderkey, o_custkey, c_name, c_acctbal
+        |FROM orders LEFT JOIN customer
+        |  ON o_custkey = c_custkey AND c_acctbal > 5000""".stripMargin) { (s, d) =>
+      val c = cust(s, d)
+      ord(s, d)
+        .join(c, col("o_custkey") === col("c_custkey") && col("c_acctbal") > 5000, "left")
+        .select("o_orderkey", "o_custkey", "c_name", "c_acctbal")
+    },
+
+    QueryDef(
+      "join_right",
+      """SELECT o_orderkey, c_custkey, c_name
+        |FROM orders RIGHT JOIN customer
+        |  ON o_custkey = c_custkey AND o_totalprice > 200000""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .join(cust(s, d),
+          col("o_custkey") === col("c_custkey") && col("o_totalprice") > 200000,
+          "right")
+        .select("o_orderkey", "c_custkey", "c_name")
+    },
+
+    QueryDef(
+      "join_full",
+      """SELECT o_orderkey, c_custkey
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 250000) o
+        |FULL JOIN (SELECT * FROM customer WHERE c_acctbal < 1000) c
+        |  ON o.o_custkey = c.c_custkey""".stripMargin) { (s, d) =>
+      val o = ord(s, d).filter(col("o_totalprice") > 250000)
+      val c = cust(s, d).filter(col("c_acctbal") < 1000)
+      o.join(c, o("o_custkey") === c("c_custkey"), "full")
+        .select("o_orderkey", "c_custkey")
+    },
+
+    QueryDef(
+      "join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin) { (s, d) =>
+      val o = ord(s, d).filter(col("o_totalprice") > 300000)
+      cust(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    QueryDef(
+      "join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin) { (s, d) =>
+      val o = ord(s, d).filter(col("o_totalprice") > 300000)
+      cust(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    QueryDef(
+      "join_cross",
+      """SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+        |FROM region r1 CROSS JOIN region r2""".stripMargin) { (s, d) =>
+      val r1 = reg(s, d).select(col("r_name").as("r1_name"))
+      val r2 = reg(s, d).select(col("r_name").as("r2_name"))
+      r1.crossJoin(r2)
+    },
+
+    QueryDef(
+      "join_theta",
+      """SELECT n1.n_nationkey AS nk1, n2.n_nationkey AS nk2, n1.n_regionkey AS rk
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey""".stripMargin) { (s, d) =>
+      val n1 = nat(s, d).select(
+        col("n_nationkey").as("nk1"), col("n_regionkey").as("rk"))
+      val n2 = nat(s, d).select(
+        col("n_nationkey").as("nk2"), col("n_regionkey").as("rk2"))
+      n1.join(n2, col("rk") === col("rk2") && col("nk1") < col("nk2"))
+        .select("nk1", "nk2", "rk")
+    },
+
+    // Explicit broadcast of the dim side — the 100 TB plan: fact stays
+    // partitioned, 25-row nation ships to every executor, zero shuffle.
+    QueryDef(
+      "join_broadcast_star",
+      """SELECT n_name, r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name""".stripMargin) { (s, d) =>
+      cust(s, d)
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(count(lit(1)).as("n_customers"))
+    },
+
+    QueryDef(
+      "join_multiway",
+      """SELECT r_name, o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey  = o_orderkey
+        |JOIN customer ON o_custkey   = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, o_orderpriority""".stripMargin) { (s, d) =>
+      li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), Det.dsum2(col("l_quantity")).as("sum_qty"))
+    }
+  )
+
+  // ---------------------------------------------------------------------
+  // Aggregations
+  // ---------------------------------------------------------------------
+
+  /** Shared exact power sums for the statistical aggregates: the double
+    * expression tree after the decimal sums is written identically in the
+    * DuckDB oracle, so IEEE-754 guarantees bit equality. */
+  private def varSampExpr(s1: Column, s2: Column, n: Column): Column =
+    (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / (n - lit(1))
+
+  val aggs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "agg_core",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_revenue,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          Det.dsum2(col("l_quantity")).as("sum_qty"),
+          Det.dsum2(col("l_extendedprice")).as("sum_price"),
+          Det.dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_revenue"),
+          Det.davg2(col("l_quantity")).as("avg_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    },
+
+    QueryDef(
+      "agg_count_distinct",
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count_distinct(col("o_custkey")).as("n_custs"),
+          count(col("o_orderkey")).as("n_orders"))
+    },
+
+    QueryDef(
+      "agg_global",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      li(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        Det.dsum2(col("l_extendedprice")).as("total_price"),
+        count_distinct(col("l_suppkey")).as("n_supps"))
+    },
+
+    // first/last made deterministic as min_by/max_by on a unique ordering
+    // key — samsa's latest-wins upsert semantics (sqldb.py:40-64) in batch.
+    QueryDef(
+      "agg_minby_maxby",
+      """SELECT o_custkey,
+        |       MIN_BY(o_orderkey, o_orderkey) AS first_order,
+        |       MAX_BY(o_orderkey, o_orderkey) AS last_order,
+        |       MAX_BY(o_orderstatus, o_orderkey) AS last_status
+        |FROM orders GROUP BY o_custkey""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          min_by(col("o_orderkey"), col("o_orderkey")).as("first_order"),
+          max_by(col("o_orderkey"), col("o_orderkey")).as("last_order"),
+          max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"))
+    },
+
+    QueryDef(
+      "agg_var_stddev",
+      // Exact decimal power sums; identical double expression tree both
+      // sides => bit-for-bit equality (no accumulation-order dependence).
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(l_quantity) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       (s2 - s1 * s1 / n) / (n - 1) AS var_samp_qty,
+        |       (s2 - s1 * s1 / n) / n AS var_pop_qty,
+        |       SQRT((s2 - s1 * s1 / n) / (n - 1)) AS std_samp_qty,
+        |       SQRT((s2 - s1 * s1 / n) / n) AS std_pop_qty
+        |FROM m""".stripMargin) { (s, d) =>
+      val q = col("l_quantity")
+      val m = li(s, d).groupBy("l_returnflag").agg(
+        count(q).cast("double").as("n"),
+        sum(q.cast(DecimalType(18, 2))).cast("double").as("s1"),
+        sum((q * q).cast(DecimalType(24, 4))).cast("double").as("s2"))
+      val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
+      val vs = (s2 - s1 * s1 / n) / (n - lit(1))
+      val vp = (s2 - s1 * s1 / n) / n
+      m.select(col("l_returnflag"),
+        vs.as("var_samp_qty"), vp.as("var_pop_qty"),
+        sqrt(vs).as("std_samp_qty"), sqrt(vp).as("std_pop_qty"))
+    },
+
+    QueryDef(
+      "agg_corr_covar",
+      // corr/covar from exact decimal cross-moments, same discipline.
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       (sxy - sx * sy / n) / (n - 1) AS covar_samp_qp,
+        |       (sxy - sx * sy / n) / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qp
+        |FROM m""".stripMargin) { (s, d) =>
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val m = li(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x.cast(DecimalType(18, 2))).cast("double").as("sx"),
+        sum(y.cast(DecimalType(18, 2))).cast("double").as("sy"),
+        sum((x * x).cast(DecimalType(24, 4))).cast("double").as("sxx"),
+        sum((y * y).cast(DecimalType(30, 4))).cast("double").as("syy"),
+        sum((x * y).cast(DecimalType(30, 4))).cast("double").as("sxy"))
+      val n = col("n")
+      val cov = (col("sxy") - col("sx") * col("sy") / n) / (n - lit(1))
+      val corrE = (col("sxy") - col("sx") * col("sy") / n) /
+        (sqrt(col("sxx") - col("sx") * col("sx") / n) *
+          sqrt(col("syy") - col("sy") * col("sy") / n))
+      m.select(col("l_returnflag"), cov.as("covar_samp_qp"), corrE.as("corr_qp"))
+    },
+
+    QueryDef(
+      "agg_collect",
+      """SELECT l_orderkey,
+        |       LIST_SORT(LIST(l_linenumber)) AS linenumbers,
+        |       LIST_SORT(LIST(DISTINCT l_returnflag)) AS flags
+        |FROM lineitem
+        |WHERE l_orderkey < 1000
+        |GROUP BY l_orderkey""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .groupBy("l_orderkey")
+        .agg(
+          sort_array(collect_list(col("l_linenumber"))).as("linenumbers"),
+          sort_array(collect_set(col("l_returnflag"))).as("flags"))
+    },
+
+    QueryDef(
+      "agg_median_quantity",
+      """SELECT l_linestatus,
+        |       QUANTILE_CONT(l_quantity, 0.5) AS median_qty
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, d) =>
+      li(s, d)
+        .groupBy("l_linestatus")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"))
+    },
+
+    // approx sketches: no DuckDB hash-match possible (implementation-defined)
+    // — rows-only check here, error-bound assertions live in the test suite.
+    QueryDef.noOracle("agg_approx_distinct") { (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"))
+    },
+
+    QueryDef(
+      "agg_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+      li(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), Det.dsum2(col("l_quantity")).as("sum_qty"))
+    },
+
+    QueryDef(
+      "agg_rollup",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), Det.dsum2(col("o_totalprice")).as("sum_price"))
+    },
+
+    QueryDef(
+      "agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+
+    // Batch analogue of samsa's latest-wins upsert (storage.py:190-206):
+    // keep the newest event per user — argmax by (ts, event_id).
+    QueryDef(
+      "agg_latest_per_key",
+      """SELECT user_id, last_type, last_value, max_event FROM (
+        |  SELECT user_id, event_type AS last_type, value AS last_value,
+        |         MAX(event_id) OVER (PARTITION BY user_id) AS max_event,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      e.groupBy("user_id")
+        .agg(
+          max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"),
+          max(col("event_id")).as("max_event"))
+    }
+  )
+
+  val all: Seq[QueryDef] = projectFilter ++ joins ++ aggs
+}

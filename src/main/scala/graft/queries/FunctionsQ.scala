@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function sweep (SURVEY §2.3 families: string, date/time, math,
+  * conditional, array, map, JSON). All codegen'd built-ins — no UDFs in
+  * the hot path. Oracle SQL casts DuckDB's wider return types (BIGINT
+  * length/year/etc.) down to Spark's (INT) so schemas align, and rounds
+  * transcendentals (exp/ln/pow) to 6 digits since libm implementations
+  * are not bit-identical across engines.
+  */
+object FunctionsQ {
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "fn_string_basic",
+      """SELECT p_partkey,
+        |       CONCAT(p_brand, ':', p_type) AS brand_type,
+        |       UPPER(p_name) AS uname,
+        |       LOWER(p_brand) AS lbrand,
+        |       TRIM(CONCAT(' ', p_name, ' ')) AS trimmed,
+        |       CAST(LENGTH(p_name) AS INT) AS name_len,
+        |       SUBSTRING(p_name, 1, 5) AS name5
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("trimmed"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name5"))
+    },
+
+    QueryDef(
+      "fn_string_regex",
+      """SELECT p_partkey,
+        |       string_split_regex(p_type, '\s+') AS type_words,
+        |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |       p_name LIKE '%blue%' AS is_blue,
+        |       split_part(p_brand, '#', 2) AS brand_num
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        split(col("p_type"), "\\s+").as("type_words"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").like("%blue%").as("is_blue"),
+        element_at(split(col("p_brand"), "#"), 2).as("brand_num"))
+    },
+
+    QueryDef(
+      "fn_date_parts",
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INT) AS y,
+        |       CAST(month(o_orderdate) AS INT) AS m,
+        |       CAST(day(o_orderdate) AS INT) AS dom,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+    },
+
+    QueryDef(
+      "fn_date_arith",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_shipdate AS DATE) + 30 AS ship_plus30,
+        |       CAST(datediff('day', CAST(l_shipdate AS DATE), DATE '1996-01-01') AS INT) AS days_to_96,
+        |       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_epoch,
+        |       strptime('1995-06-15 12:00:00', '%Y-%m-%d %H:%M:%S') AS fixed_ts
+        |FROM lineitem WHERE l_orderkey < 500""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 500).select(
+        col("l_orderkey"), col("l_linenumber"),
+        date_add(col("l_shipdate"), 30).as("ship_plus30"),
+        datediff(lit("1996-01-01").cast("date"), col("l_shipdate")).as("days_to_96"),
+        unix_timestamp(col("l_shipdate")).as("ship_epoch"),
+        to_timestamp(lit("1995-06-15 12:00:00")).as("fixed_ts"))
+    },
+
+    QueryDef(
+      "fn_time_bucket",
+      // Tumbling event-time window as a batch op: Spark window() struct
+      // start == DuckDB time_bucket (both align to the Unix epoch for
+      // minute-granularity buckets).
+      """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+    },
+
+    QueryDef(
+      "fn_math",
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS abs_d,
+        |       round(l_extendedprice, 0) AS price_r0,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |       sqrt(l_quantity) AS qty_sqrt,
+        |       pow(l_quantity, 2) AS qty_sq,
+        |       round(exp(l_discount), 6) AS disc_exp,
+        |       round(ln(l_extendedprice), 6) AS price_ln,
+        |       CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS key_pmod
+        |FROM lineitem WHERE l_orderkey < 1000""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 1000).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        round(col("l_extendedprice"), 0).as("price_r0"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        round(exp(col("l_discount")), 6).as("disc_exp"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        pmod(col("l_orderkey"), lit(7)).cast("bigint").as("key_pmod"))
+    },
+
+    QueryDef(
+      "fn_conditional",
+      """SELECT c_custkey,
+        |       CASE WHEN c_acctbal < 0 THEN 'debt'
+        |            WHEN c_acctbal < 5000 THEN 'low'
+        |            ELSE 'high' END AS bal_class,
+        |       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |       GREATEST(c_acctbal, 0.0) AS bal_floor0,
+        |       LEAST(c_acctbal, 1000.0) AS bal_cap1k
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bal_class"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap1k"))
+    },
+
+    QueryDef(
+      "fn_array_basic",
+      """SELECT n_nationkey,
+        |       [n_nationkey, n_regionkey] AS keys,
+        |       list_contains([n_nationkey, n_regionkey], 1) AS has_one,
+        |       CAST(len(string_split_regex(n_name, '')) AS INT) AS n_chars,
+        |       list_sort(string_split_regex(n_name, '')) AS sorted_chars,
+        |       list_sort(list_distinct(string_split_regex(n_name, ''))) AS uniq_chars
+        |FROM nation""".stripMargin) { (s, d) =>
+      val chars = split(col("n_name"), "")
+      Tables.nation(s, d).select(
+        col("n_nationkey"),
+        array(col("n_nationkey"), col("n_regionkey")).as("keys"),
+        array_contains(array(col("n_nationkey"), col("n_regionkey")), 1).as("has_one"),
+        size(chars).as("n_chars"),
+        sort_array(chars).as("sorted_chars"),
+        sort_array(array_distinct(chars)).as("uniq_chars"))
+    },
+
+    QueryDef(
+      "fn_array_hof",
+      """SELECT n_nationkey,
+        |       list_transform([n_nationkey, n_regionkey], x -> x * 10) AS tens,
+        |       list_filter([n_nationkey, n_regionkey, 42], x -> x > 3) AS big,
+        |       flatten([[n_nationkey], [n_regionkey]]) AS flat,
+        |       list_reduce([n_nationkey, n_regionkey, 1], (a, b) -> a + b) AS total
+        |FROM nation""".stripMargin) { (s, d) =>
+      val arr = array(col("n_nationkey"), col("n_regionkey"))
+      Tables.nation(s, d).select(
+        col("n_nationkey"),
+        transform(arr, x => x * 10).as("tens"),
+        filter(array(col("n_nationkey"), col("n_regionkey"), lit(42)), x => x > 3).as("big"),
+        flatten(array(array(col("n_nationkey")), array(col("n_regionkey")))).as("flat"),
+        aggregate(array(col("n_nationkey"), col("n_regionkey"), lit(1)),
+          lit(0), (a, b) => a + b).as("total"))
+    },
+
+    QueryDef(
+      "fn_explode",
+      """SELECT n_nationkey, unnest([n_nationkey, n_regionkey, 99]) AS v
+        |FROM nation""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).select(
+        col("n_nationkey"),
+        explode(array(col("n_nationkey"), col("n_regionkey"), lit(99))).as("v"))
+    },
+
+    QueryDef(
+      "fn_map",
+      """WITH m AS (SELECT r_regionkey, MAP {'rk': r_regionkey, 'rk2': r_regionkey * 2} AS mp FROM region)
+        |SELECT r_regionkey,
+        |       map_keys(mp) AS ks,
+        |       map_values(mp) AS vs,
+        |       element_at(mp, 'rk2')[1] AS rk2
+        |FROM m""".stripMargin) { (s, d) =>
+      val mp = map(lit("rk"), col("r_regionkey"), lit("rk2"), col("r_regionkey") * 2)
+      Tables.region(s, d).select(
+        col("r_regionkey"),
+        map_keys(mp).as("ks"),
+        map_values(mp).as("vs"),
+        element_at(mp, lit("rk2")).as("rk2"))
+    },
+
+    QueryDef(
+      "fn_map_explode",
+      """WITH m AS (SELECT r_regionkey, MAP {'a': r_regionkey, 'b': r_regionkey + 1} AS mp FROM region)
+        |SELECT r_regionkey,
+        |       unnest(map_keys(mp)) AS key,
+        |       unnest(map_values(mp)) AS value
+        |FROM m""".stripMargin) { (s, d) =>
+      val mp = map(lit("a"), col("r_regionkey"), lit("b"), col("r_regionkey") + 1)
+      Tables.region(s, d)
+        .select(col("r_regionkey"), explode(mp))
+    },
+
+    QueryDef(
+      "fn_json",
+      // events.props carries JSON-in-string — samsa's value convention
+      // (/root/reference/README.md:45).
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |       CAST(to_json(struct_pack(id := event_id, et := event_type)) AS VARCHAR) AS packed
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k_int"),
+        to_json(struct(col("event_id").as("id"), col("event_type").as("et"))).as("packed"))
+    }
+  )
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions, sorts/limits/top-k. All orderings carry a unique
+  * tiebreak so ranks and limits are deterministic across engines
+  * (SURVEY §7.4 risk 5). The change-detection query is samsa's README
+  * slice (/root/reference/README.md:27-52) expressed as lag() —
+  * query(key)-then-compare is lag in disguise (SURVEY §2.3).
+  */
+object WindowsQ {
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "win_rank",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |       CAST(RANK() OVER w2 AS BIGINT) AS rnk,
+        |       CAST(DENSE_RANK() OVER w2 AS BIGINT) AS drnk
+        |FROM orders
+        |WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        |       w2 AS (PARTITION BY o_custkey ORDER BY o_orderstatus, o_orderkey)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val w2 = Window.partitionBy("o_custkey").orderBy("o_orderstatus", "o_orderkey")
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("bigint").as("rn"),
+        rank().over(w2).cast("bigint").as("rnk"),
+        dense_rank().over(w2).cast("bigint").as("drnk"))
+    },
+
+    QueryDef(
+      "win_ntile_percent",
+      """SELECT c_custkey,
+        |       CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |       PERCENT_RANK() OVER w AS pr,
+        |       CUME_DIST() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("c_acctbal", "c_custkey")
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    },
+
+    QueryDef(
+      "win_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |       LAG(o_orderkey) OVER w AS prev_order,
+        |       LEAD(o_orderkey) OVER w AS next_order,
+        |       LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        lag(col("o_totalprice"), 2, -1.0).over(w).as("prev2_price"))
+    },
+
+    QueryDef(
+      "win_running",
+      // Running sum over doubles is order-dependent only in *which* rows are
+      // included; with a total order per frame both engines accumulate the
+      // same prefix in the same order => identical IEEE result.
+      """SELECT l_orderkey, l_linenumber,
+        |       SUM(l_quantity) OVER w AS run_qty,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS run_n,
+        |       MIN(l_extendedprice) OVER w AS run_min,
+        |       MAX(l_extendedprice) OVER w AS run_max
+        |FROM lineitem WHERE l_orderkey < 2000
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 2000).select(
+        col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity")).over(w).as("run_qty"),
+        count(lit(1)).over(w).cast("bigint").as("run_n"),
+        min(col("l_extendedprice")).over(w).as("run_min"),
+        max(col("l_extendedprice")).over(w).as("run_max"))
+    },
+
+    QueryDef(
+      "win_range_frame",
+      """SELECT p_partkey, p_size,
+        |       CAST(COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_close
+        |FROM part""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("p_size").rangeBetween(-2, Window.currentRow)
+      Tables.part(s, d).select(
+        col("p_partkey"), col("p_size"),
+        count(lit(1)).over(w).cast("bigint").as("n_close"))
+    },
+
+    QueryDef(
+      "win_first_last_frame",
+      """SELECT o_custkey, o_orderkey,
+        |       FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        |       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(wFull).as("last_ok"))
+    },
+
+    // samsa's README change-detection (query state, compare, save —
+    // README.md:43-52) as a single batch window: lag() per key.
+    QueryDef(
+      "win_change_detection",
+      """SELECT user_id, event_id, event_type, prev_type,
+        |       CASE WHEN prev_type IS NULL THEN 'initial'
+        |            WHEN prev_type <> event_type THEN 'changed'
+        |            ELSE 'unchanged' END AS change
+        |FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .withColumn("change",
+          when(col("prev_type").isNull, "initial")
+            .when(col("prev_type") =!= col("event_type"), "changed")
+            .otherwise("unchanged"))
+    },
+
+    QueryDef(
+      "sort_multi_limit",
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer
+        |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy(col("c_mktsegment").asc, col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(50)
+    },
+
+    QueryDef(
+      "sort_nulls_last",
+      """SELECT o_orderkey, c_name
+        |FROM orders LEFT JOIN customer
+        |  ON o_custkey = c_custkey AND c_acctbal > 9000
+        |ORDER BY c_name ASC NULLS LAST, o_orderkey ASC
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey") && col("c_acctbal") > 9000, "left")
+        .select("o_orderkey", "c_name")
+        .orderBy(col("c_name").asc_nulls_last, col("o_orderkey").asc)
+        .limit(100)
+    },
+
+    // Top-k per group: the scalable pattern (single shuffle on the group
+    // key, rank inside the partition — no global sort).
+    QueryDef(
+      "topk_per_group",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("bigint").as("rn"))
+        .filter(col("rn") <= 3)
+    },
+
+    QueryDef(
+      "win_running_revenue",
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id
+        |         ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_value
+        |FROM events""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("run_value"))
+    }
+  )
+}

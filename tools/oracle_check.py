@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local pre-check of SparkEntry oracle pairs, mimicking the driver's gate:
+run each oracle SQL in DuckDB over the sf parquet tables, load the Spark
+result parquet, sort columns by name, sort rows, compare cell values
+exactly (floats bit-for-bit, matching a hash compare).
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(rows, cols):
+    # sort columns by name, then rows lexicographically by repr
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(out, key=repr), [cols[i] for i in order]
+
+def cell_eq(a, b):
+    if a is None and b is None: return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b): return True
+        return a == b
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    fails = []
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"MISSING  {name} (no spark output)"); n_fail += 1; fails.append(name); continue
+        try:
+            o = con.execute(sql)
+            ocols = [d[0] for d in o.description]
+            orows = o.fetchall()
+        except Exception as e:
+            print(f"ORAERR   {name}: {e}"); n_fail += 1; fails.append(name); continue
+        s = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        scols = [d[0] for d in s.description]
+        srows = s.fetchall()
+        if sorted(scols) != sorted(ocols):
+            print(f"SCHEMA   {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
+            n_fail += 1; fails.append(name); continue
+        if len(srows) != len(orows):
+            print(f"ROWS     {name}: spark={len(srows)} oracle={len(orows)}")
+            n_fail += 1; fails.append(name); continue
+        sc, cols = canon(srows, scols)
+        oc, _ = canon(orows, ocols)
+        bad = None
+        for i, (sr, orow) in enumerate(zip(sc, oc)):
+            if not all(cell_eq(a, b) for a, b in zip(sr, orow)):
+                bad = (i, sr, orow); break
+        if bad:
+            i, sr, orow = bad
+            print(f"VALUES   {name}: first diff at sorted row {i}")
+            for c, a, b in zip(cols, sr, orow):
+                if not cell_eq(a, b):
+                    print(f"         col {c}: spark={a!r} oracle={b!r}")
+            n_fail += 1; fails.append(name)
+        else:
+            print(f"PASS     {name} ({len(srows)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    if fails: print("FAILING:", " ".join(fails))
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
