@@ -16,7 +16,9 @@ object SparkEntry {
     _root_.graft.queries.Core.all ++
       _root_.graft.queries.FunctionsQ.all ++
       _root_.graft.queries.WindowsQ.all ++
-      _root_.graft.queries.SetOpsQ.all
+      _root_.graft.queries.SetOpsQ.all ++
+      _root_.graft.queries.JoinsExtQ.all ++
+      _root_.graft.queries.PipelineQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-join + agg — exercises scan, broadcast join, partial agg. */

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended join operators beyond plain equi/theta joins (SURVEY §2.3
+  * "Joins"): the as-of join composite and a banded range join.
+  *
+  * The as-of join is built with the scalable union + last_value(ignore
+  * nulls) window pattern: one shuffle on the key, a single ordered pass per
+  * key — no pairwise blow-up. At 100 TB this beats join+dedup because the
+  * intermediate never exceeds |A| + |B| rows. DuckDB's native ASOF JOIN is
+  * the oracle.
+  *
+  * Ref: ABSENT in /root/reference (reachable only via the user-callback
+  * escape hatch, samsa/kafka/storage.py:237).
+  */
+object JoinsExtQ {
+
+  val all: Seq[QueryDef] = Seq(
+    // For each purchase event: the most recent click of the same user at or
+    // before the purchase. B side pre-deduped to one row per (user, ts)
+    // (greatest event_id wins) so as-of tie semantics are well-defined in
+    // both engines.
+    QueryDef(
+      "join_asof",
+      """WITH b AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS bts,
+        |         MAX(event_id) AS b_event
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |a AS (
+        |  SELECT user_id, event_id AS a_event, CAST(ts AS TIMESTAMP) AS ats
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, a.a_event, b.b_event
+        |FROM a ASOF LEFT JOIN b
+        |  ON a.user_id = b.user_id AND a.ats >= b.bts""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val b = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("b_event"))
+        .select(col("user_id"), col("ts"), lit(0).as("is_a"),
+          lit(null).cast("bigint").as("a_event"), col("b_event"))
+      val a = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("is_a"),
+          col("event_id").as("a_event"), lit(null).cast("bigint").as("b_event"))
+      // B rows sort before A rows at equal ts (is_a asc) so ats >= bts
+      // includes the equal-timestamp click.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_a"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      a.unionByName(b)
+        .withColumn("b_event", last(col("b_event"), ignoreNulls = true).over(w))
+        .filter(col("is_a") === 1)
+        .select("user_id", "a_event", "b_event")
+    },
+
+    // Banded (range) join: suppliers to customers of the same nation whose
+    // balances are within 100 of each other. Equi part (nation) carries the
+    // shuffle; the band is a post-join filter — Catalyst plans SMJ on the
+    // equi key, the scalable shape.
+    QueryDef(
+      "join_range_band",
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey
+        | AND c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .join(Tables.customer(s, d),
+          col("s_nationkey") === col("c_nationkey")
+            && col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+        .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+    }
+  )
+}

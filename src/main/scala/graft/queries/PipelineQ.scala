@@ -1,0 +1,328 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (north star, BASELINE.json): deduplication, text analysis, similarity
+  * search, multimodal plumbing. Ref: ABSENT in /root/reference — these are
+  * the engine's extension surface (SURVEY §2.3 "Extension operators").
+  *
+  * Scale posture (100 TB):
+  *   - dedup/fingerprint/quality are embarrassingly parallel per-row maps
+  *     plus one hash-partitioned groupBy;
+  *   - n-gram Jaccard and MinHash candidate generation join on the
+  *     shingle/band key — never all-pairs: cost is Σ per-key bucket², the
+  *     LSH shape that survives 1000 executors;
+  *   - brute-force cosine top-k is the small-side oracle: |Q| is broadcast,
+  *     candidates stream — linear in the corpus, never corpus × corpus.
+  */
+object PipelineQ {
+
+  /** Whitespace tokens, the shared tokenizer of this family. */
+  private def toks = split(col("text"), "\\s+")
+
+  /** Word 3-gram shingles, 1-based element_at (matches DuckDB list index). */
+  private val shinglesExpr =
+    """transform(sequence(1, greatest(size(split(text, '\\s+')) - 2, 0)),
+      |  i -> concat_ws(' ', element_at(split(text, '\\s+'), i),
+      |                      element_at(split(text, '\\s+'), i + 1),
+      |                      element_at(split(text, '\\s+'), i + 2)))""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------- //
+    // Deduplication                                                     //
+    // ----------------------------------------------------------------- //
+
+    // Exact dedup: canonical representative (min doc_id) per distinct text.
+    QueryDef(
+      "doc_exact_dedup",
+      """SELECT MIN(doc_id) AS doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |       md5(text) AS text_hash
+        |FROM documents GROUP BY text""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"), md5(col("text").cast("binary")).as("text_hash"))
+    },
+
+    // n-gram Jaccard near-dup scoring: pairs sharing >=1 shingle, blocked by
+    // lang. Join on the shingle key (LSH shape) — intersection counts fall
+    // out of one groupBy; no all-pairs product is ever materialized.
+    QueryDef(
+      "doc_ngram_jaccard",
+      """WITH sh AS (
+         |  SELECT doc_id, lang, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+         |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+         |  FROM documents),
+         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, n_common,
+         |       CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) AS jaccard
+         |FROM inter
+         |JOIN n na ON na.doc_id = doc_a
+         |JOIN n nb ON nb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(expr(shinglesExpr))).as("shingle"))
+      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("shingle").as("shingle_b"))
+      val inter = a.join(b,
+          col("shingle") === col("shingle_b") && col("lang") === col("lang_b")
+            && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_common"))
+      val na = n.select(col("doc_id").as("doc_a"), col("n_sh").as("na_sh"))
+      val nb = n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb_sh"))
+      inter.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("jaccard",
+          col("n_common").cast("double") / (col("na_sh") + col("nb_sh") - col("n_common")))
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    },
+
+    // SimHash: 64-bit per-doc signature by bit-majority over token hashes.
+    // xxhash64 has no DuckDB twin -> rows-only check; invariance properties
+    // are asserted in the test suite.
+    QueryDef.noOracle("doc_simhash") { (s, d) =>
+      Tables.documents(s, d).selectExpr(
+        "doc_id",
+        """aggregate(
+          |  transform(sequence(0, 63), j ->
+          |    CASE WHEN aggregate(split(text, '\\s+'), 0,
+          |           (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1
+          |                                 THEN 1 ELSE -1 END) > 0
+          |         THEN shiftleft(1L, j) ELSE 0L END),
+          |  0L, (a, b) -> a | b) AS simhash""".stripMargin)
+    },
+
+    // MinHash + banded LSH candidate pairs: 8 hash seeds, 4 bands x 2 rows.
+    // Candidates = docs agreeing on a full band signature — the 100 TB path
+    // (band-key groupBy; bucket join) vs exact Jaccard's shingle join.
+    QueryDef.noOracle("doc_minhash_candidates") { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("shingle"))
+      val seeds = sh.select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(7))).as("seed"))
+      val minh = seeds
+        .withColumn("h", xxhash64(col("seed"), col("shingle")))
+        .groupBy("doc_id", "seed")
+        .agg(min("h").as("minh"))
+      val bands = minh
+        .withColumn("band", expr("seed div 2"))
+        .groupBy("doc_id", "band")
+        .agg(sort_array(collect_list(struct(col("seed"), col("minh")))).as("sig"))
+        .withColumn("sig", to_json(col("sig")))
+      val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      val r = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
+      l.join(r, col("band") === col("band_b") && col("sig") === col("sig_b")
+          && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----------------------------------------------------------------- //
+    // Text analysis                                                     //
+    // ----------------------------------------------------------------- //
+
+    QueryDef(
+      "doc_token_stats",
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INT) AS n_distinct,
+        |       CAST(list_reduce(list_transform(string_split_regex(text, '\s+'),
+        |              t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS sum_tok_len
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        aggregate(transform(toks, t => length(t).cast("bigint")),
+          lit(0L), (a, b) => a + b).as("sum_tok_len"))
+    },
+
+    // Quality scoring: length, type-token ratio, stopword ratio — the
+    // classic pretraining-corpus quality features, all exact arithmetic.
+    QueryDef(
+      "doc_quality",
+      """SELECT doc_id, n_chars,
+        |       CAST(n_tok AS INT) AS n_tokens,
+        |       CAST(n_uniq AS DOUBLE) / n_tok AS type_token_ratio,
+        |       CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+        |       CAST(n_chars AS DOUBLE) / n_tok AS avg_tok_span
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |         len(string_split_regex(text, '\s+')) AS n_tok,
+        |         len(list_distinct(string_split_regex(text, '\s+'))) AS n_uniq,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |               t -> list_contains(['the', 'a'], t))) AS n_stop
+        |  FROM documents)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(toks).as("n_tok"),
+          size(array_distinct(toks)).as("n_uniq"),
+          size(filter(toks, t => t.isin("the", "a"))).as("n_stop"))
+        .select(col("doc_id"), col("n_chars"),
+          col("n_tok").cast("int").as("n_tokens"),
+          (col("n_uniq").cast("double") / col("n_tok")).as("type_token_ratio"),
+          (col("n_stop").cast("double") / col("n_tok")).as("stopword_ratio"),
+          (col("n_chars").cast("double") / col("n_tok")).as("avg_tok_span"))
+    },
+
+    // Language-ID heuristic: English-stopword fraction. (A char-n-gram
+    // scorer lives in the ext module; this is the SQL-expressible variant.)
+    QueryDef(
+      "doc_lang_heuristic",
+      """SELECT doc_id, lang,
+        |       score,
+        |       CASE WHEN score >= 0.05 THEN 'en-like' ELSE 'other' END AS lang_guess
+        |FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'], t))) AS DOUBLE)
+        |           / len(string_split_regex(text, '\s+')) AS score
+        |  FROM documents)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is", "it"))).cast("double")
+            / size(toks)).as("score"))
+        .withColumn("lang_guess",
+          when(col("score") >= 0.05, "en-like").otherwise("other"))
+    },
+
+    // Document fingerprint: md5 over whitespace-normalized lowercase text —
+    // the canonical-form content hash for cross-shard dedup.
+    QueryDef(
+      "doc_fingerprint",
+      """SELECT doc_id,
+        |       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("fp"))
+    },
+
+    // ----------------------------------------------------------------- //
+    // Similarity search (embeddings)                                    //
+    // ----------------------------------------------------------------- //
+
+    // L2 norm + mean per vector: sequential double fold, identical shape in
+    // both engines (left fold from 0.0 == DuckDB's no-init fold, IEEE-exact).
+    QueryDef(
+      "emb_norms",
+      """SELECT vec_id, label,
+        |       sqrt(list_reduce(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2_norm,
+        |       list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, b) -> a + b)
+        |         / len(embedding) AS mean_val
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, b) => a + b)).as("l2_norm"),
+        (aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (a, b) => a + b) / size(col("embedding"))).as("mean_val"))
+    },
+
+    // Brute-force cosine top-k: |Q|=5 query vectors broadcast against the
+    // corpus, rank inside each query partition. The exact-recall oracle for
+    // the LSH path; linear in corpus size.
+    QueryDef(
+      "emb_cosine_topk",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+        |p AS (
+        |  SELECT qid, cid,
+        |         list_reduce(list_transform(range(1, len(qe) + 1),
+        |             i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (a, b) -> a + b)
+        |           / (sqrt(list_reduce(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |            * sqrt(list_reduce(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cos_sim
+        |  FROM q, c WHERE qid <> cid)
+        |SELECT qid, cid, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT qid, cid, cos_sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+        |  FROM p) WHERE rn <= 10""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      def norm(a: org.apache.spark.sql.Column) =
+        sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v))
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+      broadcast(q).join(c, col("qid") =!= col("cid"))
+        .withColumn("cos_sim", dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))))
+        .select(col("qid"), col("cid"), col("cos_sim"),
+          row_number().over(w).cast("bigint").as("rn"))
+        .filter(col("rn") <= 10)
+    },
+
+    // Per-label centroid: posexplode + decimal-exact dimension sums — the
+    // shuffle is on (label, dim), 640 keys, scales to any corpus size.
+    QueryDef(
+      "emb_centroid_per_label",
+      // Double sums are accumulation-order-dependent, and decimal casts of
+      // float values round differently across engines. Folding a SORTED
+      // list of doubles fixes the order on both sides -> bit-identical.
+      // (At 100 TB you'd use plain sum(); this exact variant is the oracle
+      // discipline for a 50-rows-per-group fixture.)
+      """SELECT label, CAST(pos AS INT) AS dim,
+        |       list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b)
+        |         / COUNT(*) AS centroid
+        |FROM (
+        |  SELECT label, i AS pos, embedding[i] AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+        |GROUP BY label, pos""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .select(col("label"), (col("pos0") + 1).cast("int").as("dim"), col("x"))
+        .groupBy("label", "dim")
+        .agg(sort_array(collect_list(col("x").cast("double"))).as("xs"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          (aggregate(col("xs"), lit(0.0), (a, b) => a + b) / col("n")).as("centroid"))
+    },
+
+    // ----------------------------------------------------------------- //
+    // Multimodal plumbing                                               //
+    // ----------------------------------------------------------------- //
+
+    // Opaque binary payload + typed metadata: the schema/partitioning
+    // contract for image/audio columns. Decode itself is stubbed (no media
+    // libs in this container) behind MultimodalOps; here the Spark-side
+    // plumbing — byte length, content hash, metadata projection — is real.
+    QueryDef(
+      "mm_binary_meta",
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS payload_len,
+        |       md5(text) AS payload_md5,
+        |       source AS meta_source,
+        |       n_chars AS meta_n_chars
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          struct(col("source"), col("n_chars")).as("meta"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("payload_len"),
+          md5(col("payload")).as("payload_md5"),
+          col("meta.source").as("meta_source"),
+          col("meta.n_chars").as("meta_n_chars"))
+    }
+  )
+}
