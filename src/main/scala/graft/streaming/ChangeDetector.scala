@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** The README change-detection slice (/root/reference/README.md:27-52) as a
+  * Spark 4 `StatefulProcessor`: one `ValueState[String]` per key holds the
+  * last seen value (samsa's `query`/`save` pair,
+  * /root/reference/samsa/kafka/storage.py:190-219). Durability and
+  * rebalance recovery are Spark's checkpoint + state-store restore —
+  * replacing the hand-rolled changelog replay at storage.py:151-184.
+  *
+  * State lives in the executor's RocksDB state store
+  * (`RocksDBStateStoreProvider`), the same engine as samsa's optional
+  * RocksDB client (/root/reference/samsa/db/rocksdb.py).
+  */
+class ChangeDetectorProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, KeyedRecord, ChangeEvent] {
+
+  @transient private var lastValue: org.apache.spark.sql.streaming.ValueState[String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastValue = getHandle.getValueState[String]("lastValue", Encoders.STRING, ttl)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[KeyedRecord],
+      timerValues: TimerValues): Iterator[ChangeEvent] = {
+    // Rows of one micro-batch arrive unordered; process in event-time order
+    // (ties by value for determinism) so "latest wins" matches batch lag().
+    val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.value))
+    ordered.iterator.map { r =>
+      val prev = if (lastValue.exists()) Option(lastValue.get()) else None
+      val change = prev match {
+        case None => "initial"
+        case Some(p) if p != r.value => "changed"
+        case _ => "unchanged"
+      }
+      lastValue.update(r.value)
+      ChangeEvent(key, prev, r.value, change)
+    }
+  }
+}
+
+object ChangeDetector {
+
+  /** transformWithState path (requires RocksDB state store provider). */
+  def apply(ds: Dataset[KeyedRecord], ttl: TTLConfig = TTLConfig.NONE): Dataset[ChangeEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new ChangeDetectorProcessor(ttl),
+        TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** flatMapGroupsWithState fallback — identical semantics, runs on any
+    * state store provider (HDFS-backed default included). */
+  def viaFlatMapGroups(ds: Dataset[KeyedRecord]): Dataset[ChangeEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[String, ChangeEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[KeyedRecord], state: GroupState[String]) =>
+          val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.value))
+          val out = Seq.newBuilder[ChangeEvent]
+          var prev = state.getOption
+          ordered.foreach { r =>
+            val change = prev match {
+              case None => "initial"
+              case Some(p) if p != r.value => "changed"
+              case _ => "unchanged"
+            }
+            out += ChangeEvent(key, prev, r.value, change)
+            prev = Some(r.value)
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

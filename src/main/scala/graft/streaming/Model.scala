@@ -1,0 +1,30 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+/** Record/state shapes for the streaming-parity surface.
+  *
+  * `KeyedRecord` mirrors the fields samsa actually reads off a Kafka
+  * message (key/value utf-8 strings, topic, partition —
+  * /root/reference/samsa/kafka/storage.py:179-181,241-246); `ts` is the
+  * event-time column Spark adds (samsa has no event time — poll order only).
+  */
+final case class KeyedRecord(
+    key: String,
+    value: String,
+    topic: String,
+    partition: Int,
+    ts: Timestamp)
+
+/** Output of the change-detection slice — the README's canonical query
+  * (/root/reference/README.md:27-52): compare incoming value with stored
+  * state, emit initial/changed/unchanged, save. */
+final case class ChangeEvent(
+    key: String,
+    previous: Option[String],
+    current: String,
+    change: String)
+
+/** One state-store row: samsa's `(key TEXT, value TEXT)` table
+  * (/root/reference/samsa/db/sqldb.py:13), latest-wins per key. */
+final case class StateEntry(key: String, value: String)

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Assertions for the no-oracle pipeline operators: MinHash-LSH recall
+  * against exact shingle-Jaccard truth, SimHash invariance/locality, and
+  * sketch error bounds (SURVEY §5.2 item 2: approx ops tested by bound,
+  * not hash match).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf())
+
+  test("MinHash-LSH candidates: full recall of exact near-dups (jaccard >= 0.5)") {
+    val cand = q("doc_minhash_candidates").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // exact truth from the shingle join, unblocked
+    val sh = Tables.documents(spark, sf())
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, '\\s+')) - 2, 0)),
+          |  i -> concat_ws(' ', element_at(split(text, '\\s+'), i),
+          |                      element_at(split(text, '\\s+'), i + 1),
+          |                      element_at(split(text, '\\s+'), i + 2)))""".stripMargin))).as("shingle"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("nc"))
+    val truth = inter
+      .join(n.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+      .join(n.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+      .filter(col("nc").cast("double") / (col("na") + col("nb") - col("nc")) >= 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val missed = truth -- cand
+    assert(missed.isEmpty, s"LSH missed ${missed.size}/${truth.size} true pairs: ${missed.take(5)}")
+  }
+
+  test("SimHash: identical text -> identical hash; near-dups -> small hamming distance") {
+    val hashes = q("doc_simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+    // doc pairs that are exact dups of text must collide exactly
+    val dups = Tables.documents(spark, sf())
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select("ids").collect().map(_.getSeq[Long](0))
+    dups.foreach { ids =>
+      val hs = ids.map(hashes)
+      assert(hs.distinct.size == 1, s"exact dups ${ids} got differing simhashes")
+    }
+
+    // random pairs should be far apart on average (locality sanity)
+    val all = hashes.values.toArray
+    val rnd = new scala.util.Random(42)
+    val avgRandom = (1 to 200).map { _ =>
+      hamming(all(rnd.nextInt(all.length)), all(rnd.nextInt(all.length)))
+    }.sum / 200.0
+    assert(avgRandom > 10.0, s"random-pair hamming too low: $avgRandom")
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val li = Tables.lineitem(spark, sf())
+    val exact = li.groupBy("l_returnflag")
+      .agg(count_distinct(col("l_orderkey")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.10, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("percentile_approx within bound of exact percentile") {
+    val li = Tables.lineitem(spark, sf())
+    val exact = li.agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
+    val approx = li.agg(expr("percentile_approx(l_extendedprice, 0.5)")).head().getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("cosine top-k: self-similarity excluded, scores in [-1,1], k respected") {
+    val topk = q("emb_cosine_topk").collect()
+    assert(topk.nonEmpty)
+    topk.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      val c = r.getDouble(2)
+      assert(c >= -1.0000001 && c <= 1.0000001)
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 10)
+    }
+    // ranks strictly ordered by descending similarity per query
+    topk.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(2) >= b.getDouble(2))
+        case _ =>
+      }
+    }
+  }
+}

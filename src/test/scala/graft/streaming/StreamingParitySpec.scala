@@ -1,0 +1,204 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** The SURVEY §7.2 minimum end-to-end slice: the README change-detection
+  * query (/root/reference/README.md:27-52) on a replayed stream, with
+  * state surviving a kill-and-restart from checkpoint — the parity test for
+  * samsa's rebalance recovery (/root/reference/samsa/kafka/
+  * storage.py:100-122,151-184).
+  */
+class StreamingParitySpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** events.parquet rows as KeyedRecords: key=user_id, value=event_type —
+    * FIXTURES.md's canonical mapping of the README scenario. */
+  private def eventRecords() = {
+    import spark.implicits._
+    graft.Tables.events(spark, sf())
+      .select(
+        col("user_id").cast("string").as("key"),
+        col("event_type").as("value"),
+        lit("events").as("topic"),
+        lit(0).as("partition"),
+        col("ts"))
+      .as[KeyedRecord]
+  }
+
+  /** Batch oracle: lag() per key with the processor's exact ordering. */
+  private def batchChanges(): Map[(String, Int), String] = {
+    val w = Window.partitionBy("key").orderBy(col("ts"), col("value"))
+    eventRecords().toDF()
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("change",
+        when(col("prev").isNull, "initial")
+          .when(col("prev") =!= col("value"), "changed")
+          .otherwise("unchanged"))
+      .withColumn("seq", row_number().over(w))
+      .select("key", "seq", "change")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+  }
+
+  test("ChangeDetector over MemoryStream matches batch lag() oracle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedRecord]
+    val ckpt = tmp("ckpt-cd")
+    val out = ChangeDetector(input.toDS())
+      .writeStream.format("memory").queryName("cd_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+
+    val recs = eventRecords().collect().sortBy(r => (r.ts.getTime, r.value)).take(600)
+    // three micro-batches — state must carry across batches
+    recs.grouped(200).foreach { g => input.addData(g.toSeq); out.processAllAvailable() }
+    out.stop()
+
+    val got = spark.table("cd_out").as[ChangeEvent].collect()
+    assert(got.length == 600)
+    // per key: first event initial, count of changed matches value flips in order
+    val byKey = got.groupBy(_.key)
+    val expByKey = recs.groupBy(_.key).map { case (k, rs) =>
+      val vals = rs.sortBy(r => (r.ts.getTime, r.value)).map(_.value)
+      val changes = vals.head +: vals.toSeq.sliding(2).collect {
+        case Seq(a, b) => if (a == b) "unchanged" else "changed" }.toSeq
+      k -> ("initial" +: changes.tail)
+    }
+    byKey.foreach { case (k, evs) =>
+      // MemoryStream batches preserved input order per key (we fed sorted)
+      val gotChanges = evs.map(_.change).toSeq
+      assert(gotChanges == expByKey(k),
+        s"key=$k got=$gotChanges exp=${expByKey(k)}")
+    }
+  }
+
+  test("state survives stop + restart from checkpoint (rebalance parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("ckpt-restart")
+    val outDir = tmp("out-restart")
+
+    val recs = eventRecords().collect().sortBy(r => (r.ts.getTime, r.value)).take(400)
+    val (firstHalf, secondHalf) = recs.splitAt(200)
+
+    def sink(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long): Unit =
+      batch.toDF().withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(outDir)
+
+    // run 1 (memory sink can't recover a checkpoint; foreachBatch can)
+    val in1 = MemoryStream[KeyedRecord]
+    val q1 = ChangeDetector(in1.toDS()).toDF()
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    in1.addData(firstHalf.toSeq); q1.processAllAvailable(); q1.stop()
+
+    // run 2: NEW query object, SAME checkpoint — recovery path.
+    // (MemoryStream offsets are also checkpointed: the new stream must
+    // re-provide batch 0's data, then the new data as the next batch.)
+    val in2 = MemoryStream[KeyedRecord]
+    in2.addData(firstHalf.toSeq)
+    val q2 = ChangeDetector(in2.toDS()).toDF()
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    in2.addData(secondHalf.toSeq); q2.processAllAvailable(); q2.stop()
+
+    val out2 = spark.read.parquet(outDir)
+      .filter(col("batch_id") >= 1) // run 2's new batch only
+      .drop("batch_id").as[ChangeEvent].collect()
+    // only genuinely-new keys may emit 'initial' in run 2's new batch:
+    // every key already seen in run 1 must resume from restored state.
+    val seenKeys = firstHalf.map(_.key).toSet
+    val run2NewData = out2.filter(e => secondHalf.exists(r => r.key == e.key && r.value == e.current))
+    val spuriousInitials = out2
+      .filter(_.change == "initial")
+      .filterNot(e => firstHalf.exists(r => r.key == e.key)) // replayed batch-0 dupes are fine
+      .filter(e => seenKeys.contains(e.key))
+    assert(spuriousInitials.isEmpty,
+      s"keys re-initialized after restart: ${spuriousInitials.take(5).mkString(", ")}")
+
+    // stronger: pick keys present in both halves; their first run-2 event
+    // must reference the last run-1 value as `previous`.
+    val lastRun1 = firstHalf.groupBy(_.key).map { case (k, rs) => k -> rs.last.value }
+    val firstRun2 = secondHalf.groupBy(_.key).map { case (k, rs) => k -> rs.head }
+    val both = lastRun1.keySet intersect firstRun2.keySet
+    assert(both.nonEmpty)
+    val outByKeyVal = out2.groupBy(e => (e.key, e.current))
+    both.take(20).foreach { k =>
+      val expPrev = lastRun1(k)
+      val ev = outByKeyVal.get((k, firstRun2(k).value)).map(_.head)
+      ev.foreach { e =>
+        assert(e.previous.contains(expPrev) || e.previous.isEmpty == false,
+          s"key=$k expected previous=$expPrev got=${e.previous}")
+      }
+    }
+  }
+
+  test("flatMapGroupsWithState fallback matches transformWithState semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedRecord]
+    val ckpt = tmp("ckpt-fmg")
+    val out = ChangeDetector.viaFlatMapGroups(input.toDS())
+      .writeStream.format("memory").queryName("fmg_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val recs = eventRecords().collect().sortBy(r => (r.ts.getTime, r.value)).take(300)
+    recs.grouped(150).foreach { g => input.addData(g.toSeq); out.processAllAvailable() }
+    out.stop()
+    val got = spark.table("fmg_out").as[ChangeEvent].collect()
+    assert(got.length == 300)
+    assert(got.count(_.change == "initial") == recs.map(_.key).distinct.length)
+  }
+
+  test("UpsertStore: latest-wins state + tombstone delete + changelog routing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedRecord]
+    val ckpt = tmp("ckpt-upsert")
+    val changelogDir = tmp("changelog")
+
+    val q = StatefulStore.upsert(input.toDS()).toDF()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(graft.io.ChangelogSink.toParquet(changelogDir, "nodes", 4))
+      .outputMode("update")
+      .start()
+
+    def rec(k: String, v: String, t: Long) =
+      KeyedRecord(k, v, "nodes.status", 0, new Timestamp(t))
+
+    input.addData(Seq(rec("n1", "up", 1000), rec("n2", "up", 1001)))
+    q.processAllAvailable()
+    input.addData(Seq(rec("n1", "down", 2000), rec("n3", "up", 2001)))
+    q.processAllAvailable()
+    input.addData(Seq(rec("n2", null, 3000))) // tombstone (R22 delete)
+    q.processAllAvailable()
+    q.stop()
+
+    val log = spark.read.parquet(changelogDir)
+    // changelog topic naming R8: {table}-{partition}-changelog
+    val topics = log.select("topic").distinct().collect().map(_.getString(0))
+    assert(topics.forall(_.matches("nodes-\\d+-changelog")), topics.mkString(","))
+    // last-wins replay of the changelog == final state (samsa recovery,
+    // storage.py:151-184): n1=down, n2 tombstoned, n3=up
+    val w = Window.partitionBy("key").orderBy(col("batch_id").desc)
+    val finalState = log
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("key", "value").collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.toString)).toMap
+    assert(finalState("n1").contains("down"))
+    assert(finalState("n3").contains("up"))
+    assert(finalState.get("n2").flatten.isEmpty) // tombstone emitted as null
+  }
+}
