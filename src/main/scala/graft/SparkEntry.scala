@@ -18,7 +18,10 @@ object SparkEntry {
       _root_.graft.queries.WindowsQ.all ++
       _root_.graft.queries.SetOpsQ.all ++
       _root_.graft.queries.JoinsExtQ.all ++
-      _root_.graft.queries.PipelineQ.all
+      _root_.graft.queries.PipelineQ.all ++
+      _root_.graft.queries.UdfQ.all ++
+      _root_.graft.queries.SourcesQ.all ++
+      _root_.graft.queries.ExtQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-join + agg — exercises scan, broadcast join, partial agg. */

@@ -1,0 +1,33 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+/** spark.ml extension operators as registry entries. No DuckDB oracle —
+  * LSH internals are implementation-defined — so these are rows-only
+  * checks here; recall/quality bounds are asserted in ExtSpec.
+  */
+object ExtQ {
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef.noOracle("ext_minhash_ml_neardups") { (s, d) =>
+      Similarity.minHashNearDups(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    QueryDef.noOracle("ext_ann_topk") { (s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+    },
+
+    QueryDef.noOracle("ext_tfidf_stats") { (s, d) =>
+      val toStats = udf { (v: org.apache.spark.ml.linalg.Vector) =>
+        (v.numNonzeros, math.sqrt(v.toArray.map(x => x * x).sum))
+      }
+      Similarity.tfidf(Tables.documents(s, d))
+        .select(col("doc_id"), toStats(col("tfidf")).as("s"))
+        .select(col("doc_id"), col("s._1").as("nnz"), col("s._2").as("l2"))
+        .orderBy("doc_id")
+    }
+  )
+}

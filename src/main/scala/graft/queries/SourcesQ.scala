@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink round-trips (SURVEY §2.3 "Sources / sinks"): csv and json
+  * scans with explicit schemas, and a parquet write+read. Each query
+  * round-trips a fixture table through the format and selects it back, so
+  * the DuckDB oracle is simply the original table — content equality IS
+  * the format-fidelity check. Writes land under java.io.tmpdir, keyed by
+  * the sf dir, so Verify/Bench runs don't collide.
+  */
+object SourcesQ {
+
+  private def scratch(d: String, name: String): String = {
+    val key = d.replaceAll("[^a-zA-Z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft-io/$key/$name"
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "src_csv_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, d) =>
+      val path = scratch(d, "nation_csv")
+      Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      graft.io.Sources.csv(s, path, schema)
+    },
+
+    QueryDef(
+      "src_json_roundtrip",
+      "SELECT r_regionkey, r_name FROM region") { (s, d) =>
+      val path = scratch(d, "region_json")
+      Tables.region(s, d).write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      graft.io.Sources.json(s, path, schema)
+    },
+
+    QueryDef(
+      "src_parquet_roundtrip",
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier") { (s, d) =>
+      val path = scratch(d, "supplier_parquet")
+      graft.io.Sinks.parquet(Tables.supplier(s, d), path)
+      graft.io.Sources.parquet(s, path)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    },
+
+    // Partitioned parquet write + partition-pruned read: the layout that
+    // carries 100 TB (pruning skips whole directories at the scan).
+    QueryDef(
+      "src_partitioned_pruned",
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin) { (s, d) =>
+      val path = scratch(d, "orders_part")
+      graft.io.Sinks.parquet(Tables.orders(s, d), path, partitionBy = Seq("o_orderstatus"))
+      graft.io.Sources.parquet(s, path)
+        .filter(col("o_orderstatus") === "O") // prunes to one partition dir
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    }
+  )
+}

@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Recall/quality bounds for the spark.ml extension operators, judged
+  * against their exact brute-force twins in PipelineQ.
+  */
+class ExtSpec extends SparkSpec {
+
+  test("ml MinHashLSH near-dups recall vs exact jaccard truth") {
+    val found = Similarity.minHashNearDups(
+        Tables.documents(spark, sf()), maxDistance = 0.5, numTables = 16)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // exact truth: pairs with true shingle-jaccard >= 0.5 (approxSimilarityJoin
+    // post-filters candidates by true distance, so recall vs truth isolates
+    // the LSH bucketing miss rate)
+    val sh = Tables.documents(spark, sf())
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, '\\s+')) - 2, 0)),
+          |  i -> concat_ws(' ', element_at(split(text, '\\s+'), i),
+          |                      element_at(split(text, '\\s+'), i + 1),
+          |                      element_at(split(text, '\\s+'), i + 2)))""".stripMargin))).as("shingle"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val truth = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("nc"))
+      .join(n.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+      .join(n.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+      .filter(col("nc").cast("double") / (col("na") + col("nb") - col("nc")) >= 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(truth.nonEmpty)
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"ml MinHash recall $recall (found ${found.size}, truth ${truth.size})")
+  }
+
+  test("ANN top-k recall vs brute-force cosine top-k") {
+    val exact = graft.SparkEntry.queries("emb_cosine_topk")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(Tables.embeddings(spark, sf()), Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall — LSH with 4 tables should catch most true neighbors")
+  }
+
+  test("tfidf: rare terms outweigh common ones") {
+    val out = Similarity.tfidf(Tables.documents(spark, sf())).collect()
+    assert(out.length > 0)
+    val vecs = out.map(_.getAs[org.apache.spark.ml.linalg.Vector]("tfidf"))
+    assert(vecs.forall(_.numNonzeros > 0))
+    // idf weighting: no vector should be all-equal weights (would mean idf
+    // collapsed); check some variance exists
+    val v = vecs.head.toArray.filter(_ != 0)
+    assert(v.distinct.length > 1 || vecs.length == 1)
+  }
+}
