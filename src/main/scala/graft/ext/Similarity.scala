@@ -20,11 +20,13 @@ object Similarity {
     * MinHash input space; numFeatures=2^18 keeps collisions ~0 at corpus
     * vocab sizes while the vector stays sparse). */
   def shingleVectors(docs: DataFrame, numFeatures: Int = 1 << 18): DataFrame = {
-    val shingled = docs.withColumn("shingles", expr(
-      """array_distinct(transform(sequence(1, greatest(size(split(text, '\\s+')) - 2, 0)),
-        |  i -> concat_ws(' ', element_at(split(text, '\\s+'), i),
-        |                      element_at(split(text, '\\s+'), i + 1),
-        |                      element_at(split(text, '\\s+'), i + 2))))""".stripMargin))
+    val shingled = docs
+      .withColumn("toks", split(col("text"), "\\s+")) // tokenize once per row
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)),
+          |  i -> concat_ws(' ', element_at(toks, i),
+          |                      element_at(toks, i + 1),
+          |                      element_at(toks, i + 2))))""".stripMargin))
       .filter(size(col("shingles")) > 0)
     new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(numFeatures).setBinary(true)
@@ -33,7 +35,9 @@ object Similarity {
 
   /** Near-dup pairs via ml MinHashLSH (jaccard distance <= maxDistance). */
   def minHashNearDups(docs: DataFrame, maxDistance: Double = 0.5, numTables: Int = 8): DataFrame = {
-    val vecs = shingleVectors(docs)
+    // cache: approxSimilarityJoin evaluates the vector pipeline on BOTH
+    // sides of the self-join; without this the shingling runs 2x+
+    val vecs = shingleVectors(docs).cache()
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numTables).setSeed(42)
     val model = mh.fit(vecs)

@@ -21,8 +21,11 @@ object ExtQ {
     },
 
     QueryDef.noOracle("ext_tfidf_stats") { (s, d) =>
+      // O(nnz) per row — never densify a 2^18-dim sparse vector
       val toStats = udf { (v: org.apache.spark.ml.linalg.Vector) =>
-        (v.numNonzeros, math.sqrt(v.toArray.map(x => x * x).sum))
+        var ss = 0.0
+        v.foreachActive((_, x) => ss += x * x)
+        (v.numNonzeros, math.sqrt(ss))
       }
       Similarity.tfidf(Tables.documents(s, d))
         .select(col("doc_id"), toStats(col("tfidf")).as("s"))

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Inventory stragglers: rolling-hash fingerprinting, embedding-cosine
+  * near-dup pairs, and the multimodal decode/frame-sample plumbing.
+  */
+object ExtraQ {
+
+  val all: Seq[QueryDef] = Seq(
+    // Polynomial rolling hash over character codes, mod 1e9+7 at each step
+    // so both engines stay in exact BIGINT range (no overflow divergence).
+    QueryDef(
+      "doc_rolling_hash",
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 1000000007) AS rhash
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        aggregate(
+          transform(split(col("text"), ""), c => ascii(c).cast("bigint")),
+          lit(0L),
+          (h, c) => pmod(h * 31 + c, lit(1000000007L))).as("rhash"))
+    },
+
+    // Embedding-cosine near-dup pairs within a bounded block: the exact
+    // variant of embedding-space dedup (the scale path buckets by LSH or
+    // coarse quantizer first — see ext/Similarity; this is its oracle).
+    QueryDef(
+      "emb_cosine_neardup",
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |       list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |         / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+        |          * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |         / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+        |          * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) >= 0.5""".stripMargin) { (s, d) =>
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      def nrm(a: org.apache.spark.sql.Column) =
+        sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v))
+      val v = Tables.embeddings(s, d).filter(col("vec_id") < 50)
+      val a = v.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = v.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      a.join(b, col("va") < col("vb"))
+        .withColumn("cos_sim", dot(col("ea"), col("eb")) / (nrm(col("ea")) * nrm(col("eb"))))
+        .filter(col("cos_sim") >= 0.5)
+        .select("va", "vb", "cos_sim")
+    },
+
+    // Multimodal decode through the per-partition batch path. The stub
+    // decoder is deterministic, so rows-only here + exactness in MmSpec.
+    QueryDef.noOracle("mm_decode_features") { (s, d) =>
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeImages(payloads).toDF().orderBy("doc_id")
+    },
+
+    QueryDef.noOracle("mm_frame_sample") { (s, d) =>
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(payloads, frameSize = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+}

@@ -23,12 +23,22 @@ object PipelineQ {
   /** Whitespace tokens, the shared tokenizer of this family. */
   private def toks = split(col("text"), "\\s+")
 
-  /** Word 3-gram shingles, 1-based element_at (matches DuckDB list index). */
-  private val shinglesExpr =
-    """transform(sequence(1, greatest(size(split(text, '\\s+')) - 2, 0)),
-      |  i -> concat_ws(' ', element_at(split(text, '\\s+'), i),
-      |                      element_at(split(text, '\\s+'), i + 1),
-      |                      element_at(split(text, '\\s+'), i + 2)))""".stripMargin
+  /** Word 3-gram shingles over a pre-materialized `toks` column (split
+    * once per row — splitting inside the lambda would re-tokenize per
+    * shingle index, O(tokens^2) per document). 1-based element_at matches
+    * DuckDB's list indexing. */
+  private val shinglesOverToks =
+    """transform(sequence(1, greatest(size(toks) - 2, 0)),
+      |  i -> concat_ws(' ', element_at(toks, i),
+      |                      element_at(toks, i + 1),
+      |                      element_at(toks, i + 2)))""".stripMargin
+
+  /** doc_id + exploded distinct shingles, shared by the dedup family. */
+  private def shingled(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(expr(shinglesOverToks))).as("shingle"))
 
   val all: Seq[QueryDef] = Seq(
 
@@ -49,18 +59,24 @@ object PipelineQ {
         .select(col("doc_id"), col("n_copies"), md5(col("text").cast("binary")).as("text_hash"))
     },
 
-    // n-gram Jaccard near-dup scoring: pairs sharing >=1 shingle, blocked by
-    // lang. Join on the shingle key (LSH shape) — intersection counts fall
-    // out of one groupBy; no all-pairs product is ever materialized.
+    // n-gram Jaccard near-dup scoring: pairs sharing >=1 rare shingle.
+    // Join on the shingle key (LSH shape) — intersection counts fall out
+    // of one groupBy; no all-pairs product is ever materialized. Shingles
+    // in > DF_CAP docs are pruned first: ubiquitous shingles contribute no
+    // dedup signal but quadratic join cost (the df-pruning every
+    // web-scale dedup pipeline applies). Jaccard is over the rare-shingle
+    // space on BOTH engines, so the oracle matches exactly.
     QueryDef(
       "doc_ngram_jaccard",
-      """WITH sh AS (
+      """WITH sh0 AS (
          |  SELECT doc_id, lang, unnest(list_distinct(
          |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
          |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
          |           string_split_regex(text, '\s+')[i+1] || ' ' ||
          |           string_split_regex(text, '\s+')[i+2]))) AS shingle
          |  FROM documents),
+         |df AS (SELECT shingle, COUNT(*) AS c FROM sh0 GROUP BY shingle),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN df USING (shingle) WHERE df.c <= 20),
          |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -74,9 +90,12 @@ object PipelineQ {
          |JOIN n na ON na.doc_id = doc_a
          |JOIN n nb ON nb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2""".stripMargin) { (s, d) =>
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(array_distinct(expr(shinglesExpr))).as("shingle"))
+      val sh0 = shingled(s, d)
+      val sh = sh0.join(
+          sh0.groupBy("shingle").agg(count(lit(1)).as("c")).filter(col("c") <= 20),
+          "shingle")
+        .select("doc_id", "lang", "shingle")
+        .cache()
       val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("shingle"))
       val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("shingle").as("shingle_b"))
@@ -98,23 +117,27 @@ object PipelineQ {
     // xxhash64 has no DuckDB twin -> rows-only check; invariance properties
     // are asserted in the test suite.
     QueryDef.noOracle("doc_simhash") { (s, d) =>
-      Tables.documents(s, d).selectExpr(
-        "doc_id",
-        """aggregate(
-          |  transform(sequence(0, 63), j ->
-          |    CASE WHEN aggregate(split(text, '\\s+'), 0,
-          |           (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1
-          |                                 THEN 1 ELSE -1 END) > 0
-          |         THEN shiftleft(1L, j) ELSE 0L END),
-          |  0L, (a, b) -> a | b) AS simhash""".stripMargin)
+      // hash each token ONCE into hs, then fold the 64 bit-votes over the
+      // hash array — never re-tokenize or re-hash per bit position
+      Tables.documents(s, d)
+        .selectExpr("doc_id",
+          "transform(split(text, '\\\\s+'), t -> xxhash64(t)) AS hs")
+        .selectExpr(
+          "doc_id",
+          """aggregate(
+            |  transform(sequence(0, 63), j ->
+            |    CASE WHEN aggregate(hs, 0,
+            |           (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1
+            |                                 THEN 1 ELSE -1 END) > 0
+            |         THEN shiftleft(1L, j) ELSE 0L END),
+            |  0L, (a, b) -> a | b) AS simhash""".stripMargin)
     },
 
     // MinHash + banded LSH candidate pairs: 8 hash seeds, 4 bands x 2 rows.
     // Candidates = docs agreeing on a full band signature — the 100 TB path
     // (band-key groupBy; bucket join) vs exact Jaccard's shingle join.
     QueryDef.noOracle("doc_minhash_candidates") { (s, d) =>
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("shingle"))
+      val sh = shingled(s, d).drop("lang")
       val seeds = sh.select(col("doc_id"), col("shingle"),
         explode(sequence(lit(0), lit(7))).as("seed"))
       val minh = seeds
