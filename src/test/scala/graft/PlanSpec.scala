@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan invariants for the 100 TB posture (SURVEY §4.2, builder
+  * brief): filters and projections must reach the parquet scan, small dims
+  * must broadcast, aggregates must be two-phase (map-side partial), and
+  * equi-joins must never degrade to cartesian products. These are the
+  * properties that decide whether a plan survives a 1000-executor cluster,
+  * asserted on the actual optimized plans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = plan("proj_select")
+    assert(p.contains("PushedFilters:"), p.take(800))
+    assert(p.matches("(?s).*PushedFilters: \\[.*(EqualTo|IsNotNull)\\(l_linenumber.*"),
+      "l_linenumber filter should be pushed to the scan:\n" + p.take(1200))
+  }
+
+  test("column pruning: scan reads only projected columns") {
+    val p = plan("proj_withcolumn_drop")
+    // orders has 6 columns; the query needs 3
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_orderstatus")
+      && readSchema.contains("o_totalprice"), readSchema)
+    assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_custkey"),
+      s"pruned columns still read: $readSchema")
+  }
+
+  test("small dims broadcast in the star join") {
+    val p = plan("join_broadcast_star")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "dims should broadcast, not shuffle-sort-merge:\n" + p.take(1500))
+  }
+
+  test("aggregation is two-phase (map-side partial)") {
+    val p = plan("agg_core")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs:\n" + p.take(1500))
+  }
+
+  test("equi-joins never plan as cartesian products") {
+    val equiJoins = Seq("join_inner", "join_left", "join_right", "join_full",
+      "join_semi", "join_anti", "join_multiway", "join_asof")
+    equiJoins.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q degraded to a cartesian product:\n" + p.take(1200))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to BNLJ:\n" + p.take(1200))
+    }
+  }
+
+  test("timestamp range filter pushes to scan") {
+    val p = plan("filter_timestamp_range")
+    assert(p.matches("(?s).*PushedFilters: \\[.*GreaterThanOrEqual\\(l_shipdate.*"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("partitioned source prunes partitions at the scan") {
+    val p = plan("src_partitioned_pruned")
+    assert(p.matches("(?s).*PartitionFilters: \\[.*o_orderstatus.*") ||
+      p.contains("isnotnull(o_orderstatus"),
+      "partition filter missing:\n" +
+        p.linesIterator.filter(l => l.contains("Partition") || l.contains("Location"))
+          .mkString("\n"))
+  }
+
+  test("whole-stage codegen covers the relational core") {
+    // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
+    // inspect the non-adaptive plan for the codegen fences
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("agg_core")(spark, sf()).queryExecution
+        .explainString(ExplainMode.fromString("codegen"))
+      assert(p.contains("WholeStageCodegen"), p.take(800))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
