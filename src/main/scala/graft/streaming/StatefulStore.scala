@@ -60,9 +60,11 @@ object StatefulStore {
   def readState(
       spark: org.apache.spark.sql.SparkSession,
       checkpoint: String,
-      operatorId: Int = 0): org.apache.spark.sql.DataFrame =
+      operatorId: Int = 0,
+      stateVarName: String = "value"): org.apache.spark.sql.DataFrame =
     spark.read.format("statestore")
       .option("path", checkpoint)
       .option("operatorId", operatorId)
+      .option("stateVarName", stateVarName) // transformWithState stores are named
       .load()
 }

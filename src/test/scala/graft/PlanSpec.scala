@@ -12,9 +12,13 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 class PlanSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // other suites may have cached fixture tables — a cached scan becomes
+    // InMemoryTableScan and hides the parquet pushdown we assert on
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf()).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
+  }
 
   test("filter pushdown reaches the parquet scan") {
     val p = plan("proj_select")
