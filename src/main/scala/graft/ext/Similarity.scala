@@ -41,7 +41,11 @@ object Similarity {
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numTables).setSeed(42)
     val model = mh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxDistance, "jaccard_dist")
+    // pre-hash once and cache: approxSimilarityJoin skips its internal
+    // transform when the hashes column is already present, halving the
+    // pipeline evaluations on a self-join
+    val hashed = model.transform(vecs).cache()
+    model.approxSimilarityJoin(hashed, hashed, maxDistance, "jaccard_dist")
       .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
       .select(
         col("datasetA.doc_id").as("doc_a"),

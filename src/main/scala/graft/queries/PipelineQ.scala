@@ -117,20 +117,21 @@ object PipelineQ {
     // xxhash64 has no DuckDB twin -> rows-only check; invariance properties
     // are asserted in the test suite.
     QueryDef.noOracle("doc_simhash") { (s, d) =>
-      // hash each token ONCE into hs, then fold the 64 bit-votes over the
-      // hash array — never re-tokenize or re-hash per bit position
-      Tables.documents(s, d)
-        .selectExpr("doc_id",
-          "transform(split(text, '\\\\s+'), t -> xxhash64(t)) AS hs")
-        .selectExpr(
-          "doc_id",
-          """aggregate(
-            |  transform(sequence(0, 63), j ->
-            |    CASE WHEN aggregate(hs, 0,
-            |           (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1
-            |                                 THEN 1 ELSE -1 END) > 0
-            |         THEN shiftleft(1L, j) ELSE 0L END),
-            |  0L, (a, b) -> a | b) AS simhash""".stripMargin)
+      // codegen-friendly shape: explode token hashes once, then ONE
+      // HashAggregate with 64 bit-vote sums (whole-stage codegen'd) —
+      // nested HOF folds evaluate lambdas interpreted per element and
+      // were ~5x slower here
+      val tok = Tables.documents(s, d)
+        .selectExpr("doc_id", "explode(transform(split(text, '\\\\s+'), t -> xxhash64(t))) AS h")
+      val votes = (0 until 64).map { j =>
+        sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j")
+      }
+      val packed = (0 until 64)
+        .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j}L ELSE 0L END)")
+        .mkString(" | ")
+      tok.groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+        .selectExpr("doc_id", s"($packed) AS simhash")
     },
 
     // MinHash + banded LSH candidate pairs: 8 hash seeds, 4 bands x 2 rows.
