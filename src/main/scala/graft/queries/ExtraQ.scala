@@ -59,6 +59,27 @@ object ExtraQ {
         .select("va", "vb", "cos_sim")
     },
 
+    // Skew-salting demonstration (SCALE.md): pre-aggregate on (key, salt)
+    // so one hot key spreads over 8 reducers, then combine partials. The
+    // oracle is the UNsalted aggregation — decimal partials are exact, so
+    // salting is provably result-identical.
+    QueryDef(
+      "agg_salted_twophase",
+      """SELECT l_suppkey,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val partial = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(8)))
+        .groupBy("l_suppkey", "salt")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("psum"),
+          count(lit(1)).as("pn"))
+      partial.groupBy("l_suppkey")
+        .agg(sum("psum").cast("double").as("sum_qty"),
+          sum("pn").as("n"))
+    },
+
     // The native codegen cosine expression (graft.functions.CosineSimilarity)
     // on the same brute-force top-k shape as emb_cosine_topk: identical
     // sequential double fold -> identical oracle, one fused loop instead of

@@ -44,13 +44,17 @@ class ChangeDetectorProcessor(ttl: TTLConfig = TTLConfig.NONE)
 
 object ChangeDetector {
 
-  /** transformWithState path (requires RocksDB state store provider). */
+  /** transformWithState path (requires RocksDB state store provider).
+    * With a TTL the time mode must be ProcessingTime (state expiry is
+    * wall-clock-driven); without one, TimeMode.None. */
   def apply(ds: Dataset[KeyedRecord], ttl: TTLConfig = TTLConfig.NONE): Dataset[ChangeEvent] = {
     import ds.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     ds.groupByKey(_.key)
       .transformWithState(
         new ChangeDetectorProcessor(ttl),
-        TimeMode.None(),
+        timeMode,
         OutputMode.Append())
   }
 
