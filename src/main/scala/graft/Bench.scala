@@ -47,11 +47,42 @@ object Bench {
           errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+    // Streaming throughput: the reference's hot path is a synchronous
+    // per-message loop (poll -> SQLite check-then-write commit -> one
+    // Producer + blocking flush per assigned partition,
+    // samsa/kafka/storage.py:145-148,201-206) — a per-message-latency
+    // design. We measure the Spark ChangeDetector slice (keyed state,
+    // RocksDB) in rows/sec over the events table for the comparison.
+    val streamEps: Double =
+      try {
+        import org.apache.spark.sql.functions._
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val ev = Tables.events(spark, sfDir)
+          .select(col("user_id").cast("string").as("key"),
+            col("event_type").as("value"),
+            lit("bench").as("topic"), lit(0).as("partition"), col("ts"))
+        val n = ev.count()
+        val tmp = java.nio.file.Files.createTempDirectory("bench-stream")
+        ev.write.mode("overwrite").parquet(s"$tmp/in")
+        import spark.implicits._
+        val src = spark.readStream.schema(ev.schema).parquet(s"$tmp/in")
+          .as[graft.streaming.KeyedRecord]
+        val t0 = System.nanoTime()
+        val q = graft.streaming.ChangeDetector(src).toDF()
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        n / ((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => -1.0 }
+
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"stream_events_per_sec":$streamEps,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -31,6 +31,11 @@ object StoreType {
   * tracking and changelog replay are Spark's checkpoint machinery, not user
   * code; state commits are transactional with the batch (improving samsa's
   * at-least-once store-before-changelog ordering, storage.py:201-206).
+  *
+  * TTL caveat: a non-NONE `ttl` forces processing-time mode, where the
+  * engine self-triggers eviction micro-batches — drive such queries by
+  * sink polling or timed triggers, never `processAllAvailable()` (it
+  * would block forever; see StateTtlSpec).
   */
 final case class SamsaStream(
     topics: Seq[String],
