@@ -87,6 +87,83 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into `nCells` cells
+    * (deterministic seed centroids = the first nCells vectors, one
+    * refinement sweep), then search only the `nProbe` cells nearest to
+    * each query. The inverted-file shape: search cost drops from
+    * |corpus| to ~|corpus| * nProbe / nCells per query, and the cell
+    * assignment is a narrow map — the partition-pruning analogue for
+    * vector search (complements the BRP-LSH path; both are the 100 TB
+    * routes vs brute force). */
+  def ivfTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = normalizedVectors(emb)
+      .select(col("vec_id"), col("features")).cache()
+
+    // deterministic seeds + one Lloyd sweep (collect is over nCells
+    // centroids only — never corpus-scale)
+    val seeds = vecs.orderBy("vec_id").limit(nCells)
+      .collect().map(_.getAs[Vector]("features").toArray)
+    def nearest(cs: Array[Array[Double]], v: Vector): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val ct = cs(c)
+        while (i < ct.length) { val t = ct(i) - v(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val bc = spark.sparkContext.broadcast(seeds)
+    val assigned0 = vecs.map { r =>
+      (r.getLong(0), nearest(bc.value, r.getAs[Vector](1)))
+    }.toDF("vec_id", "cell")
+    val centroids = assigned0.join(vecs, "vec_id")
+      .as[(Long, Int, Vector)].rdd
+      .map { case (_, cell, v) => (cell, (v.toArray, 1L)) }
+      .reduceByKey { (l: (Array[Double], Long), r: (Array[Double], Long)) =>
+        (l._1.zip(r._1).map { case (x, y) => x + y }, l._2 + r._2) }
+      .mapValues { case (s, n) => s.map(_ / n) }
+      .collect().sortBy(_._1).map(_._2)
+    val bc2 = spark.sparkContext.broadcast(centroids)
+    val assigned = vecs.map { r =>
+      (r.getLong(0), nearest(bc2.value, r.getAs[Vector](1)))
+    }.toDF("vec_id", "cell").join(vecs, "vec_id").cache()
+
+    // probe the nProbe nearest cells per query, brute-force inside them
+    val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("features").as("qf")).collect()
+    queries.map { row =>
+      val qid = row.getLong(0)
+      val qf = row.getAs[Vector](1)
+      val cells = centroids.indices
+        .sortBy { c =>
+          centroids(c).zipWithIndex.map { case (x, i) => val t = x - qf(i); t * t }.sum }
+        .take(nProbe).toSet
+      val cand = assigned
+        .filter(col("cell").isin(cells.toSeq: _*) && col("vec_id") =!= qid)
+      val qBc = spark.sparkContext.broadcast(qf.toArray)
+      cand.map { r =>
+        val v = r.getAs[Vector](2)
+        val q = qBc.value
+        var dot = 0.0; var i = 0
+        while (i < q.length) { dot += q(i) * v(i); i += 1 }
+        (r.getLong(0), dot) // unit vectors: dot == cosine
+      }.toDF("cid", "cos")
+        .orderBy(col("cos").desc, col("cid"))
+        .limit(k)
+        .select(lit(qid).as("qid"), col("cid"), col("cos"))
+    }.reduce(_ unionByName _)
+  }
+
   /** TF-IDF pipeline over documents: tokenize -> stopword filter ->
     * hashed TF -> IDF weighting. Output keeps doc_id + sparse tfidf. */
   def tfidf(docs: DataFrame, numFeatures: Int = 1 << 18): DataFrame = {

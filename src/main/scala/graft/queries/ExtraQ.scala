@@ -59,6 +59,28 @@ object ExtraQ {
         .select("va", "vb", "cos_sim")
     },
 
+    // BPE-ish token counting: letter-runs, digit-runs, and single other
+    // marks — the subword-style tokenizer count alongside whitespace
+    // tokens (same regex in both engines).
+    QueryDef(
+      "doc_bpe_tokens",
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(text, '\s+')) AS INT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).selectExpr(
+        "doc_id",
+        "size(split(text, '\\\\s+')) AS ws_tokens",
+        "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)) AS bpe_tokens")
+    },
+
+    // IVF ANN (no oracle — probe selection is implementation-defined;
+    // recall vs brute force asserted in ExtSpec).
+    QueryDef.noOracle("ext_ivf_topk") { (s, d) =>
+      graft.ext.Similarity.ivfTopK(
+        Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+    },
+
     // Skew-salting demonstration (SCALE.md): pre-aggregate on (key, salt)
     // so one hot key spreads over 8 reducers, then combine partials. The
     // oracle is the UNsalted aggregation — decimal partials are exact, so

@@ -47,6 +47,15 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.6, s"ANN recall $recall — LSH with 4 tables should catch most true neighbors")
   }
 
+  test("IVF top-k recall vs brute-force cosine top-k") {
+    val exact = graft.SparkEntry.queries("emb_cosine_topk")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(Tables.embeddings(spark, sf()), Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall with 4/16 cells probed")
+  }
+
   test("tfidf: rare terms outweigh common ones") {
     val out = Similarity.tfidf(Tables.documents(spark, sf())).collect()
     assert(out.length > 0)
