@@ -17,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
       graft.functions.GraftFunctions.cosineSimBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(
+        classOf[graft.functions.TopKByScore].getName, "topk_by_score"),
+      graft.functions.GraftFunctions.topKBuilder))
   }
 }

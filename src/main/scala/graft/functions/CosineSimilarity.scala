@@ -90,7 +90,19 @@ object GraftFunctions {
       s"cosine_sim expects 2 arguments, got ${other.size}")
   }
 
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** topk_by_score(score, id, k) — k must be a foldable int literal. */
+  val topKBuilder: Seq[Expression] => Expression = {
+    case Seq(s, i, kExpr) if kExpr.foldable =>
+      TopKByScore(s, i, kExpr.eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()
+    case other => throw new IllegalArgumentException(
+      "topk_by_score expects (score, id, <int literal k>)")
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineSimBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by_score", topKBuilder, "built-in")
+  }
 }

@@ -135,6 +135,39 @@ object ExtraQ {
         .filter(col("rn") <= 10)
     },
 
+    // Top-k per group via the custom TypedImperativeAggregate (bounded
+    // heap, partial+final — shuffle carries k rows per partition instead
+    // of every candidate; see functions/TopKByScore.scala). Same oracle
+    // as the window form: identical ranking and tiebreak.
+    QueryDef(
+      "emb_cosine_topk_agg",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+        |p AS (
+        |  SELECT qid, cid,
+        |         list_reduce(list_transform(range(1, len(qe) + 1),
+        |             i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (a, b) -> a + b)
+        |           / (sqrt(list_reduce(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |            * sqrt(list_reduce(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cos_sim
+        |  FROM q, c WHERE qid <> cid)
+        |SELECT qid, cid, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT qid, cid, cos_sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+        |  FROM p) WHERE rn <= 10""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      broadcast(q).join(c, col("qid") =!= col("cid"))
+        .withColumn("cos_sim", expr("cosine_sim(qe, ce)"))
+        .groupBy("qid")
+        .agg(expr("topk_by_score(cos_sim, cid, 10)").as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), col("t.id").as("cid"), col("t.score").as("cos_sim"),
+          (col("pos") + 1).cast("bigint").as("rn"))
+    },
+
     // Multimodal decode through the per-partition batch path. The stub
     // decoder is deterministic, so rows-only here + exactness in MmSpec.
     QueryDef.noOracle("mm_decode_features") { (s, d) =>
