@@ -52,6 +52,48 @@ object FunctionsQ {
     },
 
     QueryDef(
+      "fn_string_extra",
+      """SELECT p_partkey,
+        |       lpad(p_brand, 12, '*') AS padded_l,
+        |       rpad(p_brand, 12, '.') AS padded_r,
+        |       replace(p_type, ' ', '_') AS snake_type,
+        |       reverse(p_brand) AS rev_brand,
+        |       repeat(p_brand, 2) AS double_brand,
+        |       left(p_name, 4) AS name_l4,
+        |       right(p_name, 4) AS name_r4,
+        |       CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+        |       CAST(ascii(p_brand) AS INT) AS brand_code
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("padded_l"),
+        rpad(col("p_brand"), 12, ".").as("padded_r"),
+        regexp_replace(col("p_type"), " ", "_").as("snake_type"),
+        reverse(col("p_brand")).as("rev_brand"),
+        repeat(col("p_brand"), 2).as("double_brand"),
+        substring(col("p_name"), 1, 4).as("name_l4"),
+        expr("right(p_name, 4)").as("name_r4"),
+        instr(col("p_name"), "a").cast("bigint").as("first_a"),
+        ascii(col("p_brand")).as("brand_code"))
+    },
+
+    QueryDef(
+      "fn_date_extra",
+      """SELECT o_orderkey,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus3m,
+        |       CAST(date_part('quarter', o_orderdate) AS INT) AS q,
+        |       CAST(date_part('isodow', o_orderdate) AS INT) AS iso_dow
+        |FROM orders WHERE o_orderkey < 3000""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") < 3000).select(
+        col("o_orderkey"),
+        last_day(col("o_orderdate")).as("month_end"),
+        (add_months(col("o_orderdate"), 3)).cast("timestamp").as("plus3m"),
+        quarter(col("o_orderdate")).as("q"),
+        expr("weekday(o_orderdate) + 1").as("iso_dow"))
+    },
+
+    QueryDef(
       "fn_date_parts",
       """SELECT o_orderkey,
         |       CAST(year(o_orderdate) AS INT) AS y,

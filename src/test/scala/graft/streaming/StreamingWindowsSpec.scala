@@ -141,6 +141,32 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(rows == Seq(("u1", 9.99)), rows.mkString(";"))
   }
 
+  test("watermark is monotonic: out-of-order (older) data cannot move it back") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = in.toDS()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt("ck-wm"))
+      .outputMode("append").start()
+
+    def wm(): String = {
+      val p = q.lastProgress
+      if (p == null) "" else Option(p.eventTime.get("watermark")).getOrElse("")
+    }
+    in.addData(Ev(ts(60), "u", 1)); q.processAllAvailable()
+    in.addData(Ev(ts(61), "u", 1)); q.processAllAvailable() // advance past batch 1
+    val wmHigh = wm()
+    in.addData(Ev(ts(1), "u", 1)); q.processAllAvailable()  // ancient event
+    in.addData(Ev(ts(2), "u", 1)); q.processAllAvailable()
+    val wmAfter = wm()
+    q.stop()
+    assert(wmHigh.nonEmpty)
+    assert(wmAfter >= wmHigh, s"watermark regressed: $wmHigh -> $wmAfter")
+  }
+
   test("stream-static join enriches stream against batch table") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
