@@ -77,6 +77,26 @@ class PlanSpec extends SparkSpec {
           .mkString("\n"))
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    Tables.orders(spark, sf()).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    Tables.customer(spark, sf()).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    // demote broadcast so the join must choose SMJ — the case bucketing serves
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert(!p.contains("Exchange"),
+        "bucketed join should read co-located buckets with NO shuffle:\n" + p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
