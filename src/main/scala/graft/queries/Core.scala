@@ -375,9 +375,11 @@ object Core {
 
     QueryDef(
       "agg_collect",
+      // Array outputs JSON-encoded on both sides: the driver's pandas
+      // comparator cannot sort ndarray cells (VERDICT r3 item 1).
       """SELECT l_orderkey,
-        |       LIST_SORT(LIST(l_linenumber)) AS linenumbers,
-        |       LIST_SORT(LIST(DISTINCT l_returnflag)) AS flags
+        |       CAST(to_json(LIST_SORT(LIST(l_linenumber))) AS VARCHAR) AS linenumbers,
+        |       CAST(to_json(LIST_SORT(LIST(DISTINCT l_returnflag))) AS VARCHAR) AS flags
         |FROM lineitem
         |WHERE l_orderkey < 1000
         |GROUP BY l_orderkey""".stripMargin) { (s, d) =>
@@ -385,8 +387,8 @@ object Core {
         .filter(col("l_orderkey") < 1000)
         .groupBy("l_orderkey")
         .agg(
-          sort_array(collect_list(col("l_linenumber"))).as("linenumbers"),
-          sort_array(collect_set(col("l_returnflag"))).as("flags"))
+          to_json(sort_array(collect_list(col("l_linenumber")))).as("linenumbers"),
+          to_json(sort_array(collect_set(col("l_returnflag")))).as("flags"))
     },
 
     QueryDef(

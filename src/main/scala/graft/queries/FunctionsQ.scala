@@ -35,8 +35,11 @@ object FunctionsQ {
 
     QueryDef(
       "fn_string_regex",
+      // Array outputs are JSON-encoded on BOTH sides: the driver's pandas
+      // comparator cannot sort ndarray cells, so the contract is
+      // strings-only output columns (VERDICT r3 item 1).
       """SELECT p_partkey,
-        |       string_split_regex(p_type, '\s+') AS type_words,
+        |       CAST(to_json(string_split_regex(p_type, '\s+')) AS VARCHAR) AS type_words,
         |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
         |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
         |       p_name LIKE '%blue%' AS is_blue,
@@ -44,7 +47,7 @@ object FunctionsQ {
         |FROM part""".stripMargin) { (s, d) =>
       Tables.part(s, d).select(
         col("p_partkey"),
-        split(col("p_type"), "\\s+").as("type_words"),
+        to_json(split(col("p_type"), "\\s+")).as("type_words"),
         regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
         col("p_name").like("%blue%").as("is_blue"),
@@ -191,37 +194,40 @@ object FunctionsQ {
 
     QueryDef(
       "fn_array_basic",
+      // JSON-encoded array outputs (driver comparator contract; see
+      // fn_string_regex note).
       """SELECT n_nationkey,
-        |       [n_nationkey, n_regionkey] AS keys,
+        |       CAST(to_json([n_nationkey, n_regionkey]) AS VARCHAR) AS keys,
         |       list_contains([n_nationkey, n_regionkey], 1) AS has_one,
         |       CAST(len(string_split_regex(n_name, '')) AS INT) AS n_chars,
-        |       list_sort(string_split_regex(n_name, '')) AS sorted_chars,
-        |       list_sort(list_distinct(string_split_regex(n_name, ''))) AS uniq_chars
+        |       CAST(to_json(list_sort(string_split_regex(n_name, ''))) AS VARCHAR) AS sorted_chars,
+        |       CAST(to_json(list_sort(list_distinct(string_split_regex(n_name, '')))) AS VARCHAR) AS uniq_chars
         |FROM nation""".stripMargin) { (s, d) =>
       val chars = split(col("n_name"), "")
       Tables.nation(s, d).select(
         col("n_nationkey"),
-        array(col("n_nationkey"), col("n_regionkey")).as("keys"),
+        to_json(array(col("n_nationkey"), col("n_regionkey"))).as("keys"),
         array_contains(array(col("n_nationkey"), col("n_regionkey")), 1).as("has_one"),
         size(chars).as("n_chars"),
-        sort_array(chars).as("sorted_chars"),
-        sort_array(array_distinct(chars)).as("uniq_chars"))
+        to_json(sort_array(chars)).as("sorted_chars"),
+        to_json(sort_array(array_distinct(chars))).as("uniq_chars"))
     },
 
     QueryDef(
       "fn_array_hof",
+      // JSON-encoded array outputs (driver comparator contract).
       """SELECT n_nationkey,
-        |       list_transform([n_nationkey, n_regionkey], x -> x * 10) AS tens,
-        |       list_filter([n_nationkey, n_regionkey, 42], x -> x > 3) AS big,
-        |       flatten([[n_nationkey], [n_regionkey]]) AS flat,
+        |       CAST(to_json(list_transform([n_nationkey, n_regionkey], x -> x * 10)) AS VARCHAR) AS tens,
+        |       CAST(to_json(list_filter([n_nationkey, n_regionkey, 42], x -> x > 3)) AS VARCHAR) AS big,
+        |       CAST(to_json(flatten([[n_nationkey], [n_regionkey]])) AS VARCHAR) AS flat,
         |       list_reduce([n_nationkey, n_regionkey, 1], (a, b) -> a + b) AS total
         |FROM nation""".stripMargin) { (s, d) =>
       val arr = array(col("n_nationkey"), col("n_regionkey"))
       Tables.nation(s, d).select(
         col("n_nationkey"),
-        transform(arr, x => x * 10).as("tens"),
-        filter(array(col("n_nationkey"), col("n_regionkey"), lit(42)), x => x > 3).as("big"),
-        flatten(array(array(col("n_nationkey")), array(col("n_regionkey")))).as("flat"),
+        to_json(transform(arr, x => x * 10)).as("tens"),
+        to_json(filter(array(col("n_nationkey"), col("n_regionkey"), lit(42)), x => x > 3)).as("big"),
+        to_json(flatten(array(array(col("n_nationkey")), array(col("n_regionkey"))))).as("flat"),
         aggregate(array(col("n_nationkey"), col("n_regionkey"), lit(1)),
           lit(0), (a, b) => a + b).as("total"))
     },
@@ -237,17 +243,18 @@ object FunctionsQ {
 
     QueryDef(
       "fn_map",
+      // JSON-encoded array outputs (driver comparator contract).
       """WITH m AS (SELECT r_regionkey, MAP {'rk': r_regionkey, 'rk2': r_regionkey * 2} AS mp FROM region)
         |SELECT r_regionkey,
-        |       map_keys(mp) AS ks,
-        |       map_values(mp) AS vs,
+        |       CAST(to_json(map_keys(mp)) AS VARCHAR) AS ks,
+        |       CAST(to_json(map_values(mp)) AS VARCHAR) AS vs,
         |       element_at(mp, 'rk2')[1] AS rk2
         |FROM m""".stripMargin) { (s, d) =>
       val mp = map(lit("rk"), col("r_regionkey"), lit("rk2"), col("r_regionkey") * 2)
       Tables.region(s, d).select(
         col("r_regionkey"),
-        map_keys(mp).as("ks"),
-        map_values(mp).as("vs"),
+        to_json(map_keys(mp)).as("ks"),
+        to_json(map_values(mp)).as("vs"),
         element_at(mp, lit("rk2")).as("rk2"))
     },
 
