@@ -64,27 +64,45 @@ object Similarity {
     emb.withColumn("features", toVec(col("embedding")))
   }
 
-  /** ANN top-k per query vector via BucketedRandomProjectionLSH. */
+  /** ANN top-k per query vector via BucketedRandomProjectionLSH.
+    *
+    * One distributed job for the WHOLE query set: both sides are hashed
+    * once, `approxSimilarityJoin` joins on bucket keys, and the bounded
+    * top-k heap (`topk_by_score`) keeps k rows per query per partition —
+    * so shuffle volume is k * partitions, never |candidates|. Scales to
+    * 10^4-10^6 query vectors (the per-query `approxNearestNeighbors`
+    * loop it replaces was one driver-sequenced Spark job per query).
+    * Empty query sets yield an empty frame, not an error.
+    *
+    * `maxDistance` bounds the euclidean candidate distance on the
+    * L2-normalized vectors (range [0,2]); the default 2.0 accepts every
+    * bucket collision, so recall is governed purely by the LSH tables. */
   def annTopK(
       emb: DataFrame,
       queryIds: Seq[Long],
       k: Int = 10,
       bucketLength: Double = 0.5,
-      numTables: Int = 4): DataFrame = {
+      numTables: Int = 4,
+      maxDistance: Double = 2.0): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val vecs = normalizedVectors(emb).cache()
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42)
     val model = lsh.fit(vecs)
-    val queries = vecs.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("features").as("qf"))
-      .collect()
-    queries.map { row =>
-      val qid = row.getLong(0)
-      val qf = row.getAs[Vector](1)
-      model.approxNearestNeighbors(vecs.filter(col("vec_id") =!= qid), qf, k, "dist")
-        .select(lit(qid).as("qid"), col("vec_id").as("cid"), col("dist"))
-    }.reduce(_ unionByName _)
+    // pre-hash once: approxSimilarityJoin skips its internal transform
+    // when the hashes column is already present
+    val hashed = model.transform(vecs).cache()
+    val queries = hashed.filter(col("vec_id").isin(queryIds: _*))
+      .withColumnRenamed("vec_id", "qid")
+    model.approxSimilarityJoin(queries, hashed, maxDistance, "dist")
+      .filter(col("datasetA.qid") =!= col("datasetB.vec_id"))
+      .select(col("datasetA.qid").as("qid"),
+        col("datasetB.vec_id").as("cid"), col("dist"))
+      .groupBy("qid")
+      .agg(expr(s"topk_by_score(-dist, cid, $k)").as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("cid"), (-col("t.score")).as("dist"))
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into `nCells` cells
@@ -123,45 +141,55 @@ object Similarity {
       best
     }
     val bc = spark.sparkContext.broadcast(seeds)
-    val assigned0 = vecs.map { r =>
-      (r.getLong(0), nearest(bc.value, r.getAs[Vector](1)))
-    }.toDF("vec_id", "cell")
-    val centroids = assigned0.join(vecs, "vec_id")
-      .as[(Long, Int, Vector)].rdd
-      .map { case (_, cell, v) => (cell, (v.toArray, 1L)) }
+    // Lloyd sweep: assign is a narrow map (no join needed — the vector is
+    // already on the row); the only shuffle is the nCells-key reduce
+    val centroids = vecs.rdd
+      .map { r =>
+        val v = r.getAs[Vector](1)
+        (nearest(bc.value, v), (v.toArray, 1L))
+      }
       .reduceByKey { (l: (Array[Double], Long), r: (Array[Double], Long)) =>
         (l._1.zip(r._1).map { case (x, y) => x + y }, l._2 + r._2) }
       .mapValues { case (s, n) => s.map(_ / n) }
       .collect().sortBy(_._1).map(_._2)
     val bc2 = spark.sparkContext.broadcast(centroids)
-    val assigned = vecs.map { r =>
-      (r.getLong(0), nearest(bc2.value, r.getAs[Vector](1)))
-    }.toDF("vec_id", "cell").join(vecs, "vec_id").cache()
+    // cell assignment is a narrow map — no join, no shuffle
+    val assignCell = udf { (v: Vector) => nearest(bc2.value, v) }
+    val assigned = vecs.withColumn("cell", assignCell(col("features"))).cache()
 
-    // probe the nProbe nearest cells per query, brute-force inside them
+    // ONE distributed job for the whole query set (the per-query
+    // collect()+job loop this replaces was a driver bottleneck at real
+    // query cardinality): each query explodes into its nProbe nearest
+    // cells, the tiny query side broadcasts into a join on cell (the
+    // corpus never shuffles), and the bounded top-k heap keeps k rows
+    // per query per partition. Empty query sets yield an empty frame.
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val probeCells = udf { (v: Vector) =>
+      val cs = bc2.value
+      cs.indices.sortBy { c =>
+        var d = 0.0; var i = 0
+        val ct = cs(c)
+        while (i < ct.length) { val t = ct(i) - v(i); d += t * t; i += 1 }
+        d
+      }.take(nProbe)
+    }
     val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("features").as("qf")).collect()
-    queries.map { row =>
-      val qid = row.getLong(0)
-      val qf = row.getAs[Vector](1)
-      val cells = centroids.indices
-        .sortBy { c =>
-          centroids(c).zipWithIndex.map { case (x, i) => val t = x - qf(i); t * t }.sum }
-        .take(nProbe).toSet
-      val cand = assigned
-        .filter(col("cell").isin(cells.toSeq: _*) && col("vec_id") =!= qid)
-      val qBc = spark.sparkContext.broadcast(qf.toArray)
-      cand.map { r =>
-        val v = r.getAs[Vector](2)
-        val q = qBc.value
-        var dot = 0.0; var i = 0
-        while (i < q.length) { dot += q(i) * v(i); i += 1 }
-        (r.getLong(0), dot) // unit vectors: dot == cosine
-      }.toDF("cid", "cos")
-        .orderBy(col("cos").desc, col("cid"))
-        .limit(k)
-        .select(lit(qid).as("qid"), col("cid"), col("cos"))
-    }.reduce(_ unionByName _)
+      .select(col("vec_id").as("qid"), col("features").as("qf"),
+        explode(probeCells(col("features"))).as("cell"))
+    // unit vectors: dot == cosine
+    val dot = udf { (q: Vector, v: Vector) =>
+      var s = 0.0; var i = 0
+      while (i < q.size) { s += q(i) * v(i); i += 1 }
+      s
+    }
+    broadcast(queries).join(assigned, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        dot(col("qf"), col("features")).as("cos"))
+      .groupBy("qid")
+      .agg(expr(s"topk_by_score(cos, cid, $k)").as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("cid"), col("t.score").as("cos"))
   }
 
   /** TF-IDF pipeline over documents: tokenize -> stopword filter ->
