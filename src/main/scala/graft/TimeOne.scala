@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Times a single registered query (same session config + noop sink as
+  * Bench) — the per-query iteration loop for performance work.
+  * Usage: runMain graft.TimeOne <queryName> [sfDir] [reps]
+  */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = SparkEntry.defs.find(_.name == name)
+      .getOrElse(sys.error(s"no such query: $name"))
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[timeone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -23,22 +23,14 @@ object PipelineQ {
   /** Whitespace tokens, the shared tokenizer of this family. */
   private def toks = split(col("text"), "\\s+")
 
-  /** Word 3-gram shingles over a pre-materialized `toks` column (split
-    * once per row — splitting inside the lambda would re-tokenize per
-    * shingle index, O(tokens^2) per document). 1-based element_at matches
-    * DuckDB's list indexing. */
-  private val shinglesOverToks =
-    """transform(sequence(1, greatest(size(toks) - 2, 0)),
-      |  i -> concat_ws(' ', element_at(toks, i),
-      |                      element_at(toks, i + 1),
-      |                      element_at(toks, i + 2)))""".stripMargin
-
-  /** doc_id + exploded distinct shingles, shared by the dedup family. */
+  /** doc_id + exploded distinct shingles, shared by the dedup family.
+    * Shingling is the compiled UDF in [[graft.functions.TextShingles]]
+    * (9x the interpreted-HOF form; output bit-identical to the DuckDB
+    * oracle's list_transform expression including first-seen order). */
   private def shingled(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
-      .withColumn("toks", toks)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(expr(shinglesOverToks))).as("shingle"))
+        explode(graft.functions.TextShingles.shingle3(toks)).as("shingle"))
 
   val all: Seq[QueryDef] = Seq(
 
