@@ -95,6 +95,10 @@ final case class SamsaStream(
       numPartitions: Int): StreamingQuery =
     materialize(ds).toDF()
       .writeStream
+      // transformWithState runs in Update mode (matches the tested
+      // equivalent path in StreamingParitySpec); without it the broker
+      // path would fail Spark's output-mode validation at query start
+      .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch(ChangelogSink.toKafka(bootstrapServers, tableName, numPartitions))
       .start()

@@ -25,6 +25,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Result is null on length mismatch or any null element (the same
+  // outcome the zip_with/aggregate HOF form produces), even when both
+  // input columns are non-nullable.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType, _) => true
@@ -39,10 +44,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // null on length mismatch or null elements — matching zip_with
+    // semantics rather than silently truncating or reading garbage
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv
@@ -61,14 +70,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $x.getFloat($i);
-         |  double $yv = (double) $y.getFloat($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = (double) $x.getFloat($i);
+         |    double $yv = (double) $y.getFloat($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -13,6 +13,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State lives in the executor's RocksDB state store
   * (`RocksDBStateStoreProvider`), the same engine as samsa's optional
   * RocksDB client (/root/reference/samsa/db/rocksdb.py).
+  *
+  * A null incoming value is a tombstone (the UpsertStore/samsa delete
+  * convention, rocksdb.py:75-85): state clears, the event is emitted
+  * with change="deleted", and the key's next sighting is "initial".
   */
 class ChangeDetectorProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, KeyedRecord, ChangeEvent] {
@@ -27,17 +31,30 @@ class ChangeDetectorProcessor(ttl: TTLConfig = TTLConfig.NONE)
       rows: Iterator[KeyedRecord],
       timerValues: TimerValues): Iterator[ChangeEvent] = {
     // Rows of one micro-batch arrive unordered; process in event-time order
-    // (ties by value for determinism) so "latest wins" matches batch lag().
-    val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.value))
+    // (null-safe tiebreak for determinism — see KeyedRecord.orderKey) so
+    // "latest wins" matches batch lag(). The buffer is bounded by one
+    // key's share of ONE micro-batch (emitting a transition per row
+    // requires seeing the rows in order); heap behavior under a
+    // deliberately hot key is asserted in StreamingParitySpec.
+    val ordered = rows.toSeq.sortBy(KeyedRecord.orderKey)
     ordered.iterator.map { r =>
       val prev = if (lastValue.exists()) Option(lastValue.get()) else None
-      val change = prev match {
-        case None => "initial"
-        case Some(p) if p != r.value => "changed"
-        case _ => "unchanged"
+      if (r.value == null) {
+        // Tombstone (null value = delete, the UpsertStore convention):
+        // clear state and emit "deleted"; the key's next sighting is a
+        // fresh "initial". Implicitly passing null to update() would
+        // clear state anyway but mislabel the event.
+        lastValue.clear()
+        ChangeEvent(key, prev, null, "deleted")
+      } else {
+        val change = prev match {
+          case None => "initial"
+          case Some(p) if p != r.value => "changed"
+          case _ => "unchanged"
+        }
+        lastValue.update(r.value)
+        ChangeEvent(key, prev, r.value, change)
       }
-      lastValue.update(r.value)
-      ChangeEvent(key, prev, r.value, change)
     }
   }
 }
@@ -66,19 +83,28 @@ object ChangeDetector {
       .flatMapGroupsWithState[String, ChangeEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[KeyedRecord], state: GroupState[String]) =>
-          val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.value))
+          val ordered = rows.toSeq.sortBy(KeyedRecord.orderKey)
           val out = Seq.newBuilder[ChangeEvent]
           var prev = state.getOption
           ordered.foreach { r =>
-            val change = prev match {
-              case None => "initial"
-              case Some(p) if p != r.value => "changed"
-              case _ => "unchanged"
+            if (r.value == null) {
+              // tombstone: same delete semantics as the TWS path above
+              out += ChangeEvent(key, prev, null, "deleted")
+              prev = None
+            } else {
+              val change = prev match {
+                case None => "initial"
+                case Some(p) if p != r.value => "changed"
+                case _ => "unchanged"
+              }
+              out += ChangeEvent(key, prev, r.value, change)
+              prev = Some(r.value)
             }
-            out += ChangeEvent(key, prev, r.value, change)
-            prev = Some(r.value)
           }
-          prev.foreach(state.update)
+          prev match {
+            case Some(v) => state.update(v)
+            case None => state.remove()
+          }
           out.result().iterator
       }
   }

@@ -16,6 +16,16 @@ final case class KeyedRecord(
     partition: Int,
     ts: Timestamp)
 
+object KeyedRecord {
+  /** Deterministic within-batch processing order: event time, then
+    * non-null values, then tombstones (null value = delete, so a
+    * same-timestamp tombstone wins over the value it deletes). The
+    * Boolean term keeps the String term null-safe — sorting on a raw
+    * null value would NPE and kill the streaming query mid-batch. */
+  def orderKey(r: KeyedRecord): (Long, Boolean, String) =
+    (r.ts.getTime, r.value == null, if (r.value == null) "" else r.value)
+}
+
 /** Output of the change-detection slice — the README's canonical query
   * (/root/reference/README.md:27-52): compare incoming value with stored
   * state, emit initial/changed/unchanged, save. */

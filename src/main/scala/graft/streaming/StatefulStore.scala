@@ -32,15 +32,22 @@ class UpsertStoreProcessor(ttl: TTLConfig = TTLConfig.NONE)
       key: String,
       rows: Iterator[KeyedRecord],
       timerValues: TimerValues): Iterator[StateEntry] = {
-    val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.value))
-    var last: Option[StateEntry] = None
-    ordered.foreach { r =>
-      if (r.value == null) { store.clear(); last = Some(StateEntry(key, null)) }
-      else { store.update(r.value); last = Some(StateEntry(key, r.value)) }
+    // Latest-wins means only the maximal row under the deterministic,
+    // null-safe order (KeyedRecord.orderKey) survives the batch — track
+    // it in O(1) memory over the iterator instead of buffering and
+    // sorting every per-key row (a hot key with millions of rows in one
+    // micro-batch would otherwise materialize in executor heap).
+    if (!rows.hasNext) Iterator.empty
+    else {
+      val r = rows.maxBy(KeyedRecord.orderKey)
+      // Changelog is compacted per micro-batch: only the surviving write
+      // is replicated (samsa replicates every put — same end state,
+      // less I/O).
+      val entry =
+        if (r.value == null) { store.clear(); StateEntry(key, null) }
+        else { store.update(r.value); StateEntry(key, r.value) }
+      Iterator.single(entry)
     }
-    // Changelog is compacted per micro-batch: only the surviving write is
-    // replicated (samsa replicates every put — same end state, less I/O).
-    last.iterator
   }
 }
 

@@ -71,6 +71,20 @@ class CosineSimilaritySpec extends SparkSpec {
       err.getMessage.toLowerCase.contains("data type"))
   }
 
+  test("null elements and length mismatch yield null (zip_with parity), both eval paths") {
+    GraftFunctions.ensureRegistered(spark)
+    // ADVICE r3: these used to silently truncate / read garbage
+    val cases = Seq(
+      "cosine_sim(array(cast(1.0 as float), cast(null as float)), array(cast(1.0 as float), cast(2.0 as float)))",
+      "cosine_sim(array(cast(1.0 as float)), array(cast(1.0 as float), cast(2.0 as float)))")
+    Seq("true", "false").foreach { cg =>
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      try cases.foreach { c =>
+        assert(spark.sql(s"SELECT $c").head().isNullAt(0), s"$c (codegen=$cg)")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("native is not slower than the HOF fold (usually ~3-10x faster)") {
     val df = synthetic(200000)
     df.count() // materialize cache
