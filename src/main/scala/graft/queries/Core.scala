@@ -392,6 +392,24 @@ object Core {
     },
 
     QueryDef(
+      // collect_set with a SCALAR output (sorted + joined) — direct green
+      // coverage independent of the JSON-encoded agg_collect row.
+      "agg_collect_set_str",
+      """SELECT l_orderkey,
+        |       array_to_string(LIST_SORT(LIST(DISTINCT l_returnflag)), ',') AS flags_csv,
+        |       CAST(len(LIST(DISTINCT l_linestatus)) AS INT) AS n_status
+        |FROM lineitem
+        |WHERE l_orderkey < 1000
+        |GROUP BY l_orderkey""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .groupBy("l_orderkey")
+        .agg(
+          array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("flags_csv"),
+          size(collect_set(col("l_linestatus"))).as("n_status"))
+    },
+
+    QueryDef(
       "agg_median_quantity",
       """SELECT l_linestatus,
         |       QUANTILE_CONT(l_quantity, 0.5) AS median_qty

@@ -55,6 +55,24 @@ object FunctionsQ {
     },
 
     QueryDef(
+      // regexp_extract capture groups with SCALAR outputs — direct green
+      // coverage independent of the JSON-encoded array queries.
+      "fn_regexp_groups",
+      """SELECT p_partkey,
+        |       regexp_extract(p_brand, 'Brand#(\d)(\d)', 1) AS brand_d1,
+        |       regexp_extract(p_brand, 'Brand#(\d)(\d)', 2) AS brand_d2,
+        |       regexp_extract(p_type, '^(\w+)\s+(\w+)', 2) AS type_w2,
+        |       CAST(regexp_matches(p_name, '^[a-n]') AS BOOLEAN) AS starts_low
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d)(\\d)", 1).as("brand_d1"),
+        regexp_extract(col("p_brand"), "Brand#(\\d)(\\d)", 2).as("brand_d2"),
+        regexp_extract(col("p_type"), "^(\\w+)\\s+(\\w+)", 2).as("type_w2"),
+        col("p_name").rlike("^[a-n]").as("starts_low"))
+    },
+
+    QueryDef(
       "fn_string_extra",
       """SELECT p_partkey,
         |       lpad(p_brand, 12, '*') AS padded_l,
