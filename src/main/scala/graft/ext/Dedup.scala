@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus deduplication (the LLM-pipeline north star): near-dup
+  * edges -> connected components -> one canonical document per group.
+  *
+  * 100 TB posture:
+  *  - Edges come from the shingle-key join with document-frequency
+  *    pruning (cost Σ per-shingle bucket², never all-pairs) — the same
+  *    shape `doc_ngram_jaccard` proves against its oracle; at larger
+  *    corpora swap in the banded-MinHash candidates
+  *    (`doc_minhash_candidates`) for the same downstream.
+  *  - Components by iterative min-label propagation: each sweep is one
+  *    shuffle join on the edge key + one min-aggregate, converging in
+  *    O(component diameter) sweeps (near-dup graphs are short chains /
+  *    cliques, so typically 2-4). Every sweep persists and cuts lineage
+  *    so plans stay O(1) deep regardless of iteration count.
+  *  - Canonical = min doc_id per component: deterministic, oracle-
+  *    expressible (DuckDB recursive CTE computes the same closure).
+  */
+object Dedup {
+
+  /** Near-duplicate edges: exact Jaccard over df-capped word 3-gram
+    * shingles >= `threshold`. Output: (doc_a, doc_b), doc_a < doc_b. */
+  def nearDupEdges(docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 20): DataFrame = {
+    val sh0 = docs.select(
+      col("doc_id"),
+      explode(graft.functions.TextShingles.shingle3(split(col("text"), "\\s+"))).as("shingle"))
+    val sh = sh0
+      .join(sh0.groupBy("shingle").agg(count(lit(1)).as("c")).filter(col("c") <= dfCap),
+        "shingle")
+      .select("doc_id", "shingle")
+      .cache()
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .filter(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
+        >= threshold)
+      .select("doc_a", "doc_b")
+  }
+
+  /** Connected components over undirected edges (doc_a, doc_b) by
+    * min-label propagation. Returns (node, component) for every node
+    * that appears in an edge; component = min doc_id reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // symmetrize once; each sweep joins on dst, so propagation flows
+    // both directions
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    labels.count() // materialize
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = sym
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .select(col("src").as("node"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist()
+      // localCheckpoint cuts lineage so the plan depth stays O(1)
+      // across sweeps (iterative DataFrame loops otherwise stack joins)
+      val nextCk = next.localCheckpoint()
+      val changed = nextCk.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      next.unpersist()
+      labels = nextCk
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Full pipeline over a `documents` table: every doc_id mapped to its
+    * canonical representative (min doc_id of its near-dup component;
+    * itself if unique). Output: (doc_id, canonical_id, is_canonical). */
+  def canonicalDocs(docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 20): DataFrame = {
+    val comp = connectedComponents(nearDupEdges(docs, threshold, dfCap))
+    docs.select(col("doc_id"))
+      .join(comp.select(col("node").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_canonical", col("canonical_id") === col("doc_id"))
+  }
+}

@@ -150,6 +150,47 @@ object PipelineQ {
         .orderBy("doc_a", "doc_b")
     },
 
+    // END-TO-END dedup (VERDICT r3 item 7): near-dup edges (exact
+    // jaccard >= 0.5 over df-capped shingles) -> connected components
+    // (min-label propagation, graft.ext.Dedup) -> canonical = min doc_id
+    // per group. The DuckDB oracle computes the SAME closure with a
+    // recursive CTE, so the whole pipeline — not just the edge scoring —
+    // is hash-verified.
+    QueryDef(
+      "doc_dedup_pipeline",
+      """WITH RECURSIVE sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+         |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+         |  FROM documents),
+         |df AS (SELECT shingle, COUNT(*) AS c FROM sh0 GROUP BY shingle),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN df USING (shingle) WHERE df.c <= 20),
+         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN n na ON na.doc_id = doc_a
+         |  JOIN n nb ON nb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node),
+         |canon AS (SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |       COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+         |       COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN canon c ON c.node = d.doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Dedup.canonicalDocs(Tables.documents(s, d))
+    },
+
     // ----------------------------------------------------------------- //
     // Text analysis                                                     //
     // ----------------------------------------------------------------- //

@@ -1,0 +1,38 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+
+/** Connected-components and canonical-doc checks for the end-to-end
+  * dedup pipeline (the query-level oracle is doc_dedup_pipeline's
+  * recursive-CTE hash match). */
+class DedupSpec extends SparkSpec {
+
+  test("connected components: chain, clique, pair, and multi-sweep convergence") {
+    import spark.implicits._
+    // a 12-node chain needs ~diameter sweeps — exercises the iteration
+    // loop, lineage cut, and early-exit convergence
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val clique = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val pair = Seq((30L, 31L))
+    val edges = (chain ++ clique ++ pair).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 12L).foreach(n => assert(cc(n) == 1L, s"chain node $n -> ${cc(n)}"))
+    (20L to 22L).foreach(n => assert(cc(n) == 20L))
+    assert(cc(30L) == 30L && cc(31L) == 30L)
+    assert(cc.size == 17)
+  }
+
+  test("canonicalDocs: every doc mapped; canonical is the component min") {
+    val docs = Tables.documents(spark, sf())
+    val out = Dedup.canonicalDocs(docs).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0),
+        s"canonical ${r.getLong(1)} > doc ${r.getLong(0)}")
+      assert(r.getBoolean(2) == (r.getLong(0) == r.getLong(1)))
+    }
+    // the fixture contains duplicate clusters — some docs must collapse
+    assert(out.exists(r => !r.getBoolean(2)))
+  }
+}
