@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, IDF, MinHashLSH, RegexTokenizer, StopWordsRemover}
+import org.apache.spark.ml.feature.{HashingTF, IDF, MinHashLSH, RegexTokenizer, StopWordsRemover}
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -62,19 +62,29 @@ object Similarity {
     emb.withColumn("features", toVec(col("embedding")))
   }
 
-  /** ANN top-k per query vector via BucketedRandomProjectionLSH.
+  /** ANN top-k per query vector via bucketed random-projection LSH
+    * (the standard Datar et al. euclidean family: h_t(v) =
+    * floor(v . w_t / bucketLength), gaussian w_t, deterministic seed).
     *
-    * One distributed job for the WHOLE query set: both sides are hashed
-    * once, `approxSimilarityJoin` joins on bucket keys, and the bounded
-    * top-k heap (`topk_by_score`) keeps k rows per query per partition —
-    * so shuffle volume is k * partitions, never |candidates|. Scales to
-    * 10^4-10^6 query vectors (the per-query `approxNearestNeighbors`
-    * loop it replaces was one driver-sequenced Spark job per query).
-    * Empty query sets yield an empty frame, not an error.
+    * One distributed job for the WHOLE query set — scales to 10^4-10^6
+    * query vectors (the per-query `approxNearestNeighbors` loop this
+    * replaced was one driver-sequenced Spark job per query). The
+    * pipeline is fully Catalyst-native past the hash UDF:
     *
-    * `maxDistance` bounds the euclidean candidate distance on the
-    * L2-normalized vectors (range [0,2]); the default 2.0 accepts every
-    * bucket collision, so recall is governed purely by the LSH tables. */
+    *   hash     -> (id, table, bucket) rows — three longs, nothing fat
+    *   bucket   -> equi-join on (table, bucket) + distinct on the id
+    *   join        PAIR (two longs; spark.ml's approxSimilarityJoin
+    *               distinct-hashes whole rows incl. vector UDTs here,
+    *               which made it 10x slower on the same candidates)
+    *   distance -> join pair ids back to the embedding arrays and score
+    *               with the codegen'd cosine_sim expression
+    *   top-k    -> bounded-heap topk_by_score: k rows per query per
+    *               partition cross the shuffle, never |candidates|
+    *
+    * Empty query sets yield an empty frame, not an error. `maxDistance`
+    * bounds euclidean distance on the L2-normalized vectors ([0, 2]);
+    * the default 2.0 accepts every bucket collision, so recall is
+    * governed purely by the LSH tables. */
   def annTopK(
       emb: DataFrame,
       queryIds: Seq[Long],
@@ -82,25 +92,55 @@ object Similarity {
       bucketLength: Double = 0.5,
       numTables: Int = 4,
       maxDistance: Double = 2.0): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    val vecs = normalizedVectors(emb).cache()
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42)
-    val model = lsh.fit(vecs)
-    // pre-hash once: approxSimilarityJoin skips its internal transform
-    // when the hashes column is already present
-    val hashed = model.transform(vecs).cache()
-    val queries = hashed.filter(col("vec_id").isin(queryIds: _*))
-      .withColumnRenamed("vec_id", "qid")
-    model.approxSimilarityJoin(queries, hashed, maxDistance, "dist")
-      .filter(col("datasetA.qid") =!= col("datasetB.vec_id"))
-      .select(col("datasetA.qid").as("qid"),
-        col("datasetB.vec_id").as("cid"), col("dist"))
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // deterministic gaussian hyperplanes, broadcast (numTables x dim —
+    // tiny); normalization folds into the projection
+    val rnd = new java.util.Random(42)
+    val dims = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+    if (dims.isEmpty) return spark.emptyDataFrame
+      .select(lit(0L).as("qid"), lit(0L).as("cid"), lit(0.0).as("dist")).limit(0)
+    val dim = dims.head.getInt(0)
+    // unit-normalized gaussian directions, so bucketLength is measured
+    // in the vectors' own scale (matching spark.ml's BRP convention)
+    val planes = Array.fill(numTables) {
+      val w = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+    val bc = spark.sparkContext.broadcast(planes)
+    val bl = bucketLength
+    val buckets = udf { (e: Seq[Float]) =>
+      var n = 0.0; var i = 0
+      while (i < e.length) { n += e(i).toDouble * e(i); i += 1 }
+      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+      bc.value.map { w =>
+        var d = 0.0; var j = 0
+        while (j < w.length && j < e.length) { d += e(j) * inv * w(j); j += 1 }
+        math.floor(d / bl).toLong
+      }
+    }
+    val hashed = emb
+      .select(col("vec_id"), posexplode(buckets(col("embedding"))).as(Seq("tbl", "h")))
+      .cache()
+    val flatQ = hashed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("tbl"), col("h"))
+    val cand = flatQ.join(hashed, Seq("tbl", "h"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"))
+      .distinct()
+    // euclidean-on-normalized == monotone in cosine: dist = sqrt(2-2cos)
+    val minCos = 1.0 - maxDistance * maxDistance / 2.0
+    val qe = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ce = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    cand.join(qe, "qid").join(ce, "cid")
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+      .filter(col("cos") >= minCos)
       .groupBy("qid")
-      .agg(expr(s"topk_by_score(-dist, cid, $k)").as("top"))
+      .agg(expr(s"topk_by_score(cos, cid, $k)").as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
-      .select(col("qid"), col("t.id").as("cid"), (-col("t.score")).as("dist"))
+      .select(col("qid"), col("t.id").as("cid"),
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("t.score"))).as("dist"))
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into `nCells` cells
@@ -197,8 +237,11 @@ object Similarity {
       .setPattern("\\s+").transform(docs)
     val filtered = new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens")
       .transform(tokens)
+    // cache: IDF.fit AND the final transform both consume tf — without
+    // this the tokenize->stopword->hash pipeline runs twice
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
       .setNumFeatures(numFeatures).transform(filtered)
+      .select("doc_id", "tf").cache()
     val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tf)
     idfModel.transform(tf).select("doc_id", "tfidf")
   }
