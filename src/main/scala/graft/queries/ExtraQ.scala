@@ -81,6 +81,14 @@ object ExtraQ {
         Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
     },
 
+    // IVF at batch query cardinality — like ext_ann_topk_batch, the
+    // query set rides ONE broadcast join on cell; the corpus is scanned
+    // once regardless of |Q|.
+    QueryDef.noOracle("ext_ivf_topk_batch") { (s, d) =>
+      graft.ext.Similarity.ivfTopK(
+        Tables.embeddings(s, d), queryIds = (0L until 500L).toSeq, k = 10)
+    },
+
     // Skew-salting demonstration (SCALE.md): pre-aggregate on (key, salt)
     // so one hot key spreads over 8 reducers, then combine partials. The
     // oracle is the UNsalted aggregation — decimal partials are exact, so
