@@ -56,8 +56,13 @@ object Dedup {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // initialize at min(self, direct neighbors): the same shuffle a
+    // plain distinct() would cost, but it pre-runs sweep 1 — cliques
+    // (the shape duplicate clusters take) converge immediately and only
+    // pay the confirmation sweep
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(min("dst").as("nb"))
+      .select(col("node"), least(col("node"), col("nb")).as("label"))
       .persist()
     labels.count() // materialize
     var converged = false
