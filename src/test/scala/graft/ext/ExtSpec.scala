@@ -73,6 +73,36 @@ class ExtSpec extends SparkSpec {
     assert(nExch <= 2, s"ivfTopK plan has $nExch exchanges:\n$ivfPlan")
   }
 
+  test("batch-parameter ANN (narrow buckets, 8 tables): recall vs inline brute force") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf())
+    val qids = (0L until 50L)
+    // inline exact top-10 per query via the codegen cosine + window
+    val q = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    val exact = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, qids.toSeq, k = 10,
+        bucketLength = 0.15, numTables = 8)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"batch-param ANN recall $recall")
+  }
+
+  test("canonicalDocs is invariant to input partitioning (deterministic CC)") {
+    val docs = Tables.documents(spark, sf())
+    def runIt(d: org.apache.spark.sql.DataFrame) =
+      Dedup.canonicalDocs(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(runIt(docs) == runIt(docs.repartition(7)))
+  }
+
   test("annTopK/ivfTopK: empty query set yields empty frame, not an error") {
     assert(Similarity.annTopK(Tables.embeddings(spark, sf()), Seq(-1L), k = 5).count() == 0)
     assert(Similarity.ivfTopK(Tables.embeddings(spark, sf()), Seq(-1L), k = 5).count() == 0)
