@@ -33,6 +33,19 @@ object ExtQ {
         k = 10, bucketLength = 0.15, numTables = 8)
     },
 
+    // Incremental dedup prefilter: docs with even ids form the "existing
+    // corpus", odd ids are the incoming batch; only genuinely-new odd
+    // docs survive. No oracle (bloom bit layout is implementation-
+    // defined → FP set varies); the no-false-negative guarantee and FP
+    // bound are asserted in DedupSpec.
+    QueryDef.noOracle("doc_bloom_prefilter") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Dedup.bloomNewDocs(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+        .select("doc_id").orderBy("doc_id")
+    },
+
     QueryDef.noOracle("ext_tfidf_stats") { (s, d) =>
       // O(nnz) per row — never densify a 2^18-dim sparse vector
       val toStats = udf { (v: org.apache.spark.ml.linalg.Vector) =>

@@ -23,6 +23,25 @@ class DedupSpec extends SparkSpec {
     assert(cc.size == 17)
   }
 
+  test("bloomNewDocs: no false negatives; FP rate within budget") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf())
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val cands = docs.filter(col("doc_id") % 2 === 1)
+    val passed = Dedup.bloomNewDocs(corpus, cands, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact truth via anti-join on text
+    val trulyNew = cands.join(corpus.select(col("text")), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // bloom guarantee: every passed doc is genuinely new (a duplicate
+    // can NEVER pass — mightContain has no false negatives)
+    assert(passed.subsetOf(trulyNew),
+      s"duplicates passed the filter: ${(passed -- trulyNew).take(5)}")
+    // false positives only eat into genuinely-new docs, bounded by fpp
+    val fpRate = (trulyNew.size - passed.size).toDouble / math.max(trulyNew.size, 1)
+    assert(fpRate <= 0.05, s"FP rate $fpRate exceeds budget")
+  }
+
   test("canonicalDocs: every doc mapped; canonical is the component min") {
     val docs = Tables.documents(spark, sf())
     val out = Dedup.canonicalDocs(docs).collect()
