@@ -46,6 +46,10 @@ object Bench {
         case e: Throwable =>
           errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      // drop caches between queries: several pipelines cache() their
+      // intermediates, and letting 99 queries' caches accumulate makes
+      // later timings hostage to eviction thrash (observed 2x swings)
+      spark.catalog.clearCache()
     }
     // Streaming throughput: the reference's hot path is a synchronous
     // per-message loop (poll -> SQLite check-then-write commit -> one
