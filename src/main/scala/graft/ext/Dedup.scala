@@ -51,10 +51,13 @@ object Dedup {
     * min-label propagation. Returns (node, component) for every node
     * that appears in an edge; component = min doc_id reachable. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    // symmetrize once; each sweep joins on dst, so propagation flows
-    // both directions
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // symmetrize in ONE pass over edges (a union of two selects would
+    // evaluate the upstream edge join twice); each sweep joins on dst,
+    // so propagation flows both directions
+    val sym = edges.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // initialize at min(self, direct neighbors): the same shuffle a
     // plain distinct() would cost, but it pre-runs sweep 1 — cliques
