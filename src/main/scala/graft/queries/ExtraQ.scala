@@ -89,6 +89,54 @@ object ExtraQ {
         Tables.embeddings(s, d), queryIds = (0L until 500L).toSeq, k = 10)
     },
 
+    // Pivot: wide conditional aggregation. Spark's groupBy().pivot() with
+    // explicit values (no extra distinct-values job — the form a
+    // production pipeline uses); the oracle is the equivalent
+    // CASE-WHEN aggregation, decimal-exact.
+    QueryDef(
+      "agg_pivot",
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+        |       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+        |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double"))
+    },
+
+    // Unpivot (melt): wide -> long. Spark's Dataset.unpivot; the oracle
+    // is the equivalent UNION ALL.
+    QueryDef(
+      "set_unpivot",
+      """SELECT o_orderkey, 'o_totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value
+        |FROM orders WHERE o_orderkey < 2000
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE)
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double"),
+          col("o_custkey").cast("double"))
+        .unpivot(Array(col("o_orderkey")), "metric", "value")
+    },
+
+    // Edit distance — the character-level near-dup scorer (complements
+    // the token-level jaccard family). Codegen'd built-in on both sides.
+    QueryDef(
+      "fn_levenshtein",
+      """SELECT p_partkey,
+        |       CAST(levenshtein(substring(p_name, 1, 12), substring(p_type, 1, 12)) AS INT) AS name_type_dist,
+        |       CAST(levenshtein(p_brand, 'Brand#00') AS INT) AS brand_dist
+        |FROM part WHERE p_partkey < 1000""".stripMargin) { (s, d) =>
+      Tables.part(s, d).filter(col("p_partkey") < 1000).select(
+        col("p_partkey"),
+        levenshtein(substring(col("p_name"), 1, 12), substring(col("p_type"), 1, 12)).as("name_type_dist"),
+        levenshtein(col("p_brand"), lit("Brand#00")).as("brand_dist"))
+    },
+
     // Skew-salting demonstration (SCALE.md): pre-aggregate on (key, salt)
     // so one hot key spreads over 8 reducers, then combine partials. The
     // oracle is the UNsalted aggregation — decimal partials are exact, so
