@@ -251,6 +251,63 @@ object FunctionsQ {
     },
 
     QueryDef(
+      // Array set algebra — intersect/union/except. Both engines leave
+      // element order unspecified, so results are sorted then
+      // JSON-encoded (driver comparator contract).
+      "fn_array_setops",
+      """SELECT n_nationkey,
+        |       CAST(to_json(list_sort(list_distinct(list_intersect([n_nationkey, n_regionkey, 7], [n_regionkey, 7, 9])))) AS VARCHAR) AS inter,
+        |       CAST(to_json(list_sort(list_distinct([n_nationkey, n_regionkey] || [n_regionkey, 9]))) AS VARCHAR) AS uni,
+        |       CAST(to_json(list_sort(list_distinct(list_filter([n_nationkey, n_regionkey, 7], x -> NOT list_contains([n_regionkey], x))))) AS VARCHAR) AS exc
+        |FROM nation""".stripMargin) { (s, d) =>
+      val a = array(col("n_nationkey"), col("n_regionkey"), lit(7))
+      val b = array(col("n_regionkey"), lit(7), lit(9))
+      Tables.nation(s, d).select(
+        col("n_nationkey"),
+        to_json(sort_array(array_intersect(a, b))).as("inter"),
+        to_json(sort_array(array_union(
+          array(col("n_nationkey"), col("n_regionkey")),
+          array(col("n_regionkey"), lit(9))))).as("uni"),
+        to_json(sort_array(array_except(a, array(col("n_regionkey"))))).as("exc"))
+    },
+
+    QueryDef(
+      // Trig + sign + bitwise — rounded where libm implementations
+      // differ across engines.
+      "fn_math_trig",
+      """SELECT l_orderkey, l_linenumber,
+        |       round(sin(l_quantity), 6) AS qty_sin,
+        |       round(cos(l_quantity), 6) AS qty_cos,
+        |       round(atan2(l_quantity, 10.0), 6) AS qty_atan2,
+        |       CAST(sign(l_discount - 0.05) AS INT) AS disc_sign,
+        |       CAST(l_orderkey & 255 AS BIGINT) AS key_and,
+        |       CAST(l_orderkey | 1 AS BIGINT) AS key_or,
+        |       CAST(xor(l_orderkey, 21) AS BIGINT) AS key_xor
+        |FROM lineitem WHERE l_orderkey < 1000""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 1000).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sin(col("l_quantity")), 6).as("qty_sin"),
+        round(cos(col("l_quantity")), 6).as("qty_cos"),
+        round(atan2(col("l_quantity"), lit(10.0)), 6).as("qty_atan2"),
+        signum(col("l_discount") - 0.05).cast("int").as("disc_sign"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("key_and"),
+        col("l_orderkey").bitwiseOR(lit(1L)).as("key_or"),
+        col("l_orderkey").bitwiseXOR(lit(21L)).as("key_xor"))
+    },
+
+    QueryDef(
+      "fn_string_translate",
+      """SELECT p_partkey,
+        |       translate(p_name, 'aeiou', '_____') AS consonants,
+        |       translate(p_brand, '#', '-') AS dashed
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        translate(col("p_name"), "aeiou", "_____").as("consonants"),
+        translate(col("p_brand"), "#", "-").as("dashed"))
+    },
+
+    QueryDef(
       "fn_explode",
       """SELECT n_nationkey, unnest([n_nationkey, n_regionkey, 99]) AS v
         |FROM nation""".stripMargin) { (s, d) =>
