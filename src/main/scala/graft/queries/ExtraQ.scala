@@ -137,6 +137,25 @@ object ExtraQ {
         levenshtein(col("p_brand"), lit("Brand#00")).as("brand_dist"))
     },
 
+    // Skew-salted JOIN demonstration (SCALE.md): the hot (fact) side
+    // salts its key; the dim side replicates once per salt, so one hot
+    // suppkey spreads over 8 reducers. The oracle is the UNsalted join —
+    // salting is provably result-identical.
+    QueryDef(
+      "join_salted",
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name,
+        |       CAST(l.l_quantity AS DOUBLE) AS qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE l.l_orderkey < 5000""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 5000)
+        .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(8)))
+      val sup = Tables.supplier(s, d)
+        .withColumn("salt", explode(sequence(lit(0), lit(7))))
+      li.join(sup, li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("s_name"), col("l_quantity").cast("double").as("qty"))
+    },
+
     // Skew-salting demonstration (SCALE.md): pre-aggregate on (key, salt)
     // so one hot key spreads over 8 reducers, then combine partials. The
     // oracle is the UNsalted aggregation — decimal partials are exact, so

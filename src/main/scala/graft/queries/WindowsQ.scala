@@ -113,6 +113,32 @@ object WindowsQ {
         last(col("o_orderkey")).over(wFull).as("last_ok"))
     },
 
+    // Batch sessionization: Spark's session_window aggregation (the same
+    // operator Structured Streaming uses) against a lag+cumsum oracle.
+    // Session boundary: gap >= 5 min; session end = last event + gap
+    // (Spark's session_window convention, mirrored in the oracle).
+    QueryDef(
+      "win_sessionize",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |        CASE WHEN LAG(ts) OVER w IS NULL
+        |             OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id,
+        |       MIN(ts) AS s_start,
+        |       MAX(ts) + INTERVAL 5 MINUTE AS s_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM y GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("s_start"),
+          col("w.end").as("s_end"), col("n"))
+    },
+
     // samsa's README change-detection (query state, compare, save —
     // README.md:43-52) as a single batch window: lag() per key.
     QueryDef(
