@@ -46,6 +46,18 @@ object ExtQ {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // Stratified corpus subsampling — the language-rebalancing op every
+    // training-data pipeline runs. Seeded Bernoulli per stratum
+    // (sampleBy): deterministic for a given seed, no shuffle (narrow
+    // filter over the scan). No oracle (RNG stream is implementation-
+    // defined); determinism + per-stratum tolerance in DedupSpec.
+    QueryDef.noOracle("doc_sample_stratified") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+      val fractions = langs.map { l => l -> (if (l == "en") 0.5 else 1.0) }.toMap
+      docs.stat.sampleBy("lang", fractions, 42L).select("doc_id", "lang").orderBy("doc_id")
+    },
+
     QueryDef.noOracle("ext_tfidf_stats") { (s, d) =>
       // O(nnz) per row — never densify a 2^18-dim sparse vector
       val toStats = udf { (v: org.apache.spark.ml.linalg.Vector) =>

@@ -42,6 +42,23 @@ class DedupSpec extends SparkSpec {
     assert(fpRate <= 0.05, s"FP rate $fpRate exceeds budget")
   }
 
+  test("stratified sample: deterministic under seed, fractions within tolerance") {
+    import org.apache.spark.sql.functions._
+    val q = graft.SparkEntry.queries("doc_sample_stratified")
+    val a = q(spark, sf()).collect().map(_.getLong(0)).toSeq
+    val b = q(spark, sf()).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same seed must give identical samples")
+    val docs = Tables.documents(spark, sf())
+    val total = docs.filter(col("lang") === "en").count()
+    val kept = q(spark, sf()).filter(col("lang") === "en").count()
+    val frac = kept.toDouble / total
+    assert(frac > 0.3 && frac < 0.7, s"en fraction $frac vs target 0.5")
+    // non-en strata keep everything at fraction 1.0
+    val othTotal = docs.filter(col("lang") =!= "en").count()
+    val othKept = q(spark, sf()).filter(col("lang") =!= "en").count()
+    assert(othKept == othTotal)
+  }
+
   test("canonicalDocs: every doc mapped; canonical is the component min") {
     val docs = Tables.documents(spark, sf())
     val out = Dedup.canonicalDocs(docs).collect()
