@@ -41,8 +41,12 @@ object Similarity {
     val model = mh.fit(vecs)
     // pre-hash once and cache: approxSimilarityJoin skips its internal
     // transform when the hashes column is already present, halving the
-    // pipeline evaluations on a self-join
-    val hashed = model.transform(vecs).cache()
+    // pipeline evaluations on a self-join. SLIM to (id, features,
+    // hashes): the join explodes, shuffles, and distinct-hashes whole
+    // rows, so carrying text/shingles through it multiplies both
+    // shuffle bytes and row-hash cost for nothing.
+    val hashed = model.transform(vecs)
+      .select("doc_id", "features", "hashes").cache()
     model.approxSimilarityJoin(hashed, hashed, maxDistance, "jaccard_dist")
       .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
       .select(
