@@ -272,6 +272,22 @@ object FunctionsQ {
     },
 
     QueryDef(
+      // slice / position / repeat (JSON-encoded array outputs). DuckDB
+      // list_slice(a,2,3) is 1-based inclusive = Spark slice(a,2,2).
+      "fn_array_extra",
+      """SELECT n_nationkey,
+        |       CAST(to_json(list_slice([n_nationkey, n_regionkey, 7, 9], 2, 3)) AS VARCHAR) AS sl,
+        |       CAST(list_position([n_regionkey, n_nationkey], n_nationkey) AS BIGINT) AS pos,
+        |       CAST(to_json(list_transform(range(3), x -> n_regionkey)) AS VARCHAR) AS rep
+        |FROM nation""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).select(
+        col("n_nationkey"),
+        to_json(slice(array(col("n_nationkey"), col("n_regionkey"), lit(7), lit(9)), 2, 2)).as("sl"),
+        array_position(array(col("n_regionkey"), col("n_nationkey")), col("n_nationkey")).as("pos"),
+        to_json(array_repeat(col("n_regionkey"), 3)).as("rep"))
+    },
+
+    QueryDef(
       // Trig + sign + bitwise — rounded where libm implementations
       // differ across engines.
       "fn_math_trig",

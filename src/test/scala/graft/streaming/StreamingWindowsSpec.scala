@@ -141,6 +141,37 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(rows == Seq(("u1", 9.99)), rows.mkString(";"))
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched left rows after watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val joined = clicks.toDS()
+      .withWatermark("ts", "10 minutes").as("c")
+      .join(
+        buys.toDS().withWatermark("ts", "10 minutes").as("b"),
+        expr("c.user = b.user AND b.ts BETWEEN c.ts AND c.ts + INTERVAL 15 minutes"),
+        "leftOuter")
+      .select(col("c.user").as("user"), col("b.amt"))
+    val q = joined.writeStream.format("memory").queryName("ssj_left")
+      .option("checkpointLocation", ckpt("ck-ssj-left"))
+      .outputMode("append").start()
+    clicks.addData(Click(ts(1), "u1"), Click(ts(2), "u2"))
+    buys.addData(Buy(ts(5), "u1", 9.99)) // matches u1; u2 never matches
+    q.processAllAvailable()
+    // advance both watermarks far past u2's join window so the engine
+    // can declare the match impossible and emit the null-padded row
+    clicks.addData(Click(ts(240), "u9"))
+    buys.addData(Buy(ts(240), "u9", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_left").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(rows.contains(("u1", Some(9.99))), rows.mkString(";"))
+    assert(rows.contains(("u2", None)),
+      s"unmatched left row for u2 must surface null-padded after watermark: ${rows.mkString(";")}")
+  }
+
   test("watermark is monotonic: out-of-order (older) data cannot move it back") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
