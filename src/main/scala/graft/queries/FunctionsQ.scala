@@ -312,6 +312,24 @@ object FunctionsQ {
     },
 
     QueryDef(
+      // Content hashing / encoding — the identity layer of every dedup
+      // and provenance pipeline.
+      "fn_hash_encode",
+      """SELECT p_partkey,
+        |       sha256(p_name) AS sha,
+        |       CAST(to_base64(CAST(p_brand AS BLOB)) AS VARCHAR) AS b64,
+        |       lower(hex(CAST(p_type AS BLOB))) AS hx,
+        |       md5(p_name) AS m5
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        sha2(col("p_name").cast("binary"), 256).as("sha"),
+        base64(col("p_brand").cast("binary")).as("b64"),
+        lower(hex(col("p_type"))).as("hx"),
+        md5(col("p_name").cast("binary")).as("m5"))
+    },
+
+    QueryDef(
       "fn_string_translate",
       """SELECT p_partkey,
         |       translate(p_name, 'aeiou', '_____') AS consonants,
