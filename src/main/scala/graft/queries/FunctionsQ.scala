@@ -342,6 +342,26 @@ object FunctionsQ {
     },
 
     QueryDef(
+      // Error-safe functions — under ANSI mode (Spark 4 default) plain
+      // division/cast/element_at THROW; the try_ forms return null,
+      // matching DuckDB's TRY_CAST / null-on-missing semantics.
+      "fn_try_safe",
+      """SELECT p_partkey,
+        |       CASE WHEN p_partkey % 3 = 0 THEN NULL
+        |            ELSE CAST(p_partkey AS DOUBLE) / (p_partkey % 3) END AS div3,
+        |       TRY_CAST(p_type AS INT) AS bad_int,
+        |       TRY_CAST(split_part(p_brand, '#', 2) AS INT) AS brand_int,
+        |       string_split_regex(p_type, '\s+')[9] AS tok9
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        expr("try_divide(cast(p_partkey as double), p_partkey % 3)").as("div3"),
+        expr("try_cast(p_type as int)").as("bad_int"),
+        expr("try_cast(element_at(split(p_brand, '#'), 2) as int)").as("brand_int"),
+        expr("try_element_at(split(p_type, '\\\\s+'), 9)").as("tok9"))
+    },
+
+    QueryDef(
       "fn_explode",
       """SELECT n_nationkey, unnest([n_nationkey, n_regionkey, 99]) AS v
         |FROM nation""".stripMargin) { (s, d) =>
