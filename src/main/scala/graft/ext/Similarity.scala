@@ -115,6 +115,8 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(planes)
     val bl = bucketLength
     val buckets = udf { (e: Seq[Float]) =>
+      if (e == null) Array.empty[Long]
+      else {
       var n = 0.0; var i = 0
       while (i < e.length) { n += e(i).toDouble * e(i); i += 1 }
       val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
@@ -122,6 +124,7 @@ object Similarity {
         var d = 0.0; var j = 0
         while (j < w.length && j < e.length) { d += e(j) * inv * w(j); j += 1 }
         math.floor(d / bl).toLong
+      }
       }
     }
     val hashed = emb
