@@ -115,6 +115,37 @@ object FunctionsQ {
     },
 
     QueryDef(
+      // ISO week / day-of-year / date construction / day arithmetic.
+      "fn_date_more",
+      """SELECT o_orderkey,
+        |       CAST(week(CAST(o_orderdate AS DATE)) AS INT) AS wk,
+        |       CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy,
+        |       CAST(o_orderdate AS DATE) - 7 AS minus7,
+        |       make_date(2000, CAST(month(o_orderdate) AS INT), 1) AS m_start
+        |FROM orders WHERE o_orderkey < 3000""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") < 3000).select(
+        col("o_orderkey"),
+        weekofyear(col("o_orderdate")).as("wk"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_sub(col("o_orderdate"), 7).as("minus7"),
+        make_date(lit(2000), month(col("o_orderdate")), lit(1)).as("m_start"))
+    },
+
+    QueryDef(
+      // Boolean aggregates (bool_and / bool_or) + conditional count.
+      "agg_bool",
+      """SELECT l_linestatus,
+        |       bool_and(l_quantity > 5) AS all_gt5,
+        |       bool_or(l_discount > 0.09) AS any_disc9,
+        |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returns
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_linestatus").agg(
+        bool_and(col("l_quantity") > 5).as("all_gt5"),
+        bool_or(col("l_discount") > 0.09).as("any_disc9"),
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("bigint").as("n_returns"))
+    },
+
+    QueryDef(
       "fn_date_parts",
       """SELECT o_orderkey,
         |       CAST(year(o_orderdate) AS INT) AS y,
