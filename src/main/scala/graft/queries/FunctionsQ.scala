@@ -132,6 +132,25 @@ object FunctionsQ {
     },
 
     QueryDef(
+      // Linear-regression aggregates over (discount -> extendedprice);
+      // rounded: the sums-of-products fold order differs across engines.
+      "agg_regression",
+      """SELECT l_linestatus,
+        |       round(regr_slope(l_extendedprice, l_discount), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_discount), 4) AS icept,
+        |       round(regr_r2(l_extendedprice, l_discount), 6) AS r2,
+        |       round(regr_avgx(l_extendedprice, l_discount), 6) AS avgx,
+        |       CAST(regr_count(l_extendedprice, l_discount) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_linestatus").agg(
+        round(regr_slope(col("l_extendedprice"), col("l_discount")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_discount")), 4).as("icept"),
+        round(regr_r2(col("l_extendedprice"), col("l_discount")), 6).as("r2"),
+        round(regr_avgx(col("l_extendedprice"), col("l_discount")), 6).as("avgx"),
+        regr_count(col("l_extendedprice"), col("l_discount")).as("n"))
+    },
+
+    QueryDef(
       // Boolean aggregates (bool_and / bool_or) + conditional count.
       "agg_bool",
       """SELECT l_linestatus,
