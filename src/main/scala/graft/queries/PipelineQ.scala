@@ -105,20 +105,40 @@ object PipelineQ {
         .select("doc_a", "doc_b", "n_common", "jaccard")
     },
 
-    // SimHash: 64-bit per-doc signature by bit-majority over token hashes.
-    // xxhash64 has no DuckDB twin -> rows-only check; invariance properties
-    // are asserted in the test suite.
-    QueryDef.noOracle("doc_simhash") { (s, d) =>
+    // SimHash: 60-bit per-doc signature by bit-majority over token hashes.
+    // Token hash = first 15 hex chars of md5 (60 bits, sign-safe in BIGINT)
+    // — md5 exists in BOTH engines, so unlike the earlier xxhash64 form
+    // this is fully DuckDB-oracle-paired (VERDICT r4 item 4). Invariance
+    // properties additionally asserted in the test suite.
+    QueryDef(
+      "doc_simhash",
+      """WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+         |  FROM tok),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |       SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
       // codegen-friendly shape: explode token hashes once, then ONE
-      // HashAggregate with 64 bit-vote sums (whole-stage codegen'd) —
+      // HashAggregate with 60 bit-vote sums (whole-stage codegen'd) —
       // nested HOF folds evaluate lambdas interpreted per element and
       // were ~5x slower here
       val tok = Tables.documents(s, d)
-        .selectExpr("doc_id", "explode(transform(split(text, '\\\\s+'), t -> xxhash64(t))) AS h")
-      val votes = (0 until 64).map { j =>
+        .selectExpr("doc_id",
+          "explode(transform(split(text, '\\\\s+'), " +
+            "t -> cast(conv(substring(md5(cast(t AS binary)), 1, 15), 16, 10) AS bigint))) AS h")
+      val votes = (0 until 60).map { j =>
         sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j")
       }
-      val packed = (0 until 64)
+      val packed = (0 until 60)
         .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j}L ELSE 0L END)")
         .mkString(" | ")
       tok.groupBy("doc_id")
@@ -129,23 +149,74 @@ object PipelineQ {
     // MinHash + banded LSH candidate pairs: 8 hash seeds, 4 bands x 2 rows.
     // Candidates = docs agreeing on a full band signature — the 100 TB path
     // (band-key groupBy; bucket join) vs exact Jaccard's shingle join.
-    QueryDef.noOracle("doc_minhash_candidates") { (s, d) =>
+    //
+    // Hashing: ONE md5 per shingle (60-bit base from the first 15 hex
+    // chars, sign-safe in BIGINT), then the 8 "seeds" are linear
+    // permutations h_s = ((s+1)*h0 + s*C) mod p over p = 2^31-1 — the
+    // classic LCG MinHash family ((a*h+b) mod p is a permutation of Z_p
+    // for a != 0). All arithmetic stays < 2^35, so Spark and DuckDB agree
+    // exactly (no overflow divergence) and the whole LSH candidate
+    // generation is DuckDB-hash-verified (VERDICT r4 item 4).
+    //
+    // Shape: a single HashAggregate computes all 8 per-seed minima as
+    // conditional-min columns (no 8x seed explode), stack() turns them
+    // into 4 band rows, and the self-join key is (band, m0, m1) — 20
+    // bytes of fixed-width longs instead of the r4 JSON string whose fat
+    // allocation-heavy key caused the 2x bench regression (VERDICT r4
+    // item 1).
+    QueryDef(
+      "doc_minhash_candidates",
+      """WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+         |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+         |           % 2147483647 AS h0
+         |  FROM sh),
+         |mins AS (
+         |  SELECT doc_id,
+         |         MIN((1 * h0 + 0) % 2147483647) AS m0,
+         |         MIN((2 * h0 + 999999937) % 2147483647) AS m1,
+         |         MIN((3 * h0 + 1999999874) % 2147483647) AS m2,
+         |         MIN((4 * h0 + 852516164) % 2147483647) AS m3,
+         |         MIN((5 * h0 + 1852516101) % 2147483647) AS m4,
+         |         MIN((6 * h0 + 705032391) % 2147483647) AS m5,
+         |         MIN((7 * h0 + 1705032328) % 2147483647) AS m6,
+         |         MIN((8 * h0 + 557548618) % 2147483647) AS m7
+         |  FROM base GROUP BY doc_id),
+         |sig AS (
+         |            SELECT doc_id, 0 AS band, m0 AS b0, m1 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 1 AS band, m2 AS b0, m3 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 2 AS band, m4 AS b0, m5 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 3 AS band, m6 AS b0, m7 AS b1 FROM mins)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sig a JOIN sig b
+         |  ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+         |     AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val sh = shingled(s, d).drop("lang")
-      val seeds = sh.select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(7))).as("seed"))
-      val minh = seeds
-        .withColumn("h", xxhash64(col("seed"), col("shingle")))
-        .groupBy("doc_id", "seed")
-        .agg(min("h").as("minh"))
-      val bands = minh
-        .withColumn("band", expr("seed div 2"))
-        .groupBy("doc_id", "band")
-        .agg(sort_array(collect_list(struct(col("seed"), col("minh")))).as("sig"))
-        .withColumn("sig", to_json(col("sig")))
-      val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-      val r = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
-      l.join(r, col("band") === col("band_b") && col("sig") === col("sig_b")
-          && col("doc_a") < col("doc_b"))
+      val base = sh.withColumn("h0", expr(
+        "cast(conv(substring(md5(cast(shingle AS binary)), 1, 15), 16, 10) AS bigint) % 2147483647"))
+      // b_s = (s * 999999937) mod p precomputed so every literal stays
+      // int-ranged (ANSI mode overflows on int*int of the raw product)
+      val bs = (0 until 8).map(sd => (sd.toLong * 999999937L) % 2147483647L)
+      val mins = (0 until 8).map { sd =>
+        min(expr(s"(${sd + 1} * h0 + ${bs(sd)}) % 2147483647")).as(s"m$sd")
+      }
+      val sig = base.groupBy("doc_id")
+        .agg(mins.head, mins.tail: _*)
+        .selectExpr("doc_id",
+          "stack(4, 0, m0, m1, 1, m2, m3, 2, m4, m5, 3, m6, m7) AS (band, b0, b1)")
+      val l = sig.select(col("doc_id").as("doc_a"), col("band"), col("b0"), col("b1"))
+      val r = sig.select(col("doc_id").as("doc_b"), col("band").as("band_r"),
+        col("b0").as("b0_r"), col("b1").as("b1_r"))
+      l.join(r, col("band") === col("band_r") && col("b0") === col("b0_r")
+          && col("b1") === col("b1_r") && col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
         .orderBy("doc_a", "doc_b")
     },
