@@ -20,15 +20,25 @@ object Similarity {
     * MinHash input space; numFeatures=2^18 keeps collisions ~0 at corpus
     * vocab sizes while the vector stays sparse). Shingling via the
     * compiled UDF in [[graft.functions.TextShingles]] — 9x the
-    * interpreted-HOF form, which dominated this pipeline's wall time. */
-  def shingleVectors(docs: DataFrame, numFeatures: Int = 1 << 18): DataFrame = {
-    val shingled = docs
-      .withColumn("shingles",
-        graft.functions.TextShingles.shingle3(split(col("text"), "\\s+")))
-      .filter(size(col("shingles")) > 0)
+    * interpreted-HOF form, which dominated this pipeline's wall time.
+    *
+    * Shingles appearing in more than `dfCap` documents are pruned before
+    * vectorization (mirrors [[Dedup.nearDupEdges]]): ubiquitous shingles
+    * carry no dedup signal but inflate every vector, every MinHash
+    * evaluation, and the LSH join's candidate volume — the standard
+    * document-frequency pruning a web-scale dedup pipeline applies.
+    * Docs whose shingles are all pruned drop out (they can only pair
+    * through signal-free shingles). */
+  def shingleVectors(docs: DataFrame, numFeatures: Int = 1 << 18, dfCap: Int = 20): DataFrame = {
+    val sh0 = docs.select(col("doc_id"),
+      explode(graft.functions.TextShingles.shingle3(split(col("text"), "\\s+"))).as("shingle"))
+    val pruned = sh0.join(
+        sh0.groupBy("shingle").agg(count(lit(1)).as("c")).filter(col("c") <= dfCap),
+        "shingle")
+      .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
     new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(numFeatures).setBinary(true)
-      .transform(shingled)
+      .transform(pruned)
   }
 
   /** Near-dup pairs via ml MinHashLSH (jaccard distance <= maxDistance). */
@@ -88,14 +98,28 @@ object Similarity {
     * Empty query sets yield an empty frame, not an error. `maxDistance`
     * bounds euclidean distance on the L2-normalized vectors ([0, 2]);
     * the default 2.0 accepts every bucket collision, so recall is
-    * governed purely by the LSH tables. */
+    * governed purely by the LSH tables.
+    *
+    * `queries` is a DataFrame with a `vec_id` column naming the query
+    * vectors (any other columns are ignored) — a semi-join prunes the
+    * query side, so query cardinality is unbounded by plan size (an
+    * earlier `isin(ids)` literal form compiled a predicate per id and
+    * stopped scaling around 10^3). The id set is broadcast: 10^6 ids
+    * ~ 8 MB, comfortably under executor memory; beyond that, drop the
+    * broadcast hint and let AQE pick the join.
+    *
+    * All embeddings must share one dimension (asserted per row against a
+    * sampled row's length — heterogeneous corpora fail loudly instead of
+    * silently hashing a prefix). Intermediates are cached; callers
+    * issuing many invocations on one session should
+    * `spark.catalog.clearCache()` between them (Verify/Bench do). */
   def annTopK(
       emb: DataFrame,
-      queryIds: Seq[Long],
-      k: Int = 10,
-      bucketLength: Double = 0.5,
-      numTables: Int = 4,
-      maxDistance: Double = 2.0): DataFrame = {
+      queries: DataFrame,
+      k: Int,
+      bucketLength: Double,
+      numTables: Int,
+      maxDistance: Double): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // deterministic gaussian hyperplanes, broadcast (numTables x dim —
@@ -117,12 +141,16 @@ object Similarity {
     val buckets = udf { (e: Seq[Float]) =>
       if (e == null) Array.empty[Long]
       else {
+      // fail loudly on heterogeneous dimensions — a prefix-hash would
+      // silently degrade neighbor quality instead
+      require(e.length == dim,
+        s"annTopK: embedding of length ${e.length} in a corpus sampled at dim $dim")
       var n = 0.0; var i = 0
       while (i < e.length) { n += e(i).toDouble * e(i); i += 1 }
       val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
       bc.value.map { w =>
         var d = 0.0; var j = 0
-        while (j < w.length && j < e.length) { d += e(j) * inv * w(j); j += 1 }
+        while (j < w.length) { d += e(j) * inv * w(j); j += 1 }
         math.floor(d / bl).toLong
       }
       }
@@ -130,7 +158,10 @@ object Similarity {
     val hashed = emb
       .select(col("vec_id"), posexplode(buckets(col("embedding"))).as(Seq("tbl", "h")))
       .cache()
-    val flatQ = hashed.filter(col("vec_id").isin(queryIds: _*))
+    // semi-join prune of the query side (plan size independent of |Q|;
+    // left_semi emits each corpus row at most once, so duplicate query
+    // ids need no distinct — no extra shuffle)
+    val flatQ = hashed.join(broadcast(queries.select(col("vec_id"))), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("qid"), col("tbl"), col("h"))
     val cand = flatQ.join(hashed, Seq("tbl", "h"))
       .filter(col("qid") =!= col("vec_id"))
@@ -150,6 +181,19 @@ object Similarity {
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("t.score"))).as("dist"))
   }
 
+  /** Seq-of-ids sugar for [[annTopK]] (small ad-hoc query sets). */
+  def annTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      bucketLength: Double = 0.5,
+      numTables: Int = 4,
+      maxDistance: Double = 2.0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    annTopK(emb, queryIds.toDF("vec_id"), k, bucketLength, numTables, maxDistance)
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into `nCells` cells
     * (deterministic seed centroids = the first nCells vectors, one
     * refinement sweep), then search only the `nProbe` cells nearest to
@@ -157,13 +201,17 @@ object Similarity {
     * |corpus| to ~|corpus| * nProbe / nCells per query, and the cell
     * assignment is a narrow map — the partition-pruning analogue for
     * vector search (complements the BRP-LSH path; both are the 100 TB
-    * routes vs brute force). */
+    * routes vs brute force).
+    *
+    * `queries` is a DataFrame with a `vec_id` column (other columns
+    * ignored), semi-joined against the corpus — see [[annTopK]] for why
+    * this beats an id-literal predicate at real query cardinality. */
   def ivfTopK(
       emb: DataFrame,
-      queryIds: Seq[Long],
-      k: Int = 10,
-      nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      queries: DataFrame,
+      k: Int,
+      nCells: Int,
+      nProbe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = normalizedVectors(emb)
@@ -218,7 +266,8 @@ object Similarity {
         d
       }.take(nProbe)
     }
-    val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
+    val qside = assigned
+      .join(broadcast(queries.select(col("vec_id"))), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("qid"), col("features").as("qf"),
         explode(probeCells(col("features"))).as("cell"))
     // unit vectors: dot == cosine
@@ -227,7 +276,7 @@ object Similarity {
       while (i < q.size) { s += q(i) * v(i); i += 1 }
       s
     }
-    broadcast(queries).join(assigned, "cell")
+    broadcast(qside).join(assigned, "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
         dot(col("qf"), col("features")).as("cos"))
@@ -235,6 +284,18 @@ object Similarity {
       .agg(expr(s"topk_by_score(cos, cid, $k)").as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.id").as("cid"), col("t.score").as("cos"))
+  }
+
+  /** Seq-of-ids sugar for [[ivfTopK]] (small ad-hoc query sets). */
+  def ivfTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    ivfTopK(emb, queryIds.toDF("vec_id"), k, nCells, nProbe)
   }
 
   /** TF-IDF pipeline over documents: tokenize -> stopword filter ->

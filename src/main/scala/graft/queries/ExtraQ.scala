@@ -81,12 +81,14 @@ object ExtraQ {
         Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
     },
 
-    // IVF at batch query cardinality — like ext_ann_topk_batch, the
-    // query set rides ONE broadcast join on cell; the corpus is scanned
-    // once regardless of |Q|.
+    // IVF at batch query cardinality — the query set is the ENTIRE
+    // corpus as a DataFrame (semi-joined, plan size independent of |Q|);
+    // like ext_ann_topk_batch it rides ONE broadcast join on cell and
+    // the corpus is scanned once regardless of |Q|.
     QueryDef.noOracle("ext_ivf_topk_batch") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
       graft.ext.Similarity.ivfTopK(
-        Tables.embeddings(s, d), queryIds = (0L until 500L).toSeq, k = 10)
+        emb, queries = emb.select("vec_id"), k = 10, nCells = 16, nProbe = 4)
     },
 
     // Pivot: wide conditional aggregation. Spark's groupBy().pivot() with
