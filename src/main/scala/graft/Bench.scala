@@ -35,21 +35,36 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Best-of-2 per query (VERDICT r4 item 5): a single shared-JVM pass
+    // lets codegen compilation, classloading, and GC pauses from earlier
+    // queries pollute later sub-second timings (observed 1.5-2.2x drift
+    // on unchanged plans). The min of two runs is a stable estimator of
+    // the plan's real cost; caches are cleared between reps so each rep
+    // does identical work.
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.defs.foreach { q =>
-      val t0 = System.nanoTime()
-      try {
-        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(q.name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      var best = Double.MaxValue
+      var failed = false
+      var rep = 0
+      while (rep < 2 && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            failed = true
+            errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        // drop caches between reps/queries: several pipelines cache()
+        // their intermediates, and letting 99 queries' caches accumulate
+        // makes later timings hostage to eviction thrash (observed 2x
+        // swings); clearing between reps keeps the two reps identical
+        spark.catalog.clearCache()
+        rep += 1
       }
-      // drop caches between queries: several pipelines cache() their
-      // intermediates, and letting 99 queries' caches accumulate makes
-      // later timings hostage to eviction thrash (observed 2x swings)
-      spark.catalog.clearCache()
+      if (!failed) timings(q.name) = best
     }
     // Streaming throughput: the reference's hot path is a synchronous
     // per-message loop (poll -> SQLite check-then-write commit -> one
