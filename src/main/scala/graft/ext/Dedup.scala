@@ -89,6 +89,18 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    // ADVICE r4 (medium): exiting at maxIter without convergence means
+    // the labels are PARTIAL — some nodes still carry a non-minimal
+    // component id. Silently returning them would ship wrong canonical
+    // ids downstream, so fail loudly. Near-dup graphs converge in
+    // O(component diameter) sweeps (chains/cliques: 2-4); hitting 50
+    // means a pathological graph that needs a bigger maxIter, not a
+    // partial answer.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter sweeps — " +
+          "component labels would be partial/wrong; raise maxIter (components " +
+          "with graph diameter > maxIter exist in the edge set)")
     labels.select(col("node"), col("label").as("component"))
   }
 

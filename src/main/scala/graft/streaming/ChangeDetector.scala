@@ -18,7 +18,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * convention, rocksdb.py:75-85): state clears, the event is emitted
   * with change="deleted", and the key's next sighting is "initial".
   */
-class ChangeDetectorProcessor(ttl: TTLConfig = TTLConfig.NONE)
+class ChangeDetectorProcessor(
+    ttl: TTLConfig = TTLConfig.NONE,
+    maxBatchRowsPerKey: Int = ChangeDetector.DefaultMaxBatchRowsPerKey)
     extends StatefulProcessor[String, KeyedRecord, ChangeEvent] {
 
   @transient private var lastValue: org.apache.spark.sql.streaming.ValueState[String] = _
@@ -32,11 +34,14 @@ class ChangeDetectorProcessor(ttl: TTLConfig = TTLConfig.NONE)
       timerValues: TimerValues): Iterator[ChangeEvent] = {
     // Rows of one micro-batch arrive unordered; process in event-time order
     // (null-safe tiebreak for determinism — see KeyedRecord.orderKey) so
-    // "latest wins" matches batch lag(). The buffer is bounded by one
-    // key's share of ONE micro-batch (emitting a transition per row
-    // requires seeing the rows in order); heap behavior under a
-    // deliberately hot key is asserted in StreamingParitySpec.
-    val ordered = rows.toSeq.sortBy(KeyedRecord.orderKey)
+    // "latest wins" matches batch lag(). Emitting a transition per row
+    // requires seeing the rows in order, so one key's share of ONE
+    // micro-batch is buffered — bounded by an explicit, asserted cap
+    // (checked WHILE buffering, so a pathological key fails loudly with
+    // a remedy instead of OOMing the executor). Heap behavior under a
+    // deliberately hot key (1e5 rows) is asserted in StreamingParitySpec.
+    val ordered = ChangeDetector.boundedBuffer(key, rows, maxBatchRowsPerKey)
+      .sortBy(KeyedRecord.orderKey)
     ordered.iterator.map { r =>
       val prev = if (lastValue.exists()) Option(lastValue.get()) else None
       if (r.value == null) {
@@ -61,29 +66,62 @@ class ChangeDetectorProcessor(ttl: TTLConfig = TTLConfig.NONE)
 
 object ChangeDetector {
 
+  /** Per-key-per-micro-batch row cap for the ordering buffer. 2^20 rows
+    * of (key, value, topic, partition, ts) is low tens of MB — well
+    * under executor headroom — while anything past it signals a skewed
+    * key that should be rate-limited or split upstream (or processed
+    * with smaller micro-batches via `maxFilesPerTrigger`/
+    * `maxOffsetsPerTrigger`). SCALE.md "Streaming family" documents the
+    * bound. */
+  val DefaultMaxBatchRowsPerKey: Int = 1 << 20
+
+  /** Buffer `rows`, failing fast (with the remedy in the message) the
+    * moment the cap is crossed — before the allocation grows further. */
+  private[streaming] def boundedBuffer(
+      key: String,
+      rows: Iterator[KeyedRecord],
+      cap: Int): scala.collection.mutable.ArrayBuffer[KeyedRecord] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[KeyedRecord]()
+    while (rows.hasNext) {
+      buf += rows.next()
+      if (buf.length > cap)
+        throw new IllegalStateException(
+          s"ChangeDetector: key '$key' has more than $cap rows in one micro-batch; " +
+            "shrink micro-batches (maxFilesPerTrigger/maxOffsetsPerTrigger), " +
+            "split or rate-limit the hot key upstream, or raise maxBatchRowsPerKey")
+    }
+    buf
+  }
+
   /** transformWithState path (requires RocksDB state store provider).
     * With a TTL the time mode must be ProcessingTime (state expiry is
     * wall-clock-driven); without one, TimeMode.None. */
-  def apply(ds: Dataset[KeyedRecord], ttl: TTLConfig = TTLConfig.NONE): Dataset[ChangeEvent] = {
+  def apply(
+      ds: Dataset[KeyedRecord],
+      ttl: TTLConfig = TTLConfig.NONE,
+      maxBatchRowsPerKey: Int = DefaultMaxBatchRowsPerKey): Dataset[ChangeEvent] = {
     import ds.sparkSession.implicits._
     val timeMode =
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     ds.groupByKey(_.key)
       .transformWithState(
-        new ChangeDetectorProcessor(ttl),
+        new ChangeDetectorProcessor(ttl, maxBatchRowsPerKey),
         timeMode,
         OutputMode.Append())
   }
 
   /** flatMapGroupsWithState fallback — identical semantics, runs on any
     * state store provider (HDFS-backed default included). */
-  def viaFlatMapGroups(ds: Dataset[KeyedRecord]): Dataset[ChangeEvent] = {
+  def viaFlatMapGroups(
+      ds: Dataset[KeyedRecord],
+      maxBatchRowsPerKey: Int = DefaultMaxBatchRowsPerKey): Dataset[ChangeEvent] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[String, ChangeEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[KeyedRecord], state: GroupState[String]) =>
-          val ordered = rows.toSeq.sortBy(KeyedRecord.orderKey)
+          val ordered = boundedBuffer(key, rows, maxBatchRowsPerKey)
+            .sortBy(KeyedRecord.orderKey)
           val out = Seq.newBuilder[ChangeEvent]
           var prev = state.getOption
           ordered.foreach { r =>

@@ -23,6 +23,17 @@ class DedupSpec extends SparkSpec {
     assert(cc.size == 17)
   }
 
+  test("connected components: non-convergence at maxIter fails loudly, not partially") {
+    import spark.implicits._
+    // ADVICE r4 (medium): a chain whose diameter exceeds maxIter used to
+    // return PARTIAL labels silently — now it must throw
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"), maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("bloomNewDocs: no false negatives; FP rate within budget") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf())
