@@ -22,12 +22,46 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** (doc_id, shingle) rows: distinct word 3-gram shingles per doc via
+    * the compiled UDF (shared input of every near-dup path here). */
+  private[graft] def distinctShingles(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(graft.functions.TextShingles.shingle3(split(col("text"), "\\s+"))).as("shingle"))
+
+  /** Banded-MinHash LSH candidate pairs (doc_a < doc_b). ONE md5 per
+    * shingle (60-bit base, sign-safe) + 8 LCG permutations
+    * h_s = ((s+1)*h0 + b_s) mod 2^31-1 — a genuine permutation family
+    * whose arithmetic stays < 2^35, so a DuckDB oracle reproduces it
+    * bit-for-bit (`doc_minhash_candidates` is the hash-verified twin).
+    * 4 bands x 2 rows: the band signature is literally two longs, so
+    * the self-join key is (band, m0, m1) fixed-width bytes — the shape
+    * that carries 100 TB (candidate cost is Σ bucket², never
+    * all-pairs). */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val p = 2147483647L
+    val base = distinctShingles(docs).withColumn("h0", expr(
+      s"cast(conv(substring(md5(cast(shingle AS binary)), 1, 15), 16, 10) AS bigint) % $p"))
+    val bs = (0 until 8).map(s => (s.toLong * 999999937L) % p)
+    val mins = (0 until 8).map { s =>
+      min(expr(s"(${s + 1} * h0 + ${bs(s)}) % $p")).as(s"m$s")
+    }
+    val sig = base.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .selectExpr("doc_id",
+        "stack(4, 0, m0, m1, 1, m2, m3, 2, m4, m5, 3, m6, m7) AS (band, b0, b1)")
+    val l = sig.select(col("doc_id").as("doc_a"), col("band"), col("b0"), col("b1"))
+    val r = sig.select(col("doc_id").as("doc_b"), col("band").as("band_r"),
+      col("b0").as("b0_r"), col("b1").as("b1_r"))
+    l.join(r, col("band") === col("band_r") && col("b0") === col("b0_r")
+        && col("b1") === col("b1_r") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** Near-duplicate edges: exact Jaccard over df-capped word 3-gram
     * shingles >= `threshold`. Output: (doc_a, doc_b), doc_a < doc_b. */
   def nearDupEdges(docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 20): DataFrame = {
-    val sh0 = docs.select(
-      col("doc_id"),
-      explode(graft.functions.TextShingles.shingle3(split(col("text"), "\\s+"))).as("shingle"))
+    val sh0 = distinctShingles(docs)
     val sh = sh0
       .join(sh0.groupBy("shingle").agg(count(lit(1)).as("c")).filter(col("c") <= dfCap),
         "shingle")
@@ -127,11 +161,56 @@ object Dedup {
     * itself if unique). Output: (doc_id, canonical_id, is_canonical). */
   def canonicalDocs(docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 20): DataFrame = {
     val comp = connectedComponents(nearDupEdges(docs, threshold, dfCap))
+    labelAll(docs, comp)
+  }
+
+  /** The TRUE 100 TB dedup recipe, end to end: banded-MinHash LSH
+    * candidates -> exact-Jaccard verification of ONLY those pairs ->
+    * connected components -> canonical doc per group.
+    *
+    * The verification join never touches non-candidate pairs: candidate
+    * pairs join to doc_a's shingles, then to doc_b's shingles on
+    * (doc_b, shingle) — cost is Σ over candidate pairs of |shingles|,
+    * linear in candidate volume (vs the shingle-key join of
+    * [[nearDupEdges]], whose hot-bucket cost the df cap must bound).
+    * The corpus-side shingle scan is semi-join-pruned to docs that
+    * appear in some candidate pair first.
+    *
+    * Every stage is DuckDB-expressible (md5/LCG hashing + recursive-CTE
+    * closure), so the registry twin `doc_lsh_verified_dedup`
+    * hash-verifies the whole composition. */
+  def lshVerifiedCanonicalDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidates(docs).persist()
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+    val sh = distinctShingles(docs)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .persist()
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    val edges = inter
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .filter(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
+        >= threshold)
+      .select("doc_a", "doc_b")
+    val out = labelAll(docs, connectedComponents(edges))
+    cands.unpersist()
+    sh.unpersist()
+    out
+  }
+
+  /** Left-join component labels onto the full doc set (unmatched docs
+    * are their own canonical). */
+  private def labelAll(docs: DataFrame, comp: DataFrame): DataFrame =
     docs.select(col("doc_id"))
       .join(comp.select(col("node").as("doc_id"), col("component")), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("canonical_id"))
       .withColumn("is_canonical", col("canonical_id") === col("doc_id"))
-  }
 }

@@ -199,25 +199,7 @@ object PipelineQ {
          |  ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
          |     AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = shingled(s, d).drop("lang")
-      val base = sh.withColumn("h0", expr(
-        "cast(conv(substring(md5(cast(shingle AS binary)), 1, 15), 16, 10) AS bigint) % 2147483647"))
-      // b_s = (s * 999999937) mod p precomputed so every literal stays
-      // int-ranged (ANSI mode overflows on int*int of the raw product)
-      val bs = (0 until 8).map(sd => (sd.toLong * 999999937L) % 2147483647L)
-      val mins = (0 until 8).map { sd =>
-        min(expr(s"(${sd + 1} * h0 + ${bs(sd)}) % 2147483647")).as(s"m$sd")
-      }
-      val sig = base.groupBy("doc_id")
-        .agg(mins.head, mins.tail: _*)
-        .selectExpr("doc_id",
-          "stack(4, 0, m0, m1, 1, m2, m3, 2, m4, m5, 3, m6, m7) AS (band, b0, b1)")
-      val l = sig.select(col("doc_id").as("doc_a"), col("band"), col("b0"), col("b1"))
-      val r = sig.select(col("doc_id").as("doc_b"), col("band").as("band_r"),
-        col("b0").as("b0_r"), col("b1").as("b1_r"))
-      l.join(r, col("band") === col("band_r") && col("b0") === col("b0_r")
-          && col("b1") === col("b1_r") && col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      graft.ext.Dedup.minhashCandidates(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -260,6 +242,74 @@ object PipelineQ {
          |       COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
          |FROM documents d LEFT JOIN canon c ON c.node = d.doc_id""".stripMargin) { (s, d) =>
       graft.ext.Dedup.canonicalDocs(Tables.documents(s, d))
+    },
+
+    // The TRUE 100 TB dedup recipe as ONE entry (VERDICT r4 item 7):
+    // banded-MinHash LSH candidates -> exact Jaccard verification of
+    // ONLY the candidate pairs -> connected components -> canonical doc.
+    // Because the LSH hashing is the md5/LCG family, EVERY stage is
+    // DuckDB-expressible, and the oracle below recomputes the whole
+    // composition — candidates, restricted verify, recursive-CTE
+    // closure — so this is hash-verified end to end.
+    QueryDef(
+      "doc_lsh_verified_dedup",
+      """WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+         |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+         |           % 2147483647 AS h0
+         |  FROM sh),
+         |mins AS (
+         |  SELECT doc_id,
+         |         MIN((1 * h0 + 0) % 2147483647) AS m0,
+         |         MIN((2 * h0 + 999999937) % 2147483647) AS m1,
+         |         MIN((3 * h0 + 1999999874) % 2147483647) AS m2,
+         |         MIN((4 * h0 + 852516164) % 2147483647) AS m3,
+         |         MIN((5 * h0 + 1852516101) % 2147483647) AS m4,
+         |         MIN((6 * h0 + 705032391) % 2147483647) AS m5,
+         |         MIN((7 * h0 + 1705032328) % 2147483647) AS m6,
+         |         MIN((8 * h0 + 557548618) % 2147483647) AS m7
+         |  FROM base GROUP BY doc_id),
+         |sig AS (
+         |            SELECT doc_id, 0 AS band, m0 AS b0, m1 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 1 AS band, m2 AS b0, m3 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 2 AS band, m4 AS b0, m5 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 3 AS band, m6 AS b0, m7 AS b1 FROM mins),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+         |       AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN n na ON na.doc_id = doc_a
+         |  JOIN n nb ON nb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node),
+         |canon AS (SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |       COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+         |       COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN canon c ON c.node = d.doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Dedup.lshVerifiedCanonicalDocs(Tables.documents(s, d))
     },
 
     // ----------------------------------------------------------------- //

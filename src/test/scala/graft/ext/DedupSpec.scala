@@ -70,6 +70,25 @@ class DedupSpec extends SparkSpec {
     assert(othKept == othTotal)
   }
 
+  test("lshVerifiedCanonicalDocs: candidates-then-verify agrees with the exact pipeline on planted dups") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf())
+    val lsh = Dedup.lshVerifiedCanonicalDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // total function over the corpus; canonical = component min <= doc_id
+    assert(lsh.size == docs.count())
+    assert(lsh.forall { case (d, c) => c <= d })
+    // verification is exact-jaccard (uncapped): any pair both paths
+    // consider must agree on being grouped. Exact-path groups whose
+    // members ALL share a canonical under LSH confirm recall of the
+    // banded scheme on the planted near-dups.
+    val exact = Dedup.canonicalDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactGroups = exact.groupBy(_._2).values.filter(_.size > 1)
+    val missed = exactGroups.filterNot(g => g.keys.map(lsh).toSet.size == 1)
+    assert(missed.isEmpty, s"LSH-verified dedup split ${missed.size} exact groups: ${missed.take(2)}")
+  }
+
   test("canonicalDocs: every doc mapped; canonical is the component min") {
     val docs = Tables.documents(spark, sf())
     val out = Dedup.canonicalDocs(docs).collect()
