@@ -204,13 +204,65 @@ object Dedup {
     out
   }
 
-  /** Left-join component labels onto the full doc set (unmatched docs
+  /** Embedding-cosine near-dup dedup, EXACT all-pairs path: edges =
+    * pairs with cosine(a, b) >= `threshold`, then connected components,
+    * then canonical = min vec_id per group. Output:
+    * (vec_id, canonical_id, is_canonical).
+    *
+    * O(n²) in the corpus — this is the small-corpus / oracle baseline
+    * (its DuckDB twin `emb_dedup_exact` hash-verifies the whole
+    * composition, cosine folds included); [[cosineCanonicalLsh]] is the
+    * 100 TB path over the same semantics. */
+  def cosineCanonical(emb: DataFrame, threshold: Double = 0.42): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb"))
+    val edges = a.join(b, col("doc_a") < col("doc_b"))
+      .filter(expr("cosine_sim(ea, eb)") >= threshold)
+      .select("doc_a", "doc_b")
+    labelAll(emb, connectedComponents(edges), "vec_id")
+  }
+
+  /** Embedding-cosine near-dup dedup, LSH-accelerated: candidate pairs
+    * from bucketed-random-projection collisions
+    * ([[Similarity.cosineCandidatePairs]] — AND-amplified composite
+    * bucket keys), scored EXACTLY with the codegen cosine, thresholded,
+    * then the same components/canonical labeling as
+    * [[cosineCanonical]]. Precision is exact by construction (every
+    * kept edge passed the true cosine test); recall is governed by the
+    * table count. Candidate cost is Σ bucket² — the shape that carries
+    * 100 TB.
+    *
+    * The default threshold 0.9 is the real near-dup regime — LSH can
+    * only prune when the target similarity stands out from the
+    * random-pair background (at 64 dims random cosines concentrate in
+    * ±~0.4, so thresholds below ~0.7 are information-theoretically
+    * un-prunable and belong to [[cosineCanonical]]). */
+  def cosineCanonicalLsh(
+      emb: DataFrame,
+      threshold: Double = 0.9,
+      bucketLength: Double = 0.15,
+      numTables: Int = 12,
+      hashesPerTable: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val cand = graft.ext.Similarity
+      .cosineCandidatePairs(emb, bucketLength, numTables, hashesPerTable)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val ea = emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb"))
+    val edges = cand.join(ea, "doc_a").join(eb, "doc_b")
+      .filter(expr("cosine_sim(ea, eb)") >= threshold)
+      .select("doc_a", "doc_b")
+    labelAll(emb, connectedComponents(edges), "vec_id")
+  }
+
+  /** Left-join component labels onto the full id set (unmatched ids
     * are their own canonical). */
-  private def labelAll(docs: DataFrame, comp: DataFrame): DataFrame =
-    docs.select(col("doc_id"))
-      .join(comp.select(col("node").as("doc_id"), col("component")), Seq("doc_id"), "left")
+  private def labelAll(docs: DataFrame, comp: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol))
+      .join(comp.select(col("node").as(idCol), col("component")), Seq(idCol), "left")
       .select(
-        col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("canonical_id"))
-      .withColumn("is_canonical", col("canonical_id") === col("doc_id"))
+        col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical_id"))
+      .withColumn("is_canonical", col("canonical_id") === col(idCol))
 }

@@ -122,42 +122,10 @@ object Similarity {
       maxDistance: Double): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    // deterministic gaussian hyperplanes, broadcast (numTables x dim —
-    // tiny); normalization folds into the projection
-    val rnd = new java.util.Random(42)
-    val dims = emb.select(size(col("embedding")).as("d")).limit(1).collect()
-    if (dims.isEmpty) return spark.emptyDataFrame
+    val hashedOpt = hashedBuckets(emb, bucketLength, numTables)
+    if (hashedOpt.isEmpty) return spark.emptyDataFrame
       .select(lit(0L).as("qid"), lit(0L).as("cid"), lit(0.0).as("dist")).limit(0)
-    val dim = dims.head.getInt(0)
-    // unit-normalized gaussian directions, so bucketLength is measured
-    // in the vectors' own scale (matching spark.ml's BRP convention)
-    val planes = Array.fill(numTables) {
-      val w = Array.fill(dim)(rnd.nextGaussian())
-      val n = math.sqrt(w.map(x => x * x).sum)
-      w.map(_ / n)
-    }
-    val bc = spark.sparkContext.broadcast(planes)
-    val bl = bucketLength
-    val buckets = udf { (e: Seq[Float]) =>
-      if (e == null) Array.empty[Long]
-      else {
-      // fail loudly on heterogeneous dimensions — a prefix-hash would
-      // silently degrade neighbor quality instead
-      require(e.length == dim,
-        s"annTopK: embedding of length ${e.length} in a corpus sampled at dim $dim")
-      var n = 0.0; var i = 0
-      while (i < e.length) { n += e(i).toDouble * e(i); i += 1 }
-      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
-      bc.value.map { w =>
-        var d = 0.0; var j = 0
-        while (j < w.length) { d += e(j) * inv * w(j); j += 1 }
-        math.floor(d / bl).toLong
-      }
-      }
-    }
-    val hashed = emb
-      .select(col("vec_id"), posexplode(buckets(col("embedding"))).as(Seq("tbl", "h")))
-      .cache()
+    val hashed = hashedOpt.get.cache()
     // semi-join prune of the query side (plan size independent of |Q|;
     // left_semi emits each corpus row at most once, so duplicate query
     // ids need no distinct — no extra shuffle)
@@ -179,6 +147,94 @@ object Similarity {
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.id").as("cid"),
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("t.score"))).as("dist"))
+  }
+
+  /** (vec_id, tbl, h) bucket rows for every embedding under `numTables`
+    * deterministic (seed 42) bucketed-random-projection hash tables —
+    * the shared LSH front end of [[annTopK]] and
+    * [[cosineCandidatePairs]]. With `hashesPerTable` = m > 1, each
+    * table's bucket id is the combined key of m independent projections
+    * (the standard AND-amplification: per-table collision probability
+    * p^m, OR across tables) — needed when the similarity threshold is
+    * close enough to the random-pair background that a single
+    * projection cannot separate them. The m floors are folded into one
+    * long (combining collisions only ADD candidates, and candidates are
+    * exact-verified downstream — recall is never lost). None when the
+    * corpus is empty (no row to sample the dimension from). */
+  private def hashedBuckets(
+      emb: DataFrame,
+      bucketLength: Double,
+      numTables: Int,
+      hashesPerTable: Int = 1): Option[DataFrame] = {
+    val spark = emb.sparkSession
+    // deterministic gaussian hyperplanes, broadcast (numTables x m x dim
+    // — tiny); normalization folds into the projection
+    val rnd = new java.util.Random(42)
+    val dims = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+    if (dims.isEmpty) return None
+    val dim = dims.head.getInt(0)
+    // unit-normalized gaussian directions, so bucketLength is measured
+    // in the vectors' own scale (matching spark.ml's BRP convention)
+    val planes = Array.fill(numTables, hashesPerTable) {
+      val w = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+    val bc = spark.sparkContext.broadcast(planes)
+    val bl = bucketLength
+    val buckets = udf { (e: Seq[Float]) =>
+      if (e == null) Array.empty[Long]
+      else {
+      // fail loudly on heterogeneous dimensions — a prefix-hash would
+      // silently degrade neighbor quality instead
+      require(e.length == dim,
+        s"LSH bucketing: embedding of length ${e.length} in a corpus sampled at dim $dim")
+      var n = 0.0; var i = 0
+      while (i < e.length) { n += e(i).toDouble * e(i); i += 1 }
+      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+      bc.value.map { table =>
+        var key = 1125899906842597L // large prime seed for the fold
+        var t = 0
+        while (t < table.length) {
+          val w = table(t)
+          var d = 0.0; var j = 0
+          while (j < w.length) { d += e(j) * inv * w(j); j += 1 }
+          key = key * 1000003L + math.floor(d / bl).toLong
+          t += 1
+        }
+        key
+      }
+      }
+    }
+    Some(emb.select(col("vec_id"),
+      posexplode(buckets(col("embedding"))).as(Seq("tbl", "h"))))
+  }
+
+  /** Bucket-collision candidate pairs (vec_a < vec_b) over the whole
+    * corpus — the LSH front end of embedding near-dup detection
+    * ([[Dedup.cosineCanonicalLsh]] scores these exactly and keeps pairs
+    * over the cosine threshold). Never all-pairs: cost is Σ bucket².
+    * Defaults tuned for the near-dup regime (cosine >= ~0.9): 12 tables
+    * of 6 ANDed projections at bucketLength 0.15 measure recall 1.0
+    * with ~1% candidate fraction on a 64-dim corpus with planted dups
+    * (asserted in DedupSpec). */
+  def cosineCandidatePairs(
+      emb: DataFrame,
+      bucketLength: Double = 0.15,
+      numTables: Int = 12,
+      hashesPerTable: Int = 6): DataFrame = {
+    val spark = emb.sparkSession
+    hashedBuckets(emb, bucketLength, numTables, hashesPerTable) match {
+      case None =>
+        spark.emptyDataFrame
+          .select(lit(0L).as("vec_a"), lit(0L).as("vec_b")).limit(0)
+      case Some(hashed) =>
+        val l = hashed.select(col("vec_id").as("vec_a"), col("tbl"), col("h"))
+        val r = hashed.select(col("vec_id").as("vec_b"), col("tbl").as("tbl_r"), col("h").as("h_r"))
+        l.join(r, col("tbl") === col("tbl_r") && col("h") === col("h_r")
+            && col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b").distinct()
+    }
   }
 
   /** Seq-of-ids sugar for [[annTopK]] (small ad-hoc query sets). */

@@ -415,6 +415,53 @@ object PipelineQ {
           lit(0.0), (a, b) => a + b) / size(col("embedding"))).as("mean_val"))
     },
 
+    // Embedding-cosine near-dup dedup, EXACT path: all-pairs cosine >=
+    // 0.42 edges -> connected components -> canonical vector. The DuckDB
+    // oracle recomputes the identical composition (same sequential
+    // cosine folds, recursive-CTE closure) — hash-verified end to end.
+    // O(n^2): this is the oracle baseline; emb_dedup_lsh is the scale
+    // path over the same semantics.
+    QueryDef(
+      "emb_dedup_exact",
+      """WITH RECURSIVE v AS (
+         |  SELECT vec_id, embedding AS e,
+         |         sqrt(list_reduce(list_transform(embedding,
+         |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE list_reduce(list_transform(range(1, len(a.e) + 1),
+         |          i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)), (x, y) -> x + y)
+         |        / (a.nrm * b.nrm) >= 0.42),
+         |edges AS (SELECT va AS x, vb AS y FROM p
+         |          UNION ALL SELECT vb, va FROM p),
+         |reach AS (
+         |  SELECT x AS node, x AS r FROM edges
+         |  UNION
+         |  SELECT e.x AS node, reach.r AS r FROM edges e JOIN reach ON e.y = reach.node),
+         |canon AS (SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node)
+         |SELECT v.vec_id,
+         |       COALESCE(c.canonical_id, v.vec_id) AS canonical_id,
+         |       COALESCE(c.canonical_id, v.vec_id) = v.vec_id AS is_canonical
+         |FROM v LEFT JOIN canon c ON c.node = v.vec_id""".stripMargin) { (s, d) =>
+      graft.ext.Dedup.cosineCanonical(Tables.embeddings(s, d))
+    },
+
+    // Embedding-cosine near-dup dedup, LSH path: AND-amplified BRP
+    // bucket-collision candidates -> exact cosine verify -> same
+    // closure, at the REAL near-dup threshold (0.9 — see
+    // Dedup.cosineCanonicalLsh on why lower thresholds are
+    // un-prunable). No oracle (bucket layout is implementation-
+    // defined). The fixture plants no embedding near-dups, so the
+    // correct output here is the identity map; recall-1.0 +
+    // ~1%-candidate-fraction behavior is proven in DedupSpec on a
+    // corpus WITH planted near-dups.
+    QueryDef.noOracle("emb_dedup_lsh") { (s, d) =>
+      graft.ext.Dedup.cosineCanonicalLsh(Tables.embeddings(s, d))
+        .orderBy("vec_id")
+    },
+
     // Brute-force cosine top-k: |Q|=5 query vectors broadcast against the
     // corpus, rank inside each query partition. The exact-recall oracle for
     // the LSH path; linear in corpus size.

@@ -89,6 +89,41 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH-verified dedup split ${missed.size} exact groups: ${missed.take(2)}")
   }
 
+  test("embedding-cosine dedup: LSH path matches exact on planted near-dups AND prunes") {
+    import org.apache.spark.sql.functions._
+    // the fixture has no embedding near-dups (max offdiag cosine ~0.5),
+    // so plant some: 50 vectors get a copy with small deterministic
+    // per-coordinate noise (cosine vs original > 0.95)
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val nBase = emb.count()
+    val noisy = udf { (id: Long, e: Seq[Float]) =>
+      val r = new java.util.Random(id)
+      val scale = 0.05 * math.sqrt(e.map(x => x.toDouble * x).sum / e.length)
+      e.map(x => (x + r.nextGaussian() * scale).toFloat)
+    }
+    val planted = emb.filter(col("vec_id") % 10 === 0).limit(50)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        noisy(col("vec_id"), col("embedding")).as("embedding"))
+    val corpus = emb.union(planted)
+
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = toMap(Dedup.cosineCanonical(corpus, threshold = 0.9))
+    val lsh = toMap(Dedup.cosineCanonicalLsh(corpus, threshold = 0.9))
+    // the planted copies must actually collapse in the exact truth
+    assert(exact.count { case (v, c) => c != v } >= 40,
+      s"planting failed: only ${exact.count { case (v, c) => c != v }} collapsed")
+    // precision is exact by construction; deterministic tables give full
+    // recall on the planted set, so the canonical maps must be equal
+    assert(lsh == exact,
+      s"LSH canonical map differs on ${lsh.count { case (k, v) => exact(k) != v }} ids")
+    // and it must PRUNE: candidates well under all-pairs
+    val n = corpus.count()
+    val nCand = Similarity.cosineCandidatePairs(corpus).count()
+    val frac = nCand.toDouble / (n * (n - 1) / 2)
+    assert(frac < 0.10, f"candidate fraction $frac%.3f — LSH is not pruning")
+  }
+
   test("canonicalDocs: every doc mapped; canonical is the component min") {
     val docs = Tables.documents(spark, sf())
     val out = Dedup.canonicalDocs(docs).collect()
