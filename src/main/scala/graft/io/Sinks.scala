@@ -18,6 +18,12 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** ORC write (columnar twin of [[parquet]]; snappy by default). */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Batch Kafka produce (R13). A `topic` column on the frame overrides
     * `defaultTopic` per record (producers.py:52's `topic or self.topic`). */
   def kafkaBatch(df: DataFrame, servers: String, defaultTopic: Option[String]): Unit = {

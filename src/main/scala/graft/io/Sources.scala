@@ -12,6 +12,12 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC scan — same columnar pushdown/pruning properties as parquet
+    * (predicate pushdown via ORC SearchArguments, column projection via
+    * the reader's included-columns mask). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
     spark.read.schema(schema).option("header", header.toString).csv(path)
 

@@ -51,6 +51,21 @@ object SourcesQ {
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     },
 
+    // ORC round-trip: Spark's second first-class columnar format (same
+    // pushdown/pruning machinery — predicate pushdown via ORC
+    // SearchArguments). The filter exercises pushdown through the ORC
+    // reader; the oracle reads the original table.
+    QueryDef(
+      "src_orc_roundtrip",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer WHERE c_acctbal > 1000""".stripMargin) { (s, d) =>
+      val path = scratch(d, "customer_orc")
+      graft.io.Sinks.orc(
+        Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+        path)
+      graft.io.Sources.orc(s, path).filter(col("c_acctbal") > 1000)
+    },
+
     // Partitioned parquet write + partition-pruned read: the layout that
     // carries 100 TB (pruning skips whole directories at the scan).
     QueryDef(

@@ -27,6 +27,13 @@ class PlanSpec extends SparkSpec {
       "l_linenumber filter should be pushed to the scan:\n" + p.take(1200))
   }
 
+  test("filter pushdown reaches the ORC scan too") {
+    val p = plan("src_orc_roundtrip")
+    assert(p.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(c_acctbal.*"),
+      "c_acctbal filter should be pushed into the ORC reader:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("column pruning: scan reads only projected columns") {
     val p = plan("proj_withcolumn_drop")
     // orders has 6 columns; the query needs 3
