@@ -91,6 +91,24 @@ object ExtraQ {
         emb, queries = emb.select("vec_id"), k = 10, nCells = 16, nProbe = 4)
     },
 
+    // HyperLogLog SKETCH aggregate (Apache DataSketches, Spark 4
+    // built-in): unlike approx_count_distinct, the sketch itself is a
+    // first-class mergeable value — partial sketches union across
+    // partitions/groups/days without rescanning, the property that
+    // matters at 100 TB (e.g. daily distinct-user sketches folding into
+    // rolling windows). No oracle (sketch estimate is
+    // implementation-defined); the error bound AND the
+    // union-consistency property are asserted in PipelineSpec. The
+    // output carries the exact distinct beside the estimate, so the
+    // recorded rows document the accuracy too.
+    QueryDef.noOracle("agg_hll_sketch") { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("approx_nd"),
+          count_distinct(col("l_orderkey")).as("exact_nd"))
+        .orderBy("l_returnflag")
+    },
+
     // Pivot: wide conditional aggregation. Spark's groupBy().pivot() with
     // explicit values (no extra distinct-values job — the form a
     // production pipeline uses); the oracle is the equivalent

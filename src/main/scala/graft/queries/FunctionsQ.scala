@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Scalar-function sweep (SURVEY §2.3 families: string, date/time, math,
   * conditional, array, map, JSON). All codegen'd built-ins — no UDFs in
@@ -148,6 +149,54 @@ object FunctionsQ {
         round(regr_r2(col("l_extendedprice"), col("l_discount")), 6).as("r2"),
         round(regr_avgx(col("l_extendedprice"), col("l_discount")), 6).as("avgx"),
         regr_count(col("l_extendedprice"), col("l_discount")).as("n"))
+    },
+
+    QueryDef(
+      // Skewness / kurtosis from exact decimal power sums (s1..s4) with
+      // an identical double expression tree on both sides — the same
+      // discipline as agg_var_stddev / agg_corr_covar. l_quantity is
+      // integral, so q^3 / q^4 are exact in double BEFORE the decimal
+      // cast (no cross-engine rounding seam). A test ties these to
+      // Spark's built-in skewness()/kurtosis() within 1e-9.
+      "agg_skew_kurt",
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(l_quantity) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS s2,
+        |         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS s3,
+        |         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag,
+        |         (s2 - s1 * s1 / n) / n AS m2,
+        |         (s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n) * (s1 / n)) / n AS m3,
+        |         (s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+        |            - 3 * n * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / n AS m4
+        |  FROM m)
+        |SELECT l_returnflag,
+        |       m3 / SQRT(m2 * m2 * m2) AS skew_qty,
+        |       m4 / (m2 * m2) - 3 AS kurt_qty
+        |FROM c""".stripMargin) { (s, d) =>
+      val q = col("l_quantity")
+      val m = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        count(q).cast("double").as("n"),
+        sum(q.cast(DecimalType(18, 2))).cast("double").as("s1"),
+        sum((q * q).cast(DecimalType(24, 4))).cast("double").as("s2"),
+        sum((q * q * q).cast(DecimalType(30, 4))).cast("double").as("s3"),
+        sum((q * q * q * q).cast(DecimalType(38, 4))).cast("double").as("s4"))
+      val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
+      val s3 = col("s3"); val s4 = col("s4")
+      val mu = s1 / n
+      val m2 = (s2 - s1 * s1 / n) / n
+      val m3 = (s3 - lit(3) * mu * s2 + lit(2) * n * mu * mu * mu) / n
+      val m4 = (s4 - lit(4) * mu * s3 + lit(6) * mu * mu * s2
+        - lit(3) * n * mu * mu * mu * mu) / n
+      // sqrt(m2^3) not pow(m2, 1.5): sqrt and * are IEEE-exact-rounded
+      // in both engines, libm pow is not (observed 1-ULP divergence)
+      m.select(col("l_returnflag"),
+        (m3 / sqrt(m2 * m2 * m2)).as("skew_qty"),
+        (m4 / (m2 * m2) - lit(3)).as("kurt_qty"))
     },
 
     QueryDef(

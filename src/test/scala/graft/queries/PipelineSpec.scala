@@ -65,6 +65,37 @@ class PipelineSpec extends SparkSpec {
     assert(avgRandom > 10.0, s"random-pair hamming too low: $avgRandom")
   }
 
+  test("hll sketch: per-group estimate within 5%; group sketches UNION to the global estimate") {
+    val li = Tables.lineitem(spark, sf())
+    // per-group bound (the registry entry emits approx+exact side by side)
+    q("agg_hll_sketch").collect().foreach { r =>
+      val approx = r.getLong(1); val exact = r.getLong(2)
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"${r.getString(0)}: hll=$approx exact=$exact")
+    }
+    // mergeability — the 100 TB property: group sketches union into the
+    // global estimate without rescanning the data
+    val sk = li.groupBy("l_returnflag").agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+    val unioned = sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .first().getLong(0)
+    val globalExact = li.select(count_distinct(col("l_orderkey"))).first().getLong(0)
+    assert(math.abs(unioned - globalExact).toDouble / globalExact < 0.05,
+      s"unioned=$unioned exact=$globalExact")
+  }
+
+  test("agg_skew_kurt power-sum formulas match Spark's built-in skewness/kurtosis") {
+    val ours = q("agg_skew_kurt").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val builtins = Tables.lineitem(spark, sf()).groupBy("l_returnflag")
+      .agg(skewness(col("l_quantity")).as("sk"), kurtosis(col("l_quantity")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    builtins.foreach { case (k, (sk, ku)) =>
+      val (osk, oku) = ours(k)
+      assert(math.abs(osk - sk) < 1e-9, s"$k skew: ours=$osk builtin=$sk")
+      assert(math.abs(oku - ku) < 1e-9, s"$k kurt: ours=$oku builtin=$ku")
+    }
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.lineitem(spark, sf())
     val exact = li.groupBy("l_returnflag")
