@@ -91,6 +91,51 @@ object ExtraQ {
         emb, queries = emb.select("vec_id"), k = 10, nCells = 16, nProbe = 4)
     },
 
+    // Deterministic MODE: most-frequent value per group with an explicit
+    // smallest-value tiebreak (both engines' built-in mode() leaves ties
+    // implementation-defined, so the portable form is count + window —
+    // same cost shape as the built-in: one partial-aggregated groupBy
+    // plus a per-group top-1).
+    QueryDef(
+      "agg_mode_deterministic",
+      """WITH f AS (
+        |  SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (
+        |  SELECT l_returnflag, l_quantity, c,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY c DESC, l_quantity) AS rn
+        |  FROM f)
+        |SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count
+        |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      val f = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy(col("c").desc, col("l_quantity"))
+      f.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("c").as("mode_count"))
+    },
+
+    // EXACT percentiles (linear interpolation): Spark percentile() ==
+    // DuckDB quantile_cont, rounded to 6 digits (the interpolation
+    // arithmetic is not guaranteed ULP-identical). Exact percentile
+    // buffers each group's values — the small-group/audit tool;
+    // approx_percentile (already covered) is the 100 TB path.
+    QueryDef(
+      "agg_percentile_exact",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
+    },
+
     // HyperLogLog SKETCH aggregate (Apache DataSketches, Spark 4
     // built-in): unlike approx_count_distinct, the sketch itself is a
     // first-class mergeable value — partial sketches union across
