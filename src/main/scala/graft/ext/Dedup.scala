@@ -149,7 +149,10 @@ object Dedup {
     * a small `fpp` fraction of genuinely-new docs is dropped. */
   def bloomNewDocs(corpus: DataFrame, candidates: DataFrame, fpp: Double = 0.01): DataFrame = {
     val hashed = corpus.select(xxhash64(col("text")).as("h"))
-    val n = math.max(hashed.count(), 1L)
+    val n = hashed.count()
+    // empty corpus: every candidate is new (and Spark's bloomFilter
+    // aggregate over zero rows yields a null buffer that NPEs on probe)
+    if (n == 0) return candidates
     val bf = hashed.stat.bloomFilter("h", n, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bf)
     val isNew = udf { (h: Long) => !bc.value.mightContainLong(h) }

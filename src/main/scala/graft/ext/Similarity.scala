@@ -366,6 +366,9 @@ object Similarity {
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
       .setNumFeatures(numFeatures).transform(filtered)
       .select("doc_id", "tf").cache()
+    // empty corpus: IDF.fit throws ("Haven't seen any document yet");
+    // an empty, correctly-typed frame is the right answer
+    if (tf.isEmpty) return tf.select(col("doc_id"), col("tf").as("tfidf"))
     val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tf)
     idfModel.transform(tf).select("doc_id", "tfidf")
   }

@@ -332,6 +332,42 @@ object PipelineQ {
           lit(0L), (a, b) => a + b).as("sum_tok_len"))
     },
 
+    // Shannon entropy of the per-doc token histogram (H = ln N -
+    // (Σ c·ln c)/N) + distinct ratio: the gibberish/boilerplate signal
+    // a pretraining quality filter thresholds on (repeated-phrase spam
+    // scores low, natural prose high). Explode -> two HashAggregates —
+    // embarrassingly parallel. ln is transcendental -> round(6), the
+    // established cross-engine discipline for libm-backed values.
+    QueryDef(
+      "doc_token_entropy",
+      """WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+         |  FROM documents),
+         |tc AS (
+         |  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS c
+         |  FROM tok GROUP BY doc_id, t),
+         |agg AS (
+         |  SELECT doc_id, SUM(c) AS n, SUM(c * ln(c)) AS clnc,
+         |         CAST(COUNT(*) AS BIGINT) AS n_distinct
+         |  FROM tc GROUP BY doc_id)
+         |SELECT doc_id,
+         |       round(ln(n) - clnc / n, 6) AS token_entropy,
+         |       round(n_distinct / n, 6) AS distinct_ratio
+         |FROM agg""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("t"))
+      val tc = tok.groupBy("doc_id", "t").agg(count(lit(1)).cast("double").as("c"))
+      tc.groupBy("doc_id")
+        .agg(
+          sum("c").as("n"),
+          sum(col("c") * log(col("c"))).as("clnc"),
+          count(lit(1)).as("n_distinct"))
+        .select(
+          col("doc_id"),
+          round(log(col("n")) - col("clnc") / col("n"), 6).as("token_entropy"),
+          round(col("n_distinct") / col("n"), 6).as("distinct_ratio"))
+    },
+
     // Quality scoring: length, type-token ratio, stopword ratio — the
     // classic pretraining-corpus quality features, all exact arithmetic.
     QueryDef(
