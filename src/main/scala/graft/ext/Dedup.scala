@@ -38,7 +38,11 @@ object Dedup {
     * the self-join key is (band, m0, m1) fixed-width bytes — the shape
     * that carries 100 TB (candidate cost is Σ bucket², never
     * all-pairs). */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
+  /** (doc_id, band, b0, b1) banded-MinHash signatures — the md5/LCG
+    * family of [[minhashCandidates]], shared with the incremental path
+    * (at 100 TB these rows are what a near-dup INDEX persists: four
+    * 20-byte rows per doc, re-join-able against any future batch). */
+  private[graft] def bandSignatures(docs: DataFrame): DataFrame = {
     val p = 2147483647L
     val base = distinctShingles(docs).withColumn("h0", expr(
       s"cast(conv(substring(md5(cast(shingle AS binary)), 1, 15), 16, 10) AS bigint) % $p"))
@@ -46,16 +50,66 @@ object Dedup {
     val mins = (0 until 8).map { s =>
       min(expr(s"(${s + 1} * h0 + ${bs(s)}) % $p")).as(s"m$s")
     }
-    val sig = base.groupBy("doc_id")
+    base.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .selectExpr("doc_id",
         "stack(4, 0, m0, m1, 1, m2, m3, 2, m4, m5, 3, m6, m7) AS (band, b0, b1)")
+  }
+
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sig = bandSignatures(docs)
     val l = sig.select(col("doc_id").as("doc_a"), col("band"), col("b0"), col("b1"))
     val r = sig.select(col("doc_id").as("doc_b"), col("band").as("band_r"),
       col("b0").as("b0_r"), col("b1").as("b1_r"))
     l.join(r, col("band") === col("band_r") && col("b0") === col("b0_r")
         && col("b1") === col("b1_r") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Incremental near-dup ingest: LSH candidates BETWEEN `batch` and
+    * `corpus` only (never within either side — the corpus was already
+    * deduplicated when it was ingested), verified by exact Jaccard over
+    * each side's full shingle sets, thresholded. Output:
+    * (doc_corpus, doc_new, n_common, jaccard).
+    *
+    * The daily-ingest shape at 100 TB: the corpus side contributes only
+    * its (persisted) band signatures and the shingle rows of docs that
+    * actually collide — cost scales with |batch| x collision-rate, not
+    * |corpus|². Pairs with banded-MinHash recall vs the batch; compose
+    * with [[bloomNewDocs]] (exact-dup prefilter) upstream. */
+  def incrementalNearDups(
+      corpus: DataFrame,
+      batch: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sigC = bandSignatures(corpus)
+      .select(col("doc_id").as("doc_corpus"), col("band"), col("b0"), col("b1"))
+    val sigB = bandSignatures(batch)
+      .select(col("doc_id").as("doc_new"), col("band").as("band_b"),
+        col("b0").as("b0_b"), col("b1").as("b1_b"))
+    val cand = sigC.join(sigB,
+        col("band") === col("band_b") && col("b0") === col("b0_b")
+          && col("b1") === col("b1_b"))
+      .select("doc_corpus", "doc_new").distinct()
+    // exact verify restricted to collided docs: shingles semi-pruned,
+    // then the linear candidate-verify join (see lshVerifiedCanonicalDocs)
+    val shC = distinctShingles(corpus)
+      .join(cand.select(col("doc_corpus").as("doc_id")), Seq("doc_id"), "left_semi")
+    val shB = distinctShingles(batch)
+      .join(cand.select(col("doc_new").as("doc_id")), Seq("doc_id"), "left_semi")
+    val nC = shC.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+      .select(col("doc_id").as("doc_corpus"), col("n_c"))
+    val nB = shB.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+      .select(col("doc_id").as("doc_new"), col("n_b"))
+    val inter = cand
+      .join(shC.select(col("doc_id").as("doc_corpus"), col("shingle")), "doc_corpus")
+      .join(shB.select(col("doc_id").as("doc_new"), col("shingle")), Seq("doc_new", "shingle"))
+      .groupBy("doc_corpus", "doc_new")
+      .agg(count(lit(1)).as("n_common"))
+    inter.join(nC, "doc_corpus").join(nB, "doc_new")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_c") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_corpus", "doc_new", "n_common", "jaccard")
   }
 
   /** Near-duplicate edges: exact Jaccard over df-capped word 3-gram

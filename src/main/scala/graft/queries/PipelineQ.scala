@@ -312,6 +312,65 @@ object PipelineQ {
       graft.ext.Dedup.lshVerifiedCanonicalDocs(Tables.documents(s, d))
     },
 
+    // Incremental near-dup ingest (even doc_ids = existing corpus, odd =
+    // incoming batch, the bloom-prefilter convention): banded-MinHash
+    // collisions BETWEEN the sides only, exact-Jaccard verified. The
+    // md5/LCG hashing makes the whole path DuckDB-expressible, so the
+    // candidates AND the verification are hash-checked.
+    QueryDef(
+      "doc_incremental_neardups",
+      """WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+         |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+         |           % 2147483647 AS h0
+         |  FROM sh),
+         |mins AS (
+         |  SELECT doc_id,
+         |         MIN((1 * h0 + 0) % 2147483647) AS m0,
+         |         MIN((2 * h0 + 999999937) % 2147483647) AS m1,
+         |         MIN((3 * h0 + 1999999874) % 2147483647) AS m2,
+         |         MIN((4 * h0 + 852516164) % 2147483647) AS m3,
+         |         MIN((5 * h0 + 1852516101) % 2147483647) AS m4,
+         |         MIN((6 * h0 + 705032391) % 2147483647) AS m5,
+         |         MIN((7 * h0 + 1705032328) % 2147483647) AS m6,
+         |         MIN((8 * h0 + 557548618) % 2147483647) AS m7
+         |  FROM base GROUP BY doc_id),
+         |sig AS (
+         |            SELECT doc_id, 0 AS band, m0 AS b0, m1 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 1 AS band, m2 AS b0, m3 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 2 AS band, m4 AS b0, m5 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 3 AS band, m6 AS b0, m7 AS b1 FROM mins),
+         |cand AS (
+         |  SELECT DISTINCT c.doc_id AS doc_corpus, b.doc_id AS doc_new
+         |  FROM sig c JOIN sig b
+         |    ON c.band = b.band AND c.b0 = b.b0 AND c.b1 = b.b1
+         |  WHERE c.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT cand.doc_corpus, cand.doc_new, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM cand
+         |  JOIN sh a ON a.doc_id = cand.doc_corpus
+         |  JOIN sh b ON b.doc_id = cand.doc_new AND b.shingle = a.shingle
+         |  GROUP BY cand.doc_corpus, cand.doc_new)
+         |SELECT doc_corpus, doc_new, n_common,
+         |       CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) AS jaccard
+         |FROM inter
+         |JOIN n na ON na.doc_id = doc_corpus
+         |JOIN n nb ON nb.doc_id = doc_new
+         |WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.5""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ext.Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    },
+
     // ----------------------------------------------------------------- //
     // Text analysis                                                     //
     // ----------------------------------------------------------------- //
