@@ -87,6 +87,26 @@ object WindowsQ {
     },
 
     QueryDef(
+      // Value window functions over an explicit whole-partition frame:
+      // first/last/nth (nth yields NULL when the frame is shorter).
+      "win_value_fns",
+      """SELECT l_orderkey, l_linenumber,
+        |       first_value(l_extendedprice) OVER w AS first_price,
+        |       last_value(l_extendedprice) OVER w AS last_price,
+        |       nth_value(l_extendedprice, 2) OVER w AS second_price
+        |FROM lineitem WHERE l_orderkey < 2000
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 2000).select(
+        col("l_orderkey"), col("l_linenumber"),
+        first(col("l_extendedprice")).over(w).as("first_price"),
+        last(col("l_extendedprice")).over(w).as("last_price"),
+        nth_value(col("l_extendedprice"), 2).over(w).as("second_price"))
+    },
+
+    QueryDef(
       "win_range_frame",
       """SELECT p_partkey, p_size,
         |       CAST(COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_close
