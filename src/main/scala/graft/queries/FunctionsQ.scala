@@ -512,6 +512,27 @@ object FunctionsQ {
         get_json_object(col("props"), "$.k").as("k_str"),
         from_json(col("props"), lit("k INT")).getField("k").as("k_int"),
         to_json(struct(col("event_id").as("id"), col("event_type").as("et"))).as("packed"))
+    },
+
+    QueryDef(
+      // VARIANT (Spark 4): parse once into the binary semi-structured
+      // encoding, then typed path extraction — the 100 TB semi-
+      // structured route (shredded binary beats per-query string JSON
+      // parsing; Parquet can store/shred it). Values must agree with
+      // the string-JSON oracle exactly.
+      "fn_variant",
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .selectExpr(
+          "event_id",
+          "parse_json(props) AS v")
+        .selectExpr(
+          "event_id",
+          "variant_get(v, '$.k', 'string') AS k_str",
+          "variant_get(v, '$.k', 'int') AS k_int")
     }
   )
 }
