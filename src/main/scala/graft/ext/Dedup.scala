@@ -313,6 +313,39 @@ object Dedup {
     labelAll(emb, connectedComponents(edges), "vec_id")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the unit-normalized embeddings
+    * ([[Similarity.assignCells]]), compare pairs ONLY within a cluster
+    * with the exact codegen cosine, threshold, connected components,
+    * canonical = min vec_id. Output contract identical to
+    * [[cosineCanonical]]: (vec_id, canonical_id, is_canonical).
+    *
+    * Pair cost drops from O(n²) to Σ|cell|² (≈ n²/k for balanced
+    * cells); the published trade-off is recall at cell boundaries — a
+    * near-dup pair split across Voronoi cells is missed. Raise nCells
+    * for cost, lower it for recall. At 100 TB: the centroid fit
+    * collects only nCells rows, assignment is a narrow map, and the
+    * pair join shuffles on the cell key with nCells bounding bucket
+    * count — the same Σ bucket² shape as the LSH paths. */
+  def semanticCanonical(
+      emb: DataFrame,
+      threshold: Double = 0.9,
+      nCells: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val cells = graft.ext.Similarity.assignCells(emb, nCells)._1
+      .select("vec_id", "cell")
+    val withCell = emb.select("vec_id", "embedding").join(cells, "vec_id")
+    val a = withCell.select(
+      col("cell"), col("vec_id").as("doc_a"), col("embedding").as("ea"))
+    val b = withCell.select(
+      col("cell"), col("vec_id").as("doc_b"), col("embedding").as("eb"))
+    val edges = a.join(b, "cell")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr("cosine_sim(ea, eb)") >= threshold)
+      .select("doc_a", "doc_b")
+    labelAll(emb, connectedComponents(edges), "vec_id")
+  }
+
   /** Left-join component labels onto the full id set (unmatched ids
     * are their own canonical). */
   private def labelAll(docs: DataFrame, comp: DataFrame, idCol: String = "doc_id"): DataFrame =

@@ -270,41 +270,8 @@ object Similarity {
       nProbe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = normalizedVectors(emb)
-      .select(col("vec_id"), col("features")).cache()
-
-    // deterministic seeds + one Lloyd sweep (collect is over nCells
-    // centroids only — never corpus-scale)
-    val seeds = vecs.orderBy("vec_id").limit(nCells)
-      .collect().map(_.getAs[Vector]("features").toArray)
-    def nearest(cs: Array[Array[Double]], v: Vector): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        val ct = cs(c)
-        while (i < ct.length) { val t = ct(i) - v(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    val bc = spark.sparkContext.broadcast(seeds)
-    // Lloyd sweep: assign is a narrow map (no join needed — the vector is
-    // already on the row); the only shuffle is the nCells-key reduce
-    val centroids = vecs.rdd
-      .map { r =>
-        val v = r.getAs[Vector](1)
-        (nearest(bc.value, v), (v.toArray, 1L))
-      }
-      .reduceByKey { (l: (Array[Double], Long), r: (Array[Double], Long)) =>
-        (l._1.zip(r._1).map { case (x, y) => x + y }, l._2 + r._2) }
-      .mapValues { case (s, n) => s.map(_ / n) }
-      .collect().sortBy(_._1).map(_._2)
+    val (assigned, centroids) = assignCells(emb, nCells)
     val bc2 = spark.sparkContext.broadcast(centroids)
-    // cell assignment is a narrow map — no join, no shuffle
-    val assignCell = udf { (v: Vector) => nearest(bc2.value, v) }
-    val assigned = vecs.withColumn("cell", assignCell(col("features"))).cache()
 
     // ONE distributed job for the whole query set (the per-query
     // collect()+job loop this replaces was a driver bottleneck at real
@@ -352,6 +319,55 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     ivfTopK(emb, queryIds.toDF("vec_id"), k, nCells, nProbe)
+  }
+
+  /** Index of the squared-L2-nearest centroid (shared by the IVF search
+    * path and SemDeDup clustering). Tight while-loop — runs per row on
+    * executors against a broadcast centroid matrix. */
+  private[graft] def nearestCell(cs: Array[Array[Double]], v: Vector): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      val ct = cs(c)
+      while (i < ct.length) { val t = ct(i) - v(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic k-means cell assignment over unit-normalized
+    * embeddings: seeds = first `nCells` vectors by vec_id, one Lloyd
+    * refinement sweep, then a narrow-map assignment. Returns the
+    * assigned frame (vec_id, features, cell) [cached] and the centroid
+    * matrix. Driver memory is nCells-bounded — the corpus is never
+    * collected; the only shuffle is the nCells-key reduce of the Lloyd
+    * sweep. Shared by [[ivfTopK]] and [[Dedup.semanticCanonical]]. */
+  private[graft] def assignCells(
+      emb: DataFrame,
+      nCells: Int): (DataFrame, Array[Array[Double]]) = {
+    val spark = emb.sparkSession
+    val vecs = normalizedVectors(emb)
+      .select(col("vec_id"), col("features")).cache()
+    val seeds = vecs.orderBy("vec_id").limit(nCells)
+      .collect().map(_.getAs[Vector]("features").toArray)
+    val bc = spark.sparkContext.broadcast(seeds)
+    // Lloyd sweep: assign is a narrow map (no join needed — the vector is
+    // already on the row); the only shuffle is the nCells-key reduce
+    val centroids = vecs.rdd
+      .map { r =>
+        val v = r.getAs[Vector](1)
+        (nearestCell(bc.value, v), (v.toArray, 1L))
+      }
+      .reduceByKey { (l: (Array[Double], Long), r: (Array[Double], Long)) =>
+        (l._1.zip(r._1).map { case (x, y) => x + y }, l._2 + r._2) }
+      .mapValues { case (s, n) => s.map(_ / n) }
+      .collect().sortBy(_._1).map(_._2)
+    val bc2 = spark.sparkContext.broadcast(centroids)
+    // cell assignment is a narrow map — no join, no shuffle
+    val assignCell = udf { (v: Vector) => nearestCell(bc2.value, v) }
+    (vecs.withColumn("cell", assignCell(col("features"))).cache(), centroids)
   }
 
   /** TF-IDF pipeline over documents: tokenize -> stopword filter ->

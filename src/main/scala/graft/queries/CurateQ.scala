@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the filtering/reporting layer a
+  * pretraining-data pipeline runs between ingest and dedup (SURVEY §2.3
+  * extension surface; ref ABSENT in /root/reference). Gopher-style
+  * repetition metrics (Rae et al. 2021, arXiv:2112.11446 §A1.1),
+  * C4-style heuristic filters (Raffel et al. 2020, arXiv:1910.10683
+  * §2.2), blocklist/PII scrubbing, per-source corpus rollups, and the
+  * corpus-level n-gram report.
+  *
+  * Scale posture (100 TB): every per-doc metric is explode + window
+  * partitioned BY doc_id (no cross-doc traffic — each doc's tokens hash
+  * to one partition) followed by per-doc aggregation; the corpus n-gram
+  * report is a two-phase count with a TakeOrderedAndProject top-k (k
+  * rows per partition cross the wire, never the full histogram). No
+  * collects, no UDFs — all codegen'd built-ins.
+  */
+object CurateQ {
+
+  /** Whitespace tokens — same tokenizer as PipelineQ. */
+  private def toks = split(col("text"), "\\s+")
+
+  /** Blocklist + PII redaction pattern: word-boundary blocklist terms
+    * plus an email matcher. Java regex and DuckDB's RE2 agree on every
+    * construct used here (\b, char classes, bounded repetition) over
+    * ASCII text. */
+  private val redactPat =
+    """\b(slow|big)\b|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+
+  /** doc_id, pos, t — one row per token with its position. */
+  private def posTokens(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+
+  private val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Gopher-style repetition metrics (arXiv:2112.11446 Table A1): the
+    // fraction of the doc covered by its most frequent token, the
+    // fraction of duplicate bigrams, and the longest run of one
+    // repeated token. Repetitive spam scores high on all three; a
+    // curation pass drops docs above thresholds. Plan: one explode,
+    // two doc-partitioned windows (lag + gaps-and-islands run ids via
+    // the two-row_number trick), three per-doc HashAggregates, then a
+    // 3-way join on doc_id — all traffic is doc-local.
+    QueryDef(
+      "doc_repetition",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(text, '\s+')) AS t,
+        |         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, t, pos,
+        |         lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+        |           - ROW_NUMBER() OVER (PARTITION BY doc_id, t ORDER BY pos) AS grp
+        |  FROM tok),
+        |uni AS (
+        |  SELECT doc_id, MAX(c) AS topc, SUM(c) AS n FROM (
+        |    SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM w GROUP BY doc_id, t) GROUP BY doc_id),
+        |bga AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_bg,
+        |         CAST(COUNT(DISTINCT prev || ' ' || t) AS BIGINT) AS n_bg_distinct
+        |  FROM w WHERE prev IS NOT NULL GROUP BY doc_id),
+        |runa AS (
+        |  SELECT doc_id, MAX(runlen) AS max_run FROM (
+        |    SELECT doc_id, t, grp, COUNT(*) AS runlen
+        |    FROM w GROUP BY doc_id, t, grp) GROUP BY doc_id)
+        |SELECT uni.doc_id,
+        |       CAST(topc AS DOUBLE) / n AS top_unigram_frac,
+        |       CAST(n_bg - n_bg_distinct AS DOUBLE) / n_bg AS dup_bigram_frac,
+        |       CAST(max_run AS INT) AS max_token_run
+        |FROM uni
+        |JOIN bga ON uni.doc_id = bga.doc_id
+        |JOIN runa ON uni.doc_id = runa.doc_id""".stripMargin) { (s, d) =>
+      val w = posTokens(s, d)
+        .withColumn("prev", lag("t", 1).over(wDoc))
+        .withColumn("grp",
+          row_number().over(wDoc)
+            - row_number().over(Window.partitionBy("doc_id", "t").orderBy("pos")))
+      val uni = w.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("topc"), sum("c").as("n"))
+      val bga = w.filter(col("prev").isNotNull)
+        .select(col("doc_id"), concat(col("prev"), lit(" "), col("t")).as("bg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bg"), countDistinct("bg").as("n_bg_distinct"))
+      val runa = w.groupBy("doc_id", "t", "grp").agg(count(lit(1)).as("runlen"))
+        .groupBy("doc_id").agg(max("runlen").as("max_run"))
+      uni.join(bga, "doc_id").join(runa, "doc_id")
+        .select(col("doc_id"),
+          (col("topc").cast("double") / col("n")).as("top_unigram_frac"),
+          ((col("n_bg") - col("n_bg_distinct")).cast("double") / col("n_bg"))
+            .as("dup_bigram_frac"),
+          col("max_run").cast("int").as("max_token_run"))
+    },
+
+    // Blocklist + PII scrubbing: one regexp_replace pass redacts
+    // blocklisted terms (word-boundary-anchored — 'slowly' survives a
+    // 'slow' rule) and email-shaped PII; n_hits counts matches via
+    // regex split (both engines keep leading/trailing empty fields, so
+    // fields - 1 = matches). Per-row map, embarrassingly parallel.
+    QueryDef(
+      "doc_scrub_redact",
+      """SELECT doc_id,
+        |       regexp_replace(text, '\b(slow|big)\b|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g') AS scrubbed,
+        |       CAST(len(string_split_regex(text, '\b(slow|big)\b|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INT) AS n_hits
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(col("text"), redactPat, "[REDACTED]").as("scrubbed"),
+        (size(split(col("text"), redactPat)) - 1).cast("int").as("n_hits"))
+    },
+
+    // C4-style heuristic filter (arXiv:1910.10683 §2.2, adapted to the
+    // fixture's token space): word-count band, mean-token-length band,
+    // type-token-ratio floor, content blocklist — emitted as per-rule
+    // flags plus the conjunction, so a curation run can report WHY a
+    // doc dropped, not just that it did. Per-row arithmetic on the
+    // token array — no shuffle at all.
+    QueryDef(
+      "doc_c4_filter",
+      """SELECT doc_id, len_ok, tok_len_ok, ttr_ok, content_ok,
+        |       (len_ok AND tok_len_ok AND ttr_ok AND content_ok) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |         (n_tok BETWEEN 20 AND 1000) AS len_ok,
+        |         (mean_len >= 3.0 AND mean_len <= 10.0) AS tok_len_ok,
+        |         (ttr >= 0.2) AS ttr_ok,
+        |         (NOT contains(text, 'lorem ipsum') AND NOT contains(text, '{')) AS content_ok
+        |  FROM (
+        |    SELECT doc_id, text,
+        |           len(string_split_regex(text, '\s+')) AS n_tok,
+        |           CAST(list_reduce(list_transform(string_split_regex(text, '\s+'),
+        |                  x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+        |             / len(string_split_regex(text, '\s+')) AS mean_len,
+        |           CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+        |             / len(string_split_regex(text, '\s+')) AS ttr
+        |    FROM documents))""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          size(toks).as("n_tok"),
+          (aggregate(transform(toks, x => length(x).cast("bigint")),
+            lit(0L), (a, b) => a + b).cast("double") / size(toks)).as("mean_len"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+        .select(col("doc_id"),
+          col("n_tok").between(20, 1000).as("len_ok"),
+          (col("mean_len") >= 3.0 && col("mean_len") <= 10.0).as("tok_len_ok"),
+          (col("ttr") >= 0.2).as("ttr_ok"),
+          (!col("text").contains("lorem ipsum") && !col("text").contains("{"))
+            .as("content_ok"))
+        .withColumn("keep",
+          col("len_ok") && col("tok_len_ok") && col("ttr_ok") && col("content_ok"))
+    },
+
+    // Per-source corpus rollup — the shard/provenance health report a
+    // curation run emits per ingest source: volume, size profile
+    // (exact-decimal mean + exact median), language mix. One
+    // hash-partitioned groupBy on the source key.
+    QueryDef(
+      "doc_source_stats",
+      """SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+        |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        Det.davg2(col("n_chars")).as("avg_chars"),
+        sum(when(col("lang") === "en", 1).otherwise(0)).cast("bigint").as("n_en"),
+        countDistinct("lang").as("n_langs"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"))
+    },
+
+    // Corpus-level top-k bigram report (boilerplate detector: the
+    // phrases that dominate a crawl surface here). Two-phase count then
+    // TakeOrderedAndProject — each partition ships only its k best
+    // (count, bigram) rows, never the full histogram; the bigram
+    // tiebreak makes the cut deterministic.
+    QueryDef(
+      "doc_top_ngrams",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(text, '\s+')) AS t,
+        |         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT prev || ' ' || t AS bigram FROM (
+        |    SELECT t, lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |    FROM tok)
+        |  WHERE prev IS NOT NULL)
+        |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM bg GROUP BY bigram
+        |ORDER BY c DESC, bigram
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      posTokens(s, d)
+        .withColumn("prev", lag("t", 1).over(wDoc))
+        .filter(col("prev").isNotNull)
+        .select(concat(col("prev"), lit(" "), col("t")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("bigram").asc)
+        .limit(20)
+    },
+
+    // SemDeDup (cluster-then-verify semantic dedup). No oracle: the
+    // k-means cell assignment has no DuckDB twin; CurateSpec plants
+    // near-dup embeddings and asserts they collapse (recall), that
+    // precision is exact by construction, and that the pair count is
+    // Σ|cell|² — far under all-pairs. The fixture itself has no
+    // embedding near-dups (max off-diagonal cosine ~0.5), so on raw
+    // testdata every vector is its own canonical — still a valid run.
+    QueryDef.noOracle("emb_semdedup") { (s, d) =>
+      graft.ext.Dedup.semanticCanonical(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        threshold = 0.9, nCells = 16)
+    }
+  )
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks for the curation family (the oracle hash-match is
+  * the primary gate for the 5 SQL-expressible entries; emb_semdedup has
+  * no DuckDB twin, so recall/precision/pruning are asserted here). */
+class CurateSpec extends SparkSpec {
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  test("semdedup: planted near-dups collapse, no false merges, pairs pruned") {
+    import graft.ext.{Dedup, Similarity}
+    // the fixture has no embedding near-dups (max offdiag cosine ~0.5) —
+    // plant copies with small deterministic noise, as in DedupSpec
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val noisy = udf { (id: Long, e: Seq[Float]) =>
+      val r = new java.util.Random(id)
+      val scale = 0.05 * math.sqrt(e.map(x => x.toDouble * x).sum / e.length)
+      e.map(x => (x + r.nextGaussian() * scale).toFloat)
+    }
+    val planted = emb.filter(col("vec_id") % 10 === 0).limit(50)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        noisy(col("vec_id"), col("embedding")).as("embedding"))
+    val corpus = emb.union(planted)
+
+    val sem = Dedup.semanticCanonical(corpus, threshold = 0.9, nCells = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Dedup.cosineCanonical(corpus, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // recall: SemDeDup may only miss pairs split across cell boundaries —
+    // near-identical vectors almost always share a Voronoi cell
+    val collapsedExact = exact.count { case (v, c) => c != v }
+    val collapsedSem = sem.count { case (v, c) => c != v }
+    assert(collapsedExact >= 40, s"planting failed: only $collapsedExact collapsed")
+    assert(collapsedSem >= (collapsedExact * 0.9).toInt,
+      s"semdedup recall too low: $collapsedSem of $collapsedExact")
+    // precision is exact by construction (every edge passed the true
+    // cosine test): any group semdedup forms must exist in exact too
+    sem.foreach { case (v, c) =>
+      if (c != v) assert(exact(v) == exact(c),
+        s"false merge: $v -> $c but exact has ${exact(v)} vs ${exact(c)}")
+    }
+    // pruning: within-cell pair count well under all-pairs
+    val n = corpus.count()
+    val cellSizes = Similarity.assignCells(corpus, 16)._1
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val pairCost = cellSizes.map(s => s * s).sum.toDouble
+    assert(pairCost < 0.25 * n * n,
+      f"cell pair cost $pairCost%.0f not pruning vs ${n * n}")
+  }
+
+  test("scrub_redact: blocklist hits redacted, boundaries respected, counts consistent") {
+    val rows = q("doc_scrub_redact")
+      .join(Tables.documents(spark, sf("sf0.001")), "doc_id")
+      .select("text", "scrubbed", "n_hits").collect()
+    assert(rows.nonEmpty)
+    val standalone = "(?:^| )(slow|big)(?: |$)".r
+    rows.foreach { r =>
+      val (text, scrubbed, nHits) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(standalone.findFirstIn(scrubbed).isEmpty,
+        s"unredacted blocklist token in: $scrubbed")
+      val expected = text.split("\\s+").count(t => t == "slow" || t == "big")
+      assert(nHits == expected, s"n_hits $nHits != $expected for: $text")
+    }
+    // the fixture vocabulary does contain the blocklist terms
+    assert(rows.exists(_.getInt(2) > 0))
+  }
+
+  test("repetition metrics are in-range and run length is real") {
+    val rows = q("doc_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val top = r.getDouble(1); val dup = r.getDouble(2); val run = r.getInt(3)
+      assert(top > 0.0 && top <= 1.0, s"top_unigram_frac $top")
+      assert(dup >= 0.0 && dup < 1.0, s"dup_bigram_frac $dup")
+      assert(run >= 1, s"max_token_run $run")
+    }
+    // word-salad fixture repeats tokens — some doc must have a run > 1
+    assert(rows.exists(_.getInt(3) > 1))
+  }
+
+  test("c4_filter: keep is exactly the conjunction of its flags") {
+    val rows = q("doc_c4_filter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val conj = r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)
+      assert(r.getBoolean(5) == conj, s"keep != conjunction at doc ${r.getLong(0)}")
+    }
+  }
+}
