@@ -1,0 +1,164 @@
+package graft.examples
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: measures the heavy dedup/ANN/curation queries
+  * on a DERIVED fixture `factor`× the size of the driver's largest one
+  * (sf0.1), to turn the "would this survive 100×?" argument from a
+  * plan-shape claim into a measured slope (VERDICT r4 "What's missing"
+  * item 2 — /root/testdata tops out at sf0.1).
+  *
+  * The fixture is derived, never hand-synthesized semantics: each
+  * replica i of a document rotates its token sequence by i+1 positions
+  * (every 3-gram shingle changes, so replicas are NOT near-dups of the
+  * original — the explosion a naive copy would plant in every LSH
+  * bucket); each replica of an embedding rotates the vector by i+1
+  * coordinates (norm- and distribution-preserving, so random-pair
+  * cosine structure matches the base fixture). Ids shift by
+  * i * 10^9. The derived data lives under the repo target dir — the
+  * read-only driver fixtures are untouched, and correctness gates
+  * still run exclusively on driver data.
+  *
+  * Usage: runMain graft.examples.ScaleStress [factor] [outDir] [src]
+  * Prints one JSON line: per-query best-of-2 seconds at the scaled
+  * fixture, plus row counts.
+  */
+object ScaleStress {
+
+  /** The scale-sensitive registry entries: every family whose cost is
+    * NOT trivially linear-per-row (candidate joins, iterative CC,
+    * full-corpus ANN, window-over-tokens). */
+  val heavy: Seq[String] = Seq(
+    "doc_minhash_candidates",
+    "doc_simhash",
+    "doc_ngram_jaccard",
+    "doc_dedup_pipeline",
+    "doc_lsh_verified_dedup",
+    "doc_incremental_neardups",
+    "doc_repetition",
+    "doc_top_ngrams",
+    "ext_ann_topk_batch",
+    "ext_ivf_topk_batch",
+    "emb_semdedup",
+    "emb_dedup_lsh")
+
+  def buildFixture(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val fs = new java.io.File(s"$out/_built_x$factor")
+    if (fs.exists()) return
+    new java.io.File(out).mkdirs()
+
+    val docs = Tables.documents(spark, src)
+    val replicated = (0 until factor).map { i =>
+      if (i == 0) docs
+      else {
+        // rotate the token sequence by i+1: all shingles change, the
+        // token histogram (quality/repetition stats) is preserved
+        val r = i + 1
+        docs.select(
+          (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+          concat_ws(" ",
+            concat(
+              slice(split(col("text"), "\\s+"), r + 1, 100000),
+              slice(split(col("text"), "\\s+"), 1, r))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+    }.reduce(_ unionByName _)
+    replicated.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.embeddings(spark, src)
+    val replicatedEmb = (0 until factor).map { i =>
+      if (i == 0) emb
+      else {
+        val r = i + 1
+        emb.select(
+          (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+          concat(
+            slice(col("embedding"), r + 1, 100000),
+            slice(col("embedding"), 1, r)).as("embedding"),
+          col("label"))
+      }
+    }.reduce(_ unionByName _)
+    replicatedEmb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    fs.createNewFile(): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.length > 0) args(0).toInt else 10
+    val out = if (args.length > 1) args(1) else s"/root/repo/target/sfx$factor"
+    val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    // optional 4th arg: comma-separated subset of `heavy` (chunked runs)
+    val names = if (args.length > 3) args(3).split(',').toSeq else heavy
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildFixture(spark, src, out, factor)
+    val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val byName = SparkEntry.defs.map(q => q.name -> q).toMap
+    names.foreach { name =>
+      val q = byName(name)
+      var best = Double.MaxValue
+      var rep = 0
+      var failed = false
+      while (rep < 2 && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          q.run(spark, out).write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            failed = true
+        }
+        spark.catalog.clearCache()
+        rep += 1
+      }
+      if (!failed) {
+        timings(name) = best
+        System.err.println(f"[scale] $name: $best%.2f s")
+      } else System.err.println(s"[scale] $name FAILED: ${errors(name)}")
+    }
+
+    // The production scaling knob, measured: IVF with nCells ∝ corpus
+    // size keeps cell cardinality constant, so per-query probe cost is
+    // flat and total batch cost grows ~linearly with |Q| — versus the
+    // fixed-param registry entry whose cells fatten with the corpus.
+    if (names.contains("ext_ivf_topk_batch")) {
+      val embS = spark.read.parquet(s"$out/embeddings.parquet")
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 2) {
+        val t0 = System.nanoTime()
+        graft.ext.Similarity
+          .ivfTopK(embS, queries = embS.select("vec_id"),
+            k = 10, nCells = 16 * factor, nProbe = 4)
+          .write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache()
+        rep += 1
+      }
+      timings("ext_ivf_topk_batch_tuned") = best
+      System.err.println(f"[scale] ext_ivf_topk_batch_tuned (nCells=${16 * factor}): $best%.2f s")
+    }
+
+    val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) =>
+      s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"").take(200)}"""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_stress","factor":$factor,"n_docs":$nDocs,"n_vecs":$nVecs,"queries":$qs,"errors":$es}""")
+    spark.stop()
+  }
+}
