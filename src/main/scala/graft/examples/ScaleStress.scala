@@ -154,6 +154,28 @@ object ScaleStress {
       System.err.println(f"[scale] ext_ivf_topk_batch_tuned (nCells=${16 * factor}): $best%.2f s")
     }
 
+    // Same demo for the BRP path: the collision rate (and so candidate
+    // volume per query) is governed by bucketLength — narrow it as the
+    // corpus densifies. Cost-only measurement; the recall/width
+    // trade-off is characterized in ExtSpec at oracle scale.
+    if (names.contains("ext_ann_topk_batch")) {
+      val embS = spark.read.parquet(s"$out/embeddings.parquet")
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 2) {
+        val t0 = System.nanoTime()
+        graft.ext.Similarity
+          .annTopK(embS, queries = embS.select("vec_id"),
+            k = 10, bucketLength = 0.05, numTables = 8, maxDistance = 2.0)
+          .write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache()
+        rep += 1
+      }
+      timings("ext_ann_topk_batch_tuned") = best
+      System.err.println(f"[scale] ext_ann_topk_batch_tuned (bucketLength=0.05): $best%.2f s")
+    }
+
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) =>
       s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"").take(200)}"""" }
