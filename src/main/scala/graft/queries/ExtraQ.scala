@@ -154,6 +154,37 @@ object ExtraQ {
         .orderBy("l_returnflag")
     },
 
+    // Ordered string aggregation — Spark 4.1's ANSI listagg(... ORDER
+    // BY) vs DuckDB's string_agg(... ORDER BY): a deterministic
+    // within-group concatenation (report/export shape). Cost is one
+    // two-phase agg; the per-group string is bounded by group
+    // cardinality (here: nations per region), never data-scale.
+    QueryDef(
+      "agg_listagg",
+      """SELECT r_name,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("nations"))
+    },
+
+    // Heavy hitters via the DataSketches frequent-items aggregate
+    // (Spark 4.1 approx_top_k): mergeable, bounded-memory top-k — the
+    // sketch the 100 TB "most common values" report uses instead of a
+    // full groupBy histogram. No oracle (sketch layout is
+    // implementation-defined); PipelineSpec asserts the returned set
+    // and counts equal the exact top-k on this low-cardinality column
+    // (where the sketch is provably exact), JSON-encoded for the
+    // comparator.
+    QueryDef.noOracle("agg_approx_top_k") { (s, d) =>
+      Tables.events(s, d)
+        .agg(to_json(expr("approx_top_k(event_type, 5)")).as("top5"))
+    },
+
     // Pivot: wide conditional aggregation. Spark's groupBy().pivot() with
     // explicit values (no extra distinct-values job — the form a
     // production pipeline uses); the oracle is the equivalent

@@ -83,6 +83,18 @@ class PipelineSpec extends SparkSpec {
       s"unioned=$unioned exact=$globalExact")
   }
 
+  test("approx_top_k returns the exact items+counts on a low-cardinality column") {
+    val js = q("agg_approx_top_k").first().getString(0)
+    val exact = Tables.events(spark, sf()).groupBy("event_type").count()
+      .orderBy(col("count").desc, col("event_type").asc).limit(5)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    exact.foreach { case (item, n) =>
+      assert(js.contains(s""""item":"$item","count":$n"""),
+        s"sketch missing exact heavy hitter $item=$n in: $js")
+    }
+  }
+
   test("agg_skew_kurt power-sum formulas match Spark's built-in skewness/kurtosis") {
     val ours = q("agg_skew_kurt").collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
