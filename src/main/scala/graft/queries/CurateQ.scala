@@ -211,6 +211,54 @@ object CurateQ {
         .limit(20)
     },
 
+    // The whole curation recipe as ONE query — quality-filter (C4
+    // flags) -> exact dedup (canonical = min doc_id per content
+    // fingerprint) -> per-source yield report (raw / post-quality /
+    // post-dedup counts). This is the funnel a corpus build reports at
+    // every ingest; the DuckDB twin verifies the full composition.
+    // Plan shape: per-row flags + fingerprint (narrow), ONE window
+    // partitioned by fingerprint (hash-shuffle on the dedup key), one
+    // groupBy(source) — exactly two shuffles at any scale.
+    QueryDef(
+      "doc_corpus_pipeline",
+      """WITH flags AS (
+        |  SELECT doc_id, source, text,
+        |         ((len(string_split_regex(text, '\s+')) BETWEEN 20 AND 1000)
+        |          AND (CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+        |                 / len(string_split_regex(text, '\s+')) >= 0.2)
+        |          AND NOT contains(text, 'lorem ipsum')) AS keep
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id, source, keep,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM flags),
+        |canon AS (
+        |  SELECT source, keep,
+        |         (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) AS is_canonical
+        |  FROM fp)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_raw,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |       CAST(SUM(CASE WHEN keep AND is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+        |FROM canon GROUP BY source""".stripMargin) { (s, d) =>
+      val flags = Tables.documents(s, d).select(
+        col("doc_id"), col("source"), col("text"),
+        (size(toks).between(20, 1000)
+          && (size(array_distinct(toks)).cast("double") / size(toks) >= 0.2)
+          && !col("text").contains("lorem ipsum")).as("keep"))
+      val fp = flags.select(col("doc_id"), col("source"), col("keep"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))
+          .as("fp"))
+      val canon = fp.select(col("source"), col("keep"),
+        (col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
+          .as("is_canonical"))
+      canon.groupBy("source").agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("bigint").as("n_quality"),
+        sum(when(col("keep") && col("is_canonical"), 1).otherwise(0)).cast("bigint")
+          .as("n_final"))
+    },
+
     // SemDeDup (cluster-then-verify semantic dedup). No oracle: the
     // k-means cell assignment has no DuckDB twin; CurateSpec plants
     // near-dup embeddings and asserts they collapse (recall), that
