@@ -49,21 +49,30 @@ object ScaleStress {
     if (fs.exists()) return
     new java.io.File(out).mkdirs()
 
+    // Seeded Fisher-Yates over the token sequence: the token HISTOGRAM
+    // (quality/repetition distributions) is preserved exactly, but
+    // every 3-gram shingle changes — a cyclic rotation would NOT do
+    // (it preserves all interior n-grams: measured Jaccard(base,
+    // rotated) ≈ 0.9, i.e. every replica a planted near-dup —
+    // ScaleStressSpec asserts the shuffled form stays < 0.5 for 99%).
+    val shuffleTokens = udf { (text: String, docId: Long, rep: Int) =>
+      val t = text.split("\\s+")
+      val r = new java.util.Random(docId * 1315423911L + rep)
+      var i = t.length - 1
+      while (i > 0) {
+        val j = r.nextInt(i + 1)
+        val tmp = t(i); t(i) = t(j); t(j) = tmp
+        i -= 1
+      }
+      t.mkString(" ")
+    }
     val docs = Tables.documents(spark, src)
     val replicated = (0 until factor).map { i =>
       if (i == 0) docs
-      else {
-        // rotate the token sequence by i+1: all shingles change, the
-        // token histogram (quality/repetition stats) is preserved
-        val r = i + 1
-        docs.select(
-          (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
-          concat_ws(" ",
-            concat(
-              slice(split(col("text"), "\\s+"), r + 1, 100000),
-              slice(split(col("text"), "\\s+"), 1, r))).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }
+      else docs.select(
+        (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+        shuffleTokens(col("text"), col("doc_id"), lit(i)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
     replicated.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
