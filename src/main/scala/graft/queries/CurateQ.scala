@@ -259,6 +259,33 @@ object CurateQ {
           .as("n_final"))
     },
 
+    // URL parsing (crawl-pipeline staple): Spark's parse_url HOST /
+    // PATH / QUERY-key extraction, cross-validated against an
+    // independent regexp oracle in DuckDB. The fixture has no URL
+    // column, so the URL is derived deterministically from fixture
+    // columns first — the parse is the operator under test. Per-row
+    // map, no shuffle.
+    QueryDef(
+      "fn_url",
+      """SELECT doc_id, url,
+        |       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |       regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1) AS path,
+        |       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS qlang
+        |FROM (
+        |  SELECT doc_id,
+        |         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+        |           || '?lang=' || lang AS url
+        |  FROM documents)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string"), lit("?lang="), col("lang")).as("url"))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("qlang"))
+    },
+
     // SemDeDup (cluster-then-verify semantic dedup). No oracle: the
     // k-means cell assignment has no DuckDB twin; CurateSpec plants
     // near-dup embeddings and asserts they collapse (recall), that

@@ -39,6 +39,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.cosineCandidatePairs(emptyEmb).count() == 0)
     assert(Dedup.cosineCanonical(emptyEmb).count() == 0)
     assert(Dedup.cosineCanonicalLsh(emptyEmb).count() == 0)
+    assert(Dedup.semanticCanonical(emptyEmb).count() == 0)
     assert(Similarity.annTopK(emptyEmb, Seq(1L, 2L)).count() == 0)
   }
 
