@@ -313,6 +313,53 @@ object Dedup {
     labelAll(emb, connectedComponents(edges), "vec_id")
   }
 
+  /** Incremental EMBEDDING near-dup ingest — the [[incrementalNearDups]]
+    * twin for the vector modality: composite LSH bucket keys
+    * ([[Similarity.hashedBuckets]], deterministic planes — both sides
+    * hash with the SAME seeded projections) are joined batch-vs-corpus,
+    * so candidates arise only BETWEEN the sides; collided pairs are
+    * verified with the exact codegen cosine. Output:
+    * (vec_corpus, vec_new, cos) for every batch vector whose true
+    * cosine against a corpus vector clears `threshold`.
+    *
+    * 100 TB posture: the corpus' bucket rows (numTables longs per
+    * vector) are the persistable index — each arriving batch hashes
+    * itself (narrow map) and joins against the index; cost scales with
+    * |batch| × collision-rate, never |corpus|². Assumes homogeneous
+    * embedding dimensions across both sides (each side's bucket UDF
+    * rejects heterogeneous rows; the cross-side verify would surface a
+    * mismatch loudly). Default params are the measured recall-1.0
+    * near-dup configuration of [[cosineCanonicalLsh]]. */
+  def incrementalCosineNearDups(
+      corpus: DataFrame,
+      batch: DataFrame,
+      threshold: Double = 0.9,
+      bucketLength: Double = 0.15,
+      numTables: Int = 12,
+      hashesPerTable: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val empty = corpus.sparkSession.emptyDataFrame
+      .select(lit(0L).as("vec_corpus"), lit(0L).as("vec_new"),
+        lit(0.0).as("cos")).limit(0)
+    (Similarity.hashedBuckets(corpus, bucketLength, numTables, hashesPerTable),
+      Similarity.hashedBuckets(batch, bucketLength, numTables, hashesPerTable)) match {
+      case (Some(hc), Some(hb)) =>
+        val cand = hc
+          .select(col("vec_id").as("vec_corpus"), col("tbl"), col("h"))
+          .join(hb.select(col("vec_id").as("vec_new"),
+              col("tbl").as("tbl_b"), col("h").as("h_b")),
+            col("tbl") === col("tbl_b") && col("h") === col("h_b"))
+          .select("vec_corpus", "vec_new").distinct()
+        val ec = corpus.select(col("vec_id").as("vec_corpus"), col("embedding").as("ea"))
+        val eb = batch.select(col("vec_id").as("vec_new"), col("embedding").as("eb"))
+        cand.join(ec, "vec_corpus").join(eb, "vec_new")
+          .withColumn("cos", expr("cosine_sim(ea, eb)"))
+          .filter(col("cos") >= threshold)
+          .select("vec_corpus", "vec_new", "cos")
+      case _ => empty
+    }
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the unit-normalized embeddings
     * ([[Similarity.assignCells]]), compare pairs ONLY within a cluster

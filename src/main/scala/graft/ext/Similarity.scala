@@ -161,7 +161,7 @@ object Similarity {
     * long (combining collisions only ADD candidates, and candidates are
     * exact-verified downstream — recall is never lost). None when the
     * corpus is empty (no row to sample the dimension from). */
-  private def hashedBuckets(
+  private[graft] def hashedBuckets(
       emb: DataFrame,
       bucketLength: Double,
       numTables: Int,

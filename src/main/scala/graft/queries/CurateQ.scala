@@ -297,6 +297,26 @@ object CurateQ {
       graft.ext.Dedup.semanticCanonical(
         Tables.embeddings(s, d).select("vec_id", "embedding"),
         threshold = 0.9, nCells = 16)
+    },
+
+    // Incremental EMBEDDING near-dup ingest — the vector twin of
+    // doc_incremental_neardups: batch-vs-corpus LSH bucket join, exact
+    // cosine verify, candidates only BETWEEN the sides. The fixture has
+    // no embedding near-dups, so the batch re-ingests every 10th vector
+    // with small seeded noise (near-dups by construction, the
+    // deployment's re-crawl shape); DedupSpec asserts full recall on
+    // the planted set and zero matches for a decorrelated batch.
+    QueryDef.noOracle("emb_incremental_neardups") { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val noisy = udf { (id: Long, e: Seq[Float]) =>
+        val r = new java.util.Random(id)
+        val scale = 0.05 * math.sqrt(e.map(x => x.toDouble * x).sum / e.length)
+        e.map(x => (x + r.nextGaussian() * scale).toFloat)
+      }
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(5000000L)).as("vec_id"),
+          noisy(col("vec_id"), col("embedding")).as("embedding"))
+      graft.ext.Dedup.incrementalCosineNearDups(emb, batch)
     }
   )
 }

@@ -124,6 +124,38 @@ class DedupSpec extends SparkSpec {
     assert(frac < 0.10, f"candidate fraction $frac%.3f — LSH is not pruning")
   }
 
+  test("incremental embedding ingest: planted batch fully matched, decorrelated batch untouched") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val noisy = udf { (id: Long, e: Seq[Float]) =>
+      val r = new java.util.Random(id)
+      val scale = 0.05 * math.sqrt(e.map(x => x.toDouble * x).sum / e.length)
+      e.map(x => (x + r.nextGaussian() * scale).toFloat)
+    }
+    val planted = emb.filter(col("vec_id") % 10 === 0).limit(40)
+      .select((col("vec_id") + lit(5000000L)).as("vec_id"),
+        noisy(col("vec_id"), col("embedding")).as("embedding"))
+    val matches = Dedup.incrementalCosineNearDups(emb, planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every planted vector is found, and is matched to its own origin
+    val matchedNew = matches.map(_._2).toSet
+    val nPlanted = planted.count()
+    assert(matchedNew.size == nPlanted,
+      s"recall: matched ${matchedNew.size} of $nPlanted planted batch vectors")
+    matches.foreach { case (corpusId, newId, cos) =>
+      if (corpusId == newId - 5000000L)
+        assert(cos >= 0.9, s"origin match for $newId at cos $cos")
+    }
+    assert(matches.count { case (c, n, _) => c == n - 5000000L } == nPlanted)
+
+    // a coordinate-rotated batch decorrelates from the corpus: no matches
+    val rotated = emb.filter(col("vec_id") % 10 === 0).limit(40)
+      .select((col("vec_id") + lit(6000000L)).as("vec_id"),
+        concat(slice(col("embedding"), 3, 100000),
+          slice(col("embedding"), 1, 2)).as("embedding"))
+    assert(Dedup.incrementalCosineNearDups(emb, rotated).count() == 0)
+  }
+
   test("canonicalDocs: every doc mapped; canonical is the component min") {
     val docs = Tables.documents(spark, sf())
     val out = Dedup.canonicalDocs(docs).collect()
