@@ -286,6 +286,25 @@ object CurateQ {
           parse_url(col("url"), lit("QUERY"), lit("lang")).as("qlang"))
     },
 
+    // Remaining portable string surface: field extraction (split_part)
+    // and prefix/suffix predicates — the provenance-string parsing a
+    // pipeline does on source/shard labels. Per-row map.
+    QueryDef(
+      "fn_string_parts",
+      """SELECT doc_id,
+        |       split_part(source, 'c', 1) AS src_head,
+        |       split_part(source, 'c', 2) AS src_tail,
+        |       starts_with(source, 'src1') AS is_src1x,
+        |       ends_with(source, '0') AS ends_zero
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        split_part(col("source"), lit("c"), lit(1)).as("src_head"),
+        split_part(col("source"), lit("c"), lit(2)).as("src_tail"),
+        col("source").startsWith("src1").as("is_src1x"),
+        col("source").endsWith("0").as("ends_zero"))
+    },
+
     // SemDeDup (cluster-then-verify semantic dedup). No oracle: the
     // k-means cell assignment has no DuckDB twin; CurateSpec plants
     // near-dup embeddings and asserts they collapse (recall), that
