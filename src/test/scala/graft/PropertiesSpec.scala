@@ -63,4 +63,66 @@ class PropertiesSpec extends SparkSpec {
     val b = Seq((1, "b1"), (1, "b2")).toDF("k", "bv")
     assert(a.join(b, "k").count() == 4) // 2x2 for k=1
   }
+
+  test("histogram-derived curation metrics are token-permutation invariant") {
+    // entropy, TTR, top-unigram-frac, fingerprint-of-sorted-tokens are
+    // functions of the token MULTISET — a seeded shuffle of every doc's
+    // tokens must leave them bit-identical. Run the actual registry
+    // queries against a shuffled-twin fixture dir to test the shipped
+    // expressions, not a re-derivation.
+    val shuffleTokens = udf { (text: String, docId: Long) =>
+      val t = text.split("\\s+")
+      val r = new java.util.Random(docId * 2654435761L + 17)
+      var i = t.length - 1
+      while (i > 0) {
+        val j = r.nextInt(i + 1)
+        val tmp = t(i); t(i) = t(j); t(j) = tmp
+        i -= 1
+      }
+      t.mkString(" ")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("perm-docs").toString
+    Tables.documents(spark, sf())
+      .withColumn("text", shuffleTokens(col("text"), col("doc_id")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def metric(name: String, d: String): Map[Long, String] =
+      SparkEntry.queries(name)(spark, d)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).mkString("|")).toMap
+
+    for (q <- Seq("doc_token_entropy", "doc_token_stats")) {
+      val base = metric(q, sf())
+      val perm = metric(q, dir)
+      assert(base.keySet == perm.keySet)
+      val diff = base.collect { case (id, v) if perm(id) != v => id }
+      assert(diff.isEmpty, s"$q changed under permutation for docs ${diff.take(3)}")
+    }
+    // top_unigram_frac is multiset-derived; bigram/run metrics are NOT —
+    // assert only the invariant column of doc_repetition
+    val baseTop = SparkEntry.queries("doc_repetition")(spark, sf())
+      .select("doc_id", "top_unigram_frac")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val permTop = SparkEntry.queries("doc_repetition")(spark, dir)
+      .select("doc_id", "top_unigram_frac")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(baseTop == permTop, "top_unigram_frac changed under permutation")
+  }
+
+  test("cosine_sim is symmetric, bounded, and 1.0 on itself") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf()).limit(50)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+      .select(expr("cosine_sim(ea, eb)").as("ab"), expr("cosine_sim(eb, ea)").as("ba"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (ab, ba) = (r.getDouble(0), r.getDouble(1))
+      assert(ab == ba, s"asymmetric: $ab vs $ba")
+      assert(ab >= -1.0000001 && ab <= 1.0000001, s"out of range: $ab")
+    }
+    emb.select(expr("cosine_sim(embedding, embedding)").as("s")).collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
 }
