@@ -161,6 +161,29 @@ object ScaleStress {
       }
       timings("ext_ivf_topk_batch_tuned") = best
       System.err.println(f"[scale] ext_ivf_topk_batch_tuned (nCells=${16 * factor}): $best%.2f s")
+
+      // the cost claim above is honest only next to a recall number at
+      // the SAME scale: 50-query sample, tuned-IVF top-10 vs the exact
+      // brute-force top-10 (1M-pair cross join — probe-sized, not a
+      // benchmark)
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val qids = embS.select("vec_id").orderBy("vec_id").limit(50)
+      val qside = embS.join(broadcast(qids), "vec_id")
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val corpus = embS.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val exact = broadcast(qside).join(corpus, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), expr("cosine_sim(qe, ce)").as("cos"))
+        .groupBy("qid").agg(expr("topk_by_score(cos, cid, 10)").as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = graft.ext.Similarity
+        .ivfTopK(embS, queries = qids, k = 10, nCells = 16 * factor, nProbe = 4)
+        .select("qid", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (ivf & exact).size.toDouble / math.max(exact.size, 1)
+      timings("ext_ivf_topk_batch_tuned_recall") = recall
+      System.err.println(f"[scale] tuned-IVF recall@10 vs exact: $recall%.3f")
     }
 
     // Same demo for the BRP path: the collision rate (and so candidate
