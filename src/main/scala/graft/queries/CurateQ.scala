@@ -305,6 +305,35 @@ object CurateQ {
         col("source").endsWith("0").as("ends_zero"))
     },
 
+    // Raw-SQL surface: every other entry declares its plan through the
+    // DataFrame API; this one goes through spark.sql() over registered
+    // temp views — the same SQL text (modulo the decimal-exactness
+    // casts both engines share) runs on both engines, demonstrating
+    // the SQL entry point end-users get. A TPC-H-Q3-shaped star join.
+    QueryDef(
+      "sql_passthrough_revenue",
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderpriority,
+          |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+          |       CAST(COUNT(*) AS BIGINT) AS n_items
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderpriority""".stripMargin)
+    },
+
     // SemDeDup (cluster-then-verify semantic dedup). No oracle: the
     // k-means cell assignment has no DuckDB twin; CurateSpec plants
     // near-dup embeddings and asserts they collapse (recall), that
