@@ -213,4 +213,38 @@ class StreamingWindowsSpec extends SparkSpec {
     val rows = spark.table("stj").collect().map(r => (r.getString(0), r.getString(3))).toSeq
     assert(rows == Seq(("u1", "gold")), rows.mkString(";")) // u3 has no static match
   }
+
+  test("streaming heavy hitters: mergeable approx_top_k sketch in a windowed agg") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the 100 TB streaming report shape: per-window top-k via a
+    // MERGEABLE sketch aggregate — partials fold across micro-batches
+    // and partitions without keeping the full histogram in state
+    val in = MemoryStream[Ev]
+    val q = in.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(expr("approx_top_k(user, 2)").as("top"))
+      .select(col("window.start").as("ws"), to_json(col("top")).as("top"))
+      .writeStream.format("memory").queryName("hh")
+      .option("checkpointLocation", ckpt("ck-hh"))
+      .outputMode("append").start()
+
+    // u1 x3 and u2 x2 in window [0,5), split ACROSS micro-batches so the
+    // sketch must merge state, plus a singleton u3
+    in.addData(Ev(ts(1), "u1", 1), Ev(ts(2), "u2", 1), Ev(ts(3), "u1", 1))
+    q.processAllAvailable()
+    in.addData(Ev(ts(4), "u1", 1), Ev(ts(4), "u2", 1), Ev(ts(4), "u3", 1))
+    q.processAllAvailable()
+    in.addData(Ev(ts(30), "u9", 1)) // advance watermark: close [0,5)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("hh").collect()
+      .map(r => r.getTimestamp(0).getTime / 60000 -> r.getString(1)).toMap
+    val top = rows(0L)
+    assert(top.contains(""""item":"u1","count":3"""), s"window [0,5) top: $top")
+    assert(top.contains(""""item":"u2","count":2"""), s"window [0,5) top: $top")
+    assert(!top.contains("u3"), s"k=2 must exclude the singleton: $top")
+  }
 }
