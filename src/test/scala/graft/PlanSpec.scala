@@ -104,6 +104,54 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("doc_corpus_pipeline plans exactly two shuffles (dedup key + source rollup)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // sparkPlan predates EnsureRequirements (no exchanges yet) and AQE
+    // hides the inner plan — assert on the non-adaptive executedPlan
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("doc_corpus_pipeline")(spark, sf())
+      val n = df.queryExecution.executedPlan
+        .collect { case _: ShuffleExchangeExec => 1 }.sum
+      assert(n == 2, s"expected 2 shuffles, got $n:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("incremental embedding ingest: batch side broadcasts, one data shuffle") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    spark.catalog.clearCache()
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val batch = emb.limit(20)
+      .select((org.apache.spark.sql.functions.col("vec_id") + 9000000L).as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val df = graft.ext.Dedup.incrementalCosineNearDups(emb, batch)
+    // the broadcast decision is AQE's (runtime stats for the tiny batch
+    // side) — execute, then inspect the FINAL adaptive plan
+    df.write.format("noop").mode("overwrite").save()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE materializes shuffle stages before demoting joins to
+    // broadcast, so bypassed exchanges linger in the final plan — an
+    // exact shuffle count is not stable. The invariants that matter:
+    // the batch side broadcasts, nothing degrades to an all-pairs
+    // product, and shuffles stay bounded (candidate distinct + at most
+    // the AQE-materialized join inputs).
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val nShuffle = finalPlan.collect { case _: ShuffleExchangeLike => 1 }.sum
+    val nBroadcast = finalPlan.collect { case _: BroadcastExchangeLike => 1 }.sum
+    val nProduct = finalPlan.collect {
+      case _: CartesianProductExec => 1
+      case _: BroadcastNestedLoopJoinExec => 1
+    }.sum
+    assert(nProduct == 0, s"all-pairs product in the plan:\n$finalPlan")
+    assert(nBroadcast >= 1, s"batch side is not broadcast:\n$finalPlan")
+    assert(nShuffle <= 4, s"unbounded shuffling crept in ($nShuffle):\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
