@@ -334,6 +334,29 @@ object CurateQ {
           |GROUP BY o_orderpriority""".stripMargin)
     },
 
+    // Null-preserving explode (explode_outer): rows with NULL or empty
+    // arrays survive as one NULL-element row — the join-back-safe
+    // flatten a pipeline needs when the array is optional. Oracle is
+    // DuckDB's LEFT JOIN LATERAL unnest, which has identical
+    // semantics for both degenerate shapes.
+    QueryDef(
+      "fn_explode_outer",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN NULL
+        |              WHEN doc_id % 7 = 1 THEN []
+        |              ELSE string_split_regex(text, '\s+')[1:3] END AS arr
+        |  FROM documents)
+        |SELECT doc_id, u.tok FROM t
+        |LEFT JOIN LATERAL (SELECT unnest(arr) AS tok) u ON TRUE""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("array<string>"))
+            .when(col("doc_id") % 7 === 1, array().cast("array<string>"))
+            .otherwise(slice(toks, 1, 3)).as("arr"))
+        .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+    },
+
     // SemDeDup (cluster-then-verify semantic dedup). No oracle: the
     // k-means cell assignment has no DuckDB twin; CurateSpec plants
     // near-dup embeddings and asserts they collapse (recall), that
