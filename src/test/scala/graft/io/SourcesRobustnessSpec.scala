@@ -40,6 +40,40 @@ class SourcesRobustnessSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { failfast.collect() }
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq-evolve").toString
+    // generation 1: (id, name); generation 2 adds score
+    Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+      .write.parquet(s"$dir/g=1")
+    Seq((3L, "carol", 0.9)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/g=2")
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "g"))
+    assert(merged.count() == 3)
+    // old-generation rows surface the new column as NULL, not an error
+    assert(merged.filter("score IS NULL").count() == 2)
+    assert(merged.filter("id = 3 AND score = 0.9").count() == 1)
+  }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq-dyn").toString
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq(("a", 1), ("a", 2), ("b", 10)).toDF("p", "v")
+        .write.partitionBy("p").mode("overwrite").parquet(dir)
+      // overwrite ONLY partition a; b must survive (static mode would drop it)
+      Seq(("a", 99)).toDF("p", "v")
+        .write.partitionBy("p").mode("overwrite").parquet(dir)
+      val rows = spark.read.parquet(dir).collect()
+        .map(r => r.getString(1) -> r.getInt(0)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(rows == Map("a" -> Seq(99), "b" -> Seq(10)), rows.toString)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("JSON: PERMISSIVE quarantines syntax errors and schema violations") {
     val dir = Files.createTempDirectory("json-bad").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/part.json"),
