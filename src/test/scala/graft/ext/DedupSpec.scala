@@ -122,6 +122,13 @@ class DedupSpec extends SparkSpec {
     val nCand = Similarity.cosineCandidatePairs(corpus).count()
     val frac = nCand.toDouble / (n * (n - 1) / 2)
     assert(frac < 0.10, f"candidate fraction $frac%.3f — LSH is not pruning")
+
+    // the density knob (SCALE.md "Measured scale curve"): tightening the
+    // AND-amplification to 8 projections per table must NOT cost recall
+    // in the near-dup regime — 12 OR tables give margin
+    val tight = toMap(Dedup.cosineCanonicalLsh(corpus, threshold = 0.9, hashesPerTable = 8))
+    assert(tight == exact,
+      s"hashesPerTable=8 lost recall on ${tight.count { case (k, v) => exact(k) != v }} ids")
   }
 
   test("incremental embedding ingest: planted batch fully matched, decorrelated batch untouched") {
