@@ -152,6 +152,23 @@ class PlanSpec extends SparkSpec {
     assert(nShuffle <= 4, s"unbounded shuffling crept in ($nShuffle):\n$finalPlan")
   }
 
+  test("nested schema pruning: one struct field read, payload column untouched") {
+    import org.apache.spark.sql.functions._
+    // the multimodal contract: metadata-only queries must not read the
+    // binary payload OR the unused struct fields from parquet
+    val dir = java.nio.file.Files.createTempDirectory("nested-prune").toString
+    spark.range(100)
+      .select(col("id"),
+        struct(concat(lit("s"), col("id")).as("a"), col("id").as("b")).as("meta"),
+        concat(lit("payload-"), col("id")).cast("binary").as("payload"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).select(col("meta.a"))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ReadSchema: struct<meta:struct<a:string>>"),
+      "scan should read ONLY meta.a:\n" + p.take(1200))
+    assert(!p.contains("payload"), "payload column leaked into the scan:\n" + p.take(1200))
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
