@@ -370,6 +370,17 @@ object CurateQ {
         threshold = 0.9, nCells = 16)
     },
 
+    // Similar-document retrieval ("more like this"): TF-IDF cosine
+    // top-k for a query set, broadcast-query / streaming-corpus /
+    // bounded-heap shape. No oracle (spark.ml IDF weighting has no
+    // DuckDB twin); ExtSpec asserts near-dup partners rank at the top
+    // and the output is k-bounded and score-sorted.
+    QueryDef.noOracle("ext_similar_docs") { (s, d) =>
+      import s.implicits._
+      graft.ext.Similarity.similarDocsTopK(
+        Tables.documents(s, d), Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id"), k = 10)
+    },
+
     // Incremental EMBEDDING near-dup ingest — the vector twin of
     // doc_incremental_neardups: batch-vs-corpus LSH bucket join, exact
     // cosine verify, candidates only BETWEEN the sides. The fixture has

@@ -126,4 +126,34 @@ class ExtSpec extends SparkSpec {
     val v = vecs.head.toArray.filter(_ != 0)
     assert(v.distinct.length > 1 || vecs.length == 1)
   }
+
+  test("similar-docs retrieval: planted near-copies rank first, output k-bounded and sorted") {
+    import spark.implicits._
+    // the word-salad fixture's shared vocabulary makes unigram TF-IDF a
+    // weak signal between arbitrary docs, so plant unambiguous truth:
+    // a copy of each query doc with every 5th token dropped (80% token
+    // overlap) MUST be its nearest lexical neighbor
+    val docs = Tables.documents(spark, sf())
+    val thin = udf { (text: String) =>
+      text.split("\\s+").zipWithIndex.collect { case (t, i) if i % 5 != 0 => t }
+        .mkString(" ")
+    }
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val planted = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"),
+        thin(col("text")).as("text"), col("lang"), col("source"), col("n_chars"))
+    val corpus = docs.unionByName(planted)
+
+    val top = Similarity.similarDocsTopK(corpus, queries.toDF("doc_id"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    queries.foreach { q =>
+      val rows = top(q).sortBy(-_._3)
+      assert(rows.length <= 10 && rows.nonEmpty)
+      assert(rows.forall(r => r._3 >= -1e-9 && r._3 <= 1.0 + 1e-9))
+      assert(rows.forall(_._2 != q), "self must be excluded")
+      assert(rows.head._2 == q + 100000L,
+        s"query $q: planted copy not rank-1, got ${rows.take(3).mkString(";")}")
+    }
+  }
 }
