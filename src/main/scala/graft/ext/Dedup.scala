@@ -313,6 +313,30 @@ object Dedup {
     labelAll(emb, connectedComponents(edges), "vec_id")
   }
 
+  /** Canonical selection by QUALITY: same near-dup closure as
+    * [[canonicalDocs]], but the kept document per duplicate group is
+    * the argmax of `scoreCol` (tiebreak: min doc_id) instead of the
+    * min id — the policy a real corpus build uses (keep the longest /
+    * highest-quality member, drop the rest). Output:
+    * (doc_id, group_id, score, keep). One extra window over the
+    * component key beyond [[canonicalDocs]] — same shuffle count. */
+  def canonicalDocsKeepBest(
+      docs: DataFrame,
+      scoreCol: String = "n_chars",
+      threshold: Double = 0.5,
+      dfCap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(nearDupEdges(docs, threshold, dfCap))
+    val labeled = docs.select(col("doc_id"), col(scoreCol).as("score"))
+      .join(comp.select(col("node").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("component"), col("doc_id")))
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    labeled
+      .withColumn("keep", org.apache.spark.sql.functions.row_number().over(w) === 1)
+      .select("doc_id", "group_id", "score", "keep")
+  }
+
   /** Incremental EMBEDDING near-dup ingest — the [[incrementalNearDups]]
     * twin for the vector modality: composite LSH bucket keys
     * ([[Similarity.hashedBuckets]], deterministic planes — both sides

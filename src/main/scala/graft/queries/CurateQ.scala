@@ -370,6 +370,50 @@ object CurateQ {
         threshold = 0.9, nCells = 16)
     },
 
+    // Dedup with a QUALITY keep-policy: same near-dup closure as
+    // doc_dedup_pipeline, but the kept member per duplicate group is
+    // the LONGEST doc (tiebreak min id) — the policy a real corpus
+    // build ships. The recursive-CTE oracle recomputes the closure AND
+    // the argmax selection, so the whole policy is hash-verified.
+    QueryDef(
+      "doc_dedup_keep_best",
+      """WITH RECURSIVE sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+        |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+        |  FROM documents),
+        |df AS (SELECT shingle, COUNT(*) AS c FROM sh0 GROUP BY shingle),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN df USING (shingle) WHERE df.c <= 20),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN n na ON na.doc_id = doc_a
+        |  JOIN n nb ON nb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node),
+        |canon AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+        |labeled AS (
+        |  SELECT d.doc_id, d.n_chars AS score,
+        |         COALESCE(c.comp, d.doc_id) AS group_id
+        |  FROM documents d LEFT JOIN canon c ON c.node = d.doc_id)
+        |SELECT doc_id, group_id, score,
+        |       (ROW_NUMBER() OVER (PARTITION BY group_id
+        |          ORDER BY score DESC, doc_id ASC) = 1) AS keep
+        |FROM labeled""".stripMargin) { (s, d) =>
+      graft.ext.Dedup.canonicalDocsKeepBest(Tables.documents(s, d))
+    },
+
     // Similar-document retrieval ("more like this"): TF-IDF cosine
     // top-k for a query set, broadcast-query / streaming-corpus /
     // bounded-heap shape. No oracle (spark.ml IDF weighting has no
