@@ -36,6 +36,13 @@ object CurateQ {
     Tables.documents(s, d)
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
 
+  /** doc_id + exploded DISTINCT word-3-gram shingles (the compiled UDF
+    * of the dedup family — bit-identical to the DuckDB
+    * list_distinct(list_transform(...)) oracle expression). */
+  private def shingledAll(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(col("doc_id"),
+      explode(graft.functions.TextShingles.shingle3(toks)).as("shingle"))
+
   private val wDoc = Window.partitionBy("doc_id").orderBy("pos")
 
   val all: Seq[QueryDef] = Seq(
@@ -368,6 +375,56 @@ object CurateQ {
       graft.ext.Dedup.semanticCanonical(
         Tables.embeddings(s, d).select("vec_id", "embedding"),
         threshold = 0.9, nCells = 16)
+    },
+
+    // Benchmark DECONTAMINATION: flag corpus docs whose shingle overlap
+    // with an eval set exceeds a threshold (the n-gram-collision test
+    // every serious pretraining build runs before training; here the
+    // "benchmark" is the deterministic doc_id%25=0 slice standing in
+    // for an eval suite). Plan shape: shingle equi-join corpus-vs-
+    // benchmark only (benchmark side is small -> broadcast at scale),
+    // one count per (doc, bench) pair, one per-doc max — never
+    // corpus×corpus.
+    QueryDef(
+      "doc_decontaminate",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+        |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+        |  FROM documents),
+        |bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 25 = 0),
+        |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 25 <> 0),
+        |hits AS (
+        |  SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        |  GROUP BY c.doc_id, b.bench_id),
+        |worst AS (
+        |  SELECT doc_id,
+        |         MAX(n_common) AS max_overlap,
+        |         CAST(COUNT(*) AS BIGINT) AS n_bench_hit
+        |  FROM hits GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       COALESCE(w.max_overlap, 0) AS max_overlap,
+        |       COALESCE(w.n_bench_hit, 0) AS n_bench_hit,
+        |       COALESCE(w.max_overlap, 0) >= 5 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+        |LEFT JOIN worst w ON w.doc_id = d.doc_id""".stripMargin) { (s, d) =>
+      val sh = shingledAll(s, d)
+      val bench = sh.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"), col("shingle"))
+      val corpus = sh.filter(col("doc_id") % 25 =!= 0)
+      val worst = corpus.join(bench, "shingle")
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_common"))
+        .groupBy("doc_id")
+        .agg(max("n_common").as("max_overlap"), count(lit(1)).as("n_bench_hit"))
+      Tables.documents(s, d).filter(col("doc_id") % 25 =!= 0).select("doc_id")
+        .join(worst, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("max_overlap"), lit(0L)).as("max_overlap"),
+          coalesce(col("n_bench_hit"), lit(0L)).as("n_bench_hit"),
+          (coalesce(col("max_overlap"), lit(0L)) >= 5).as("contaminated"))
     },
 
     // Dedup with a QUALITY keep-policy: same near-dup closure as
