@@ -35,6 +35,8 @@ object ScaleStress {
     "doc_simhash",
     "doc_ngram_jaccard",
     "doc_dedup_pipeline",
+    "doc_dedup_keep_best",
+    "doc_decontaminate",
     "doc_lsh_verified_dedup",
     "doc_incremental_neardups",
     "doc_repetition",
