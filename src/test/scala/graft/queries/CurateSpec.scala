@@ -83,6 +83,24 @@ class CurateSpec extends SparkSpec {
     assert(rows.exists(_.getInt(3) > 1))
   }
 
+  test("decontamination flags the benchmark slice's near-dups and nothing degenerate") {
+    val rows = q("doc_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // benchmark docs themselves are excluded from the corpus side
+    assert(rows.forall(_._1 % 25 != 0))
+    // flag is exactly the threshold predicate
+    rows.foreach { case (id, maxOv, nHit, flag) =>
+      assert(flag == (maxOv >= 5), s"doc $id: flag $flag vs max_overlap $maxOv")
+      assert((maxOv == 0) == (nHit == 0))
+    }
+    // the fixture's planted near-dup clusters cross the %25 boundary,
+    // so contamination must actually fire
+    assert(rows.exists(_._4), "no contaminated docs found — detector is dead")
+    // ...and not on everything (word-salad background shares few rare shingles)
+    assert(rows.count(_._4) < rows.length / 2, "detector flags half the corpus")
+  }
+
   test("c4_filter: keep is exactly the conjunction of its flags") {
     val rows = q("doc_c4_filter").collect()
     assert(rows.nonEmpty)
