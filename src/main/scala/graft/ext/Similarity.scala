@@ -4,6 +4,7 @@ import org.apache.spark.ml.feature.{HashingTF, IDF, MinHashLSH, RegexTokenizer, 
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** spark.ml-backed similarity / text-analysis operators (SURVEY §2.3
   * "Extension operators"). These are the scale paths; the exact
@@ -388,6 +389,42 @@ object Similarity {
     val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tf)
     idfModel.transform(tf).select("doc_id", "tfidf")
   }
+
+  /** Exact-term TF-IDF weights `(doc_id, t, w)`: raw whitespace tokens,
+    * tf = in-doc count, smooth idf = ln((n+1)/(df+1)) + 1. The idf is
+    * quantized to a DECIMAL(9,6) grid BEFORE any multiplication, so every
+    * downstream sum (L2 norms, cosine numerators) is exact decimal
+    * arithmetic — order-independent and bit-identical between Spark and
+    * the DuckDB oracle (the [[graft.Det]] discipline, extended through a
+    * transcendental: ln() is the only double op, and 6-dp rounding
+    * absorbs any cross-engine libm ulp).
+    *
+    * This is the fully oracle-paired twin of the hashed [[tfidf]] path:
+    * exact terms cost one vocabulary-keyed shuffle for df (fine — df is
+    * the classic map-side-combinable agg), where HashingTF is
+    * shuffle-free per row; at 100 TB either works, the hashed form just
+    * caps state at numFeatures. */
+  def tfidfExactTerms(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val ndocs = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "t")
+      .crossJoin(broadcast(ndocs))
+      .select(col("doc_id"), col("t"),
+        (col("c").cast(DecimalType(9, 0)) *
+          round(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + 1, 6)
+            .cast(DecimalType(9, 6)))
+          .cast(DecimalType(18, 6)).as("w"))
+  }
+
+  /** Per-doc L2 norms of [[tfidfExactTerms]] weights: `(doc_id, l2)`.
+    * The sum of squares stays exact decimal; the one double op (sqrt)
+    * is IEEE-correctly-rounded in both engines, so the output double is
+    * bit-identical to the oracle's. */
+  def tfidfExactL2(w: DataFrame): DataFrame =
+    w.groupBy("doc_id").agg(
+      sqrt(sum(col("w") * col("w")).cast(DecimalType(20, 6)).cast("double")).as("l2"))
 
   /** Similar-document retrieval: TF-IDF cosine top-k over the corpus
     * for a DataFrame of query doc_ids. The lexical "more like this"

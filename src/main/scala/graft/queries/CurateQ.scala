@@ -472,14 +472,74 @@ object CurateQ {
     },
 
     // Similar-document retrieval ("more like this"): TF-IDF cosine
-    // top-k for a query set, broadcast-query / streaming-corpus /
-    // bounded-heap shape. No oracle (spark.ml IDF weighting has no
-    // DuckDB twin); ExtSpec asserts near-dup partners rank at the top
-    // and the output is k-bounded and score-sorted.
-    QueryDef.noOracle("ext_similar_docs") { (s, d) =>
-      import s.implicits._
-      graft.ext.Similarity.similarDocsTopK(
-        Tables.documents(s, d), Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id"), k = 10)
+    // top-10 for query docs 0-4 over EXACT terms (VERDICT r5 item 2:
+    // no_oracle -> hash-matched). Decimal-grid weights make the cosine
+    // numerator and both L2 sums exact decimal; the only double ops
+    // (sqrt, one multiply, one divide) are IEEE-identical in both
+    // engines. Ties break on cid via row_number, so top-10 is
+    // deterministic. The broadcast-query bounded-heap spark.ml variant
+    // (Similarity.similarDocsTopK) remains the 2^18-hashed scale path,
+    // recall-tested in ExtSpec.
+    QueryDef(
+      "ext_similar_docs",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY doc_id, t),
+        |dfreq AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        |ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.t,
+        |         CAST(CAST(tf.c AS DECIMAL(9,0)) *
+        |              CAST(ROUND(ln((n + 1.0) / (df + 1.0)) + 1, 6) AS DECIMAL(9,6))
+        |              AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN ndocs),
+        |l2 AS (
+        |  SELECT doc_id,
+        |         sqrt(CAST(CAST(SUM(w * w) AS DECIMAL(20,6)) AS DOUBLE)) AS l2
+        |  FROM w GROUP BY doc_id),
+        |num AS (
+        |  SELECT a.doc_id AS qid, b.doc_id AS cid,
+        |         CAST(CAST(SUM(a.w * b.w) AS DECIMAL(20,6)) AS DOUBLE) AS num
+        |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id IN (0, 1, 2, 3, 4)
+        |  GROUP BY 1, 2),
+        |cosv AS (
+        |  SELECT qid, cid, num / (ql.l2 * cl.l2) AS cos
+        |  FROM num
+        |  JOIN l2 ql ON ql.doc_id = qid
+        |  JOIN l2 cl ON cl.doc_id = cid
+        |  WHERE ql.l2 > 0 AND cl.l2 > 0)
+        |SELECT qid, cid, cos FROM (
+        |  SELECT qid, cid, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |  FROM cosv)
+        |WHERE rk <= 10""".stripMargin) { (s, d) =>
+      val w = graft.ext.Similarity.tfidfExactTerms(Tables.documents(s, d))
+      val l2 = graft.ext.Similarity.tfidfExactL2(w)
+      // query side = 5 docs' terms -> broadcast; corpus streams once
+      val q = w.filter(col("doc_id").isin(0L, 1L, 2L, 3L, 4L))
+        .select(col("doc_id").as("qid"), col("t"), col("w").as("wq"))
+      val num = broadcast(q)
+        .join(w.select(col("doc_id").as("cid"), col("t"), col("w").as("wc")), Seq("t"))
+        .filter(col("qid") =!= col("cid"))
+        .groupBy("qid", "cid")
+        .agg(sum(col("wq") * col("wc"))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6)).cast("double").as("num"))
+      val ql = l2.select(col("doc_id").as("qid"), col("l2").as("l2q"))
+      val cl = l2.select(col("doc_id").as("cid"), col("l2").as("l2c"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      num.join(broadcast(ql), "qid").join(cl, "cid")
+        .filter(col("l2q") > 0 && col("l2c") > 0)
+        .withColumn("cos", col("num") / (col("l2q") * col("l2c")))
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 10)
+        .select("qid", "cid", "cos")
+        .orderBy("qid", "cid")
     },
 
     // Incremental EMBEDDING near-dup ingest — the vector twin of

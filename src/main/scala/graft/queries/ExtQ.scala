@@ -62,16 +62,39 @@ object ExtQ {
       docs.stat.sampleBy("lang", fractions, 42L).select("doc_id", "lang").orderBy("doc_id")
     },
 
-    QueryDef.noOracle("ext_tfidf_stats") { (s, d) =>
-      // O(nnz) per row — never densify a 2^18-dim sparse vector
-      val toStats = udf { (v: org.apache.spark.ml.linalg.Vector) =>
-        var ss = 0.0
-        v.foreachActive((_, x) => ss += x * x)
-        (v.numNonzeros, math.sqrt(ss))
-      }
-      Similarity.tfidf(Tables.documents(s, d))
-        .select(col("doc_id"), toStats(col("tfidf")).as("s"))
-        .select(col("doc_id"), col("s._1").as("nnz"), col("s._2").as("l2"))
+    // Per-doc TF-IDF vector stats over EXACT terms (VERDICT r5 item 2:
+    // converted from no_oracle to hash-matched). tf = in-doc token count,
+    // smooth idf quantized to a DECIMAL(9,6) grid so the L2 sum is exact
+    // decimal in both engines; sqrt is IEEE-exact. The hashed
+    // Similarity.tfidf path stays the bounded-state scale variant
+    // (exercised by ext_minhash_ml_neardups + ExtSpec).
+    QueryDef(
+      "ext_tfidf_stats",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY doc_id, t),
+        |dfreq AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        |ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.t,
+        |         CAST(CAST(tf.c AS DECIMAL(9,0)) *
+        |              CAST(ROUND(ln((n + 1.0) / (df + 1.0)) + 1, 6) AS DECIMAL(9,6))
+        |              AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN ndocs)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS nnz,
+        |       sqrt(CAST(CAST(SUM(w * w) AS DECIMAL(20,6)) AS DOUBLE)) AS l2
+        |FROM w GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val w = Similarity.tfidfExactTerms(Tables.documents(s, d))
+      w.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("nnz"),
+          sqrt(sum(col("w") * col("w"))
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)).cast("double")).as("l2"))
         .orderBy("doc_id")
     }
   )

@@ -125,7 +125,7 @@ object PipelineQ {
          |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
          |  GROUP BY doc_id, j)
          |SELECT doc_id,
-         |       SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+         |       CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
       // codegen-friendly shape: explode token hashes once, then ONE
       // HashAggregate with 60 bit-vote sums (whole-stage codegen'd) —
