@@ -44,7 +44,8 @@ object ScaleStress {
     "ext_ann_topk_batch",
     "ext_ivf_topk_batch",
     "emb_semdedup",
-    "emb_dedup_lsh")
+    "emb_dedup_lsh",
+    "emb_incremental_neardups")
 
   def buildFixture(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val fs = new java.io.File(s"$out/_built_x$factor")
@@ -143,10 +144,12 @@ object ScaleStress {
       } else System.err.println(s"[scale] $name FAILED: ${errors(name)}")
     }
 
-    // The production scaling knob, measured: IVF with nCells ∝ corpus
-    // size keeps cell cardinality constant, so per-query probe cost is
-    // flat and total batch cost grows ~linearly with |Q| — versus the
-    // fixed-param registry entry whose cells fatten with the corpus.
+    // The production scaling knob: IVF nCells ∝ corpus size keeps cell
+    // cardinality constant, so per-query probe cost is flat and total
+    // batch cost grows ~linearly with |Q|. Since round 7 this IS the
+    // registry default (Similarity.autoNCells — knob auto-scaling), so
+    // this block measures the same auto path explicitly and gates the
+    // recall claim.
     if (names.contains("ext_ivf_topk_batch")) {
       val embS = spark.read.parquet(s"$out/embeddings.parquet")
       var best = Double.MaxValue
@@ -154,15 +157,15 @@ object ScaleStress {
       while (rep < 2) {
         val t0 = System.nanoTime()
         graft.ext.Similarity
-          .ivfTopK(embS, queries = embS.select("vec_id"),
-            k = 10, nCells = 16 * factor, nProbe = 4)
+          .ivfTopK(embS, queries = embS.select("vec_id"), k = 10) // auto knobs
           .write.format("noop").mode("overwrite").save()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
         spark.catalog.clearCache()
         rep += 1
       }
       timings("ext_ivf_topk_batch_tuned") = best
-      System.err.println(f"[scale] ext_ivf_topk_batch_tuned (nCells=${16 * factor}): $best%.2f s")
+      System.err.println(
+        f"[scale] ext_ivf_topk_batch_tuned (auto nCells=${graft.ext.Similarity.autoNCells(embS.count())}): $best%.2f s")
 
       // the cost claim above is honest only next to a recall number at
       // the SAME scale: 50-query sample, tuned-IVF top-10 vs the exact
@@ -180,12 +183,17 @@ object ScaleStress {
         .select(col("qid"), col("t.id").as("cid"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val ivf = graft.ext.Similarity
-        .ivfTopK(embS, queries = qids, k = 10, nCells = 16 * factor, nProbe = 4)
+        .ivfTopK(embS, queries = qids, k = 10) // auto knobs
         .select("qid", "cid")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (ivf & exact).size.toDouble / math.max(exact.size, 1)
       timings("ext_ivf_topk_batch_tuned_recall") = recall
-      System.err.println(f"[scale] tuned-IVF recall@10 vs exact: $recall%.3f")
+      System.err.println(f"[scale] auto-IVF recall@10 vs exact: $recall%.3f")
+      // the auto-knob contract (VERDICT r5/r6 task 4): at the 10x
+      // fixture and beyond, auto params must hold recall@10 >= 0.95 —
+      // fail the run loudly, not silently, if scaling breaks it
+      require(factor < 10 || recall >= 0.95,
+        f"auto-IVF recall@10 $recall%.3f < 0.95 at factor $factor%d")
     }
 
     // Same demo for the BRP path: the collision rate (and so candidate
@@ -194,20 +202,22 @@ object ScaleStress {
     // trade-off is characterized in ExtSpec at oracle scale.
     if (names.contains("ext_ann_topk_batch")) {
       val embS = spark.read.parquet(s"$out/embeddings.parquet")
+      val nEmb = embS.count()
       var best = Double.MaxValue
       var rep = 0
       while (rep < 2) {
         val t0 = System.nanoTime()
         graft.ext.Similarity
           .annTopK(embS, queries = embS.select("vec_id"),
-            k = 10, bucketLength = 0.05, numTables = 8, maxDistance = 2.0)
+            k = 10, bucketLength = graft.ext.Similarity.autoBucketLength(nEmb),
+            numTables = 8, maxDistance = 2.0)
           .write.format("noop").mode("overwrite").save()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
         spark.catalog.clearCache()
         rep += 1
       }
       timings("ext_ann_topk_batch_tuned") = best
-      System.err.println(f"[scale] ext_ann_topk_batch_tuned (bucketLength=0.05): $best%.2f s")
+      System.err.println(f"[scale] ext_ann_topk_batch_tuned (auto bucketLength=${graft.ext.Similarity.autoBucketLength(nEmb)}%.3f): $best%.2f s")
     }
 
     // Third knob: the embedding-dedup AND-amplification width. Bucket
@@ -221,15 +231,15 @@ object ScaleStress {
       while (rep < 2) {
         val t0 = System.nanoTime()
         graft.ext.Dedup
-          .cosineCanonicalLsh(embS, threshold = 0.9,
-            bucketLength = 0.15, numTables = 12, hashesPerTable = 8)
+          .cosineCanonicalLsh(embS, threshold = 0.9) // auto AND-width
           .write.format("noop").mode("overwrite").save()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
         spark.catalog.clearCache()
         rep += 1
       }
       timings("emb_dedup_lsh_tuned") = best
-      System.err.println(f"[scale] emb_dedup_lsh_tuned (hashesPerTable=8): $best%.2f s")
+      System.err.println(
+        f"[scale] emb_dedup_lsh_tuned (auto hashesPerTable=${graft.ext.Similarity.autoHashesPerTable(embS.count())}): $best%.2f s")
     }
 
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

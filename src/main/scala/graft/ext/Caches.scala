@@ -1,0 +1,73 @@
+package graft.ext
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry of the intermediates that `ext/` entry
+  * points cache (VERDICT r6 item 5: `cache()` without `unpersist` in a
+  * LIBRARY accumulates executor storage across invocations — Bench and
+  * Verify compensated with `spark.catalog.clearCache()`, but that nukes
+  * every cache in the session, including the caller's own).
+  *
+  * The caller contract, documented on each entry point that caches:
+  * when you are done consuming the RETURNED DataFrames of `ext/` calls,
+  * call `Caches.releaseAll(spark)` — it unpersists only the
+  * intermediates this library registered, not your caches. Re-using a
+  * returned frame AFTER release recomputes it (normal lazy semantics) —
+  * except connected-components results, whose `localCheckpoint`
+  * lineage cut makes them single-lifecycle: consume, release, rebuild
+  * if needed again.
+  *
+  * References are STRONG on purpose: the cached data lives in the
+  * executors' block managers regardless of driver-side Dataset
+  * reachability, so a weak registry would silently lose its only
+  * handle on a GC and re-leak. The registry itself is bounded by
+  * releaseAll calls (a handful of Dataset objects between releases).
+  */
+object Caches {
+
+  private val reg =
+    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
+
+  /** Register a frame the library just persisted. Returns it. */
+  private[ext] def track(df: DataFrame): DataFrame = {
+    reg.computeIfAbsent(df.sparkSession,
+      _ => new ConcurrentLinkedQueue[DataFrame]()).add(df)
+    df
+  }
+
+  /** Unpersist a frame through BOTH storage paths: the CacheManager
+    * entry (`cache`/`persist`) AND any `localCheckpoint` RDD in its
+    * plan. `Dataset.unpersist` alone is a silent no-op for
+    * checkpoint-backed frames — their persistence is RDD-level
+    * (`LogicalRDD`), not a CacheManager entry; that asymmetry is how
+    * the CC sweep loop leaked one checkpoint RDD per iteration. */
+  private[ext] def hardUnpersist(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
+  /** Unpersist every intermediate `ext/` entry points have cached on
+    * this session since the last release. Non-blocking. */
+  def releaseAll(spark: SparkSession): Unit = {
+    val q = reg.remove(spark)
+    if (q != null) {
+      var df = q.poll()
+      while (df != null) {
+        hardUnpersist(df)
+        df = q.poll()
+      }
+    }
+  }
+
+  /** Number of tracked intermediates (test hook). */
+  private[graft] def liveCount(spark: SparkSession): Int = {
+    val q = reg.get(spark)
+    if (q == null) 0 else q.size()
+  }
+}

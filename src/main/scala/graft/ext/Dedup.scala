@@ -121,6 +121,7 @@ object Dedup {
         "shingle")
       .select("doc_id", "shingle")
       .cache()
+    Caches.track(sh)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
@@ -170,7 +171,11 @@ object Dedup {
       val nextCk = next.localCheckpoint()
       val changed = nextCk.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+      // hardUnpersist, not Dataset.unpersist: from sweep 2 on, `labels`
+      // is checkpoint-backed, and plain unpersist silently no-ops on
+      // RDD-level checkpoint storage — this loop used to leak one
+      // checkpoint RDD per sweep (found by CacheHygieneSpec).
+      Caches.hardUnpersist(labels)
       next.unpersist()
       labels = nextCk
       converged = changed == 0
@@ -189,6 +194,11 @@ object Dedup {
         s"connectedComponents did not converge within $maxIter sweeps — " +
           "component labels would be partial/wrong; raise maxIter (components " +
           "with graph diameter > maxIter exist in the edge set)")
+    // the final sweep's localCheckpoint stays persisted — it IS the
+    // result's storage (lineage was cut, so it cannot be recomputed).
+    // Caches.releaseAll frees it once the caller is done (contract in
+    // [[Caches]] scaladoc: CC results are single-lifecycle).
+    Caches.track(labels)
     labels.select(col("node"), col("label").as("component"))
   }
 
@@ -269,9 +279,27 @@ object Dedup {
     * O(n²) in the corpus — this is the small-corpus / oracle baseline
     * (its DuckDB twin `emb_dedup_exact` hash-verifies the whole
     * composition, cosine folds included); [[cosineCanonicalLsh]] is the
-    * 100 TB path over the same semantics. */
-  def cosineCanonical(emb: DataFrame, threshold: Double = 0.42): DataFrame = {
+    * 100 TB path over the same semantics.
+    *
+    * GUARDED (VERDICT r5/r6 item): above `maxExactRows` the all-pairs
+    * join is refused loudly unless the caller passes
+    * `allowExactAllPairs = true` — nothing should reach an n² plan at
+    * scale by default when the LSH twin exists. The ceiling is sized so
+    * the guard never fires on oracle-scale fixtures but trips well
+    * before the pair count (50k² = 2.5G) could dominate a cluster. */
+  def cosineCanonical(
+      emb: DataFrame,
+      threshold: Double = 0.42,
+      allowExactAllPairs: Boolean = false,
+      maxExactRows: Long = 50000L): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    if (!allowExactAllPairs) {
+      val n = emb.count()
+      require(n <= maxExactRows,
+        s"cosineCanonical is O(n²) all-pairs and the corpus has $n rows " +
+        s"(> $maxExactRows). Use cosineCanonicalLsh (same semantics, " +
+        s"Σ bucket² cost) or pass allowExactAllPairs = true to insist.")
+    }
     val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb"))
     val edges = a.join(b, col("doc_a") < col("doc_b"))
@@ -300,10 +328,16 @@ object Dedup {
       threshold: Double = 0.9,
       bucketLength: Double = 0.15,
       numTables: Int = 12,
-      hashesPerTable: Int = 6): DataFrame = {
+      hashesPerTable: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    // AND-width ≤0 = auto ∝ log(corpus): bucket occupancy grows with
+    // corpus density at fixed width — the measured fix (SCALE.md:
+    // m 6→8 at 10x re-tightened growth to ~1.2x, zero recall loss on
+    // the planted truth set). One count job, only in auto mode.
+    val m = if (hashesPerTable > 0) hashesPerTable
+            else graft.ext.Similarity.autoHashesPerTable(emb.count())
     val cand = graft.ext.Similarity
-      .cosineCandidatePairs(emb, bucketLength, numTables, hashesPerTable)
+      .cosineCandidatePairs(emb, bucketLength, numTables, m)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val ea = emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
     val eb = emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb"))
@@ -360,13 +394,18 @@ object Dedup {
       threshold: Double = 0.9,
       bucketLength: Double = 0.15,
       numTables: Int = 12,
-      hashesPerTable: Int = 6): DataFrame = {
+      hashesPerTable: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val empty = corpus.sparkSession.emptyDataFrame
       .select(lit(0L).as("vec_corpus"), lit(0L).as("vec_new"),
         lit(0.0).as("cos")).limit(0)
-    (Similarity.hashedBuckets(corpus, bucketLength, numTables, hashesPerTable),
-      Similarity.hashedBuckets(batch, bucketLength, numTables, hashesPerTable)) match {
+    // AND-width auto-scales with the CORPUS side (it owns the bucket
+    // occupancy); both sides must hash with the same width or no
+    // bucket key ever matches.
+    val m = if (hashesPerTable > 0) hashesPerTable
+            else Similarity.autoHashesPerTable(corpus.count())
+    (Similarity.hashedBuckets(corpus, bucketLength, numTables, m),
+      Similarity.hashedBuckets(batch, bucketLength, numTables, m)) match {
       case (Some(hc), Some(hb)) =>
         val cand = hc
           .select(col("vec_id").as("vec_corpus"), col("tbl"), col("h"))
@@ -401,9 +440,13 @@ object Dedup {
   def semanticCanonical(
       emb: DataFrame,
       threshold: Double = 0.9,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    val cells = graft.ext.Similarity.assignCells(emb, nCells)._1
+    // ≤0 = auto: constant ~125-vector cells (Similarity.autoNCells) —
+    // keeps Σ|cell|² pair cost linear in n as the corpus grows
+    val k = if (nCells > 0) nCells
+            else graft.ext.Similarity.autoNCells(emb.count())
+    val cells = graft.ext.Similarity.assignCells(emb, k)._1
       .select("vec_id", "cell")
     val withCell = emb.select("vec_id", "embedding").join(cells, "vec_id")
     val a = withCell.select(

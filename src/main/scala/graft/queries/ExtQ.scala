@@ -27,14 +27,16 @@ object ExtQ {
     // ONE bounded-heap aggregate, not |Q| jobs. This is the all-pairs
     // ANN shape a near-dup sweep over an embedding corpus runs.
     QueryDef.noOracle("ext_ann_topk_batch") { (s, d) =>
-      // bucketLength 0.15 (vs the 5-query default 0.5): at batch query
+      // Narrow buckets (vs the 5-query default 0.5): at batch query
       // cardinality the candidate volume is queries x collision-rate x
-      // corpus, so narrow buckets — the knob a real corpus-scale
-      // deployment turns — keep candidates per query to a few percent
-      // of the corpus while 8 tables hold recall.
+      // corpus, so bucket width is the knob a real corpus-scale
+      // deployment turns. Since r7 it DERIVES from the corpus count
+      // (autoBucketLength: 0.15 at the 2k fixture, ∝ 1/sqrt(n) through
+      // the measured 10x point) while 8 OR-tables hold recall.
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(emb, queries = emb.select("vec_id"),
-        k = 10, bucketLength = 0.15, numTables = 8, maxDistance = 2.0)
+        k = 10, bucketLength = Similarity.autoBucketLength(emb.count()),
+        numTables = 8, maxDistance = 2.0)
     },
 
     // Incremental dedup prefilter: docs with even ids form the "existing
@@ -70,31 +72,16 @@ object ExtQ {
     // (exercised by ext_minhash_ml_neardups + ExtSpec).
     QueryDef(
       "ext_tfidf_stats",
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM tok GROUP BY doc_id, t),
-        |dfreq AS (
-        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
-        |ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-        |w AS (
-        |  SELECT tf.doc_id, tf.t,
-        |         CAST(CAST(tf.c AS DECIMAL(9,0)) *
-        |              CAST(ROUND(ln((n + 1.0) / (df + 1.0)) + 1, 6) AS DECIMAL(9,6))
-        |              AS DECIMAL(18,6)) AS w
-        |  FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN ndocs)
+      s"""WITH ${Similarity.tfidfExactTermsSql}
         |SELECT doc_id,
         |       CAST(COUNT(*) AS BIGINT) AS nnz,
-        |       sqrt(CAST(CAST(SUM(w * w) AS DECIMAL(20,6)) AS DOUBLE)) AS l2
+        |       sqrt(CAST(CAST(ROUND(SUM(w * w), 6) AS DECIMAL(20,6)) AS DOUBLE)) AS l2
         |FROM w GROUP BY doc_id""".stripMargin) { (s, d) =>
       val w = Similarity.tfidfExactTerms(Tables.documents(s, d))
       w.groupBy("doc_id")
         .agg(
           count(lit(1)).as("nnz"),
-          sqrt(sum(col("w") * col("w"))
-            .cast(org.apache.spark.sql.types.DecimalType(20, 6)).cast("double")).as("l2"))
+          sqrt(Similarity.decimalSum6(col("w") * col("w"))).as("l2"))
         .orderBy("doc_id")
     }
   )

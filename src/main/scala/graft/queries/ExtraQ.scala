@@ -78,17 +78,20 @@ object ExtraQ {
     // recall vs brute force asserted in ExtSpec).
     QueryDef.noOracle("ext_ivf_topk") { (s, d) =>
       graft.ext.Similarity.ivfTopK(
-        Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
+        Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, nCells = 0, nProbe = 0) // 0 = auto ∝ corpus count
     },
 
     // IVF at batch query cardinality — the query set is the ENTIRE
     // corpus as a DataFrame (semi-joined, plan size independent of |Q|);
     // like ext_ann_topk_batch it rides ONE broadcast join on cell and
-    // the corpus is scanned once regardless of |Q|.
+    // the corpus is scanned once regardless of |Q|. Knobs are AUTO
+    // (VERDICT r5/r6 task 4): nCells/nProbe derive from the corpus
+    // count — the measured constant-cell-occupancy fix that cut the
+    // 10x batch 15.2 s → 4.32 s at recall@10 0.95 (SCALE.md).
     QueryDef.noOracle("ext_ivf_topk_batch") { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      graft.ext.Similarity.ivfTopK(
-        emb, queries = emb.select("vec_id"), k = 10, nCells = 16, nProbe = 4)
+      graft.ext.Similarity.ivfTopK(emb, queries = emb.select("vec_id"), k = 10)
     },
 
     // Deterministic MODE: most-frequent value per group with an explicit

@@ -540,7 +540,10 @@ object PipelineQ {
          |       COALESCE(c.canonical_id, v.vec_id) AS canonical_id,
          |       COALESCE(c.canonical_id, v.vec_id) = v.vec_id AS is_canonical
          |FROM v LEFT JOIN canon c ON c.node = v.vec_id""".stripMargin) { (s, d) =>
-      graft.ext.Dedup.cosineCanonical(Tables.embeddings(s, d))
+      // the one legitimate all-pairs caller: this IS the oracle
+      // baseline, so it opts in explicitly past the O(n²) guard
+      graft.ext.Dedup.cosineCanonical(Tables.embeddings(s, d),
+        allowExactAllPairs = true)
     },
 
     // Embedding-cosine near-dup dedup, LSH path: AND-amplified BRP

@@ -39,12 +39,18 @@ object WindowsQ {
         |       CUME_DIST() OVER w AS cd
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal, c_custkey)""".stripMargin) { (s, d) =>
-      val w = Window.orderBy("c_acctbal", "c_custkey")
-      Tables.customer(s, d).select(
+      // Scale-safe two-pass global rank (VERDICT r5/r6 item 3): a bare
+      // Window.orderBy would sink the whole table into ONE partition.
+      // The ordering is total (c_custkey tiebreak), so ntile/pr/cd are
+      // closed-form from (rn, n) — see GlobalRank scaladoc.
+      import graft.operators.GlobalRank
+      val (ranked, n) = GlobalRank.withGlobalRowNumber(
+        Tables.customer(s, d), Seq(col("c_acctbal"), col("c_custkey")), "_rn")
+      ranked.select(
         col("c_custkey"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
+        GlobalRank.ntileFromRn(col("_rn"), n, 4).as("quartile"),
+        GlobalRank.percentRankFromRn(col("_rn"), n).as("pr"),
+        GlobalRank.cumeDistFromRn(col("_rn"), n).as("cd"))
     },
 
     QueryDef(
@@ -111,10 +117,25 @@ object WindowsQ {
       """SELECT p_partkey, p_size,
         |       CAST(COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_close
         |FROM part""".stripMargin) { (s, d) =>
-      val w = Window.orderBy("p_size").rangeBetween(-2, Window.currentRow)
-      Tables.part(s, d).select(
-        col("p_partkey"), col("p_size"),
-        count(lit(1)).over(w).cast("bigint").as("n_close"))
+      // Scale-safe range frame (VERDICT r5/r6 item 3): the frame only
+      // reads the ORDER BY value, and p_size has a small discrete
+      // domain — so aggregate counts per value (map-side combinable),
+      // band-self-join the TINY per-value table (broadcast), and join
+      // back. No global window, no single-partition sink; the n²
+      // band join is over |distinct sizes| rows, not |part|. (For a
+      // continuous domain the analogue is range-repartition with
+      // boundary-overlap replication.)
+      val parts = Tables.part(s, d)
+      val bySize = parts.groupBy("p_size").agg(count(lit(1)).as("c"))
+      val band = bySize.select(col("p_size").as("s"), col("c"))
+      val nClose = band.as("x")
+        .join(broadcast(band.as("y")),
+          col("y.s").between(col("x.s") - 2, col("x.s")))
+        .groupBy(col("x.s").as("p_size"))
+        .agg(sum(col("y.c")).cast("bigint").as("n_close"))
+      parts.select("p_partkey", "p_size")
+        .join(broadcast(nClose), "p_size")
+        .select("p_partkey", "p_size", "n_close")
     },
 
     QueryDef(

@@ -131,6 +131,19 @@ class DedupSpec extends SparkSpec {
       s"hashesPerTable=8 lost recall on ${tight.count { case (k, v) => exact(k) != v }} ids")
   }
 
+  test("cosineCanonical refuses the O(n²) all-pairs plan above the row ceiling") {
+    val emb = graft.Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    // tiny ceiling so the guard trips on the fixture itself
+    val e = intercept[IllegalArgumentException] {
+      Dedup.cosineCanonical(emb, threshold = 0.9, maxExactRows = 10L)
+    }
+    assert(e.getMessage.contains("cosineCanonicalLsh"),
+      s"guard message should point at the scale path: ${e.getMessage}")
+    // the explicit opt-in (the oracle baseline's route) still plans
+    assert(Dedup.cosineCanonical(emb, threshold = 0.9,
+      allowExactAllPairs = true, maxExactRows = 10L).count() == emb.count())
+  }
+
   test("incremental embedding ingest: planted batch fully matched, decorrelated batch untouched") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")

@@ -50,10 +50,11 @@ class ExtSpec extends SparkSpec {
   test("IVF top-k recall vs brute-force cosine top-k") {
     val exact = graft.SparkEntry.queries("emb_cosine_topk")(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(Tables.embeddings(spark, sf()), Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+    val ivf = Similarity.ivfTopK(Tables.embeddings(spark, sf()), Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, nCells = 0, nProbe = 0) // auto knobs — the registry configuration
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall with 4/16 cells probed")
+    assert(recall >= 0.5, s"IVF recall $recall with auto cells/probes")
   }
 
   test("ANN entry points are single distributed jobs — no per-query union") {
@@ -72,7 +73,8 @@ class ExtSpec extends SparkSpec {
     val ann = Similarity.annTopK(Tables.embeddings(spark, sf()), Seq(0L, 1L, 2L, 3L, 4L), k = 10)
     assert(unions(ann) == 0, s"annTopK plan has a Union:\n${ann.queryExecution.sparkPlan}")
 
-    val ivf = Similarity.ivfTopK(Tables.embeddings(spark, sf()), Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+    val ivf = Similarity.ivfTopK(Tables.embeddings(spark, sf()), Seq(0L, 1L, 2L, 3L, 4L),
+      k = 10, nCells = 0, nProbe = 0)
     assert(unions(ivf) == 0, s"ivfTopK plan has a Union:\n${ivf.queryExecution.sparkPlan}")
     // query side broadcasts into the cell join (BroadcastExchange, not
     // counted); the corpus never shuffles — the only data shuffle is the
@@ -111,9 +113,29 @@ class ExtSpec extends SparkSpec {
     assert(runIt(docs) == runIt(docs.repartition(7)))
   }
 
+  test("ANN knob auto-scaling reproduces the measured SCALE.md anchor points") {
+    // The formulas are anchored to measured sweet spots, not guessed —
+    // pin them so a refactor can't silently detach them from the data:
+    // nCells 16 @ 2k and 160 @ 20k (15.2 s → 4.32 s, recall 0.95);
+    // AND-width 6 @ 2k and 8 @ 20k (zero recall loss);
+    // bucketLength 0.15 @ 2k and ≈0.05 @ 20k (measured hand value).
+    assert(Similarity.autoNCells(2000) == 16)
+    assert(Similarity.autoNCells(20000) == 160)
+    assert(Similarity.autoNProbe(16) == 4 && Similarity.autoNProbe(160) == 4)
+    assert(Similarity.autoNProbe(1600) == 40) // fraction never below 2.5%
+    assert(Similarity.autoHashesPerTable(2000) == 6)
+    assert(Similarity.autoHashesPerTable(20000) == 8)
+    assert(math.abs(Similarity.autoBucketLength(2000) - 0.15) < 1e-9)
+    assert(math.abs(Similarity.autoBucketLength(20000) - 0.047) < 0.003)
+    // degenerate corpora stay sane
+    assert(Similarity.autoNCells(0) == 1)
+    assert(Similarity.autoHashesPerTable(0) >= 2)
+  }
+
   test("annTopK/ivfTopK: empty query set yields empty frame, not an error") {
     assert(Similarity.annTopK(Tables.embeddings(spark, sf()), Seq(-1L), k = 5).count() == 0)
-    assert(Similarity.ivfTopK(Tables.embeddings(spark, sf()), Seq(-1L), k = 5).count() == 0)
+    assert(Similarity.ivfTopK(Tables.embeddings(spark, sf()), Seq(-1L),
+      k = 5, nCells = 0, nProbe = 0).count() == 0)
   }
 
   test("tfidf: rare terms outweigh common ones") {
