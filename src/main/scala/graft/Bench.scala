@@ -61,7 +61,7 @@ object Bench {
         // their intermediates, and letting 99 queries' caches accumulate
         // makes later timings hostage to eviction thrash (observed 2x
         // swings); clearing between reps keeps the two reps identical
-        spark.catalog.clearCache()
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
         rep += 1
       }
       if (!failed) timings(q.name) = best

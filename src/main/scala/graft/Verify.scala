@@ -29,7 +29,7 @@ object Verify {
       }
       // several pipelines cache() intermediates; don't let 100+ queries'
       // caches accumulate and thrash the shared JVM
-      spark.catalog.clearCache()
+      spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -135,7 +135,7 @@ object ScaleStress {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             failed = true
         }
-        spark.catalog.clearCache()
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
         rep += 1
       }
       if (!failed) {
@@ -160,7 +160,7 @@ object ScaleStress {
           .ivfTopK(embS, queries = embS.select("vec_id"), k = 10) // auto knobs
           .write.format("noop").mode("overwrite").save()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        spark.catalog.clearCache()
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
         rep += 1
       }
       timings("ext_ivf_topk_batch_tuned") = best
@@ -213,7 +213,7 @@ object ScaleStress {
             numTables = 8, maxDistance = 2.0)
           .write.format("noop").mode("overwrite").save()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        spark.catalog.clearCache()
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
         rep += 1
       }
       timings("ext_ann_topk_batch_tuned") = best
@@ -234,7 +234,7 @@ object ScaleStress {
           .cosineCanonicalLsh(embS, threshold = 0.9) // auto AND-width
           .write.format("noop").mode("overwrite").save()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        spark.catalog.clearCache()
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
         rep += 1
       }
       timings("emb_dedup_lsh_tuned") = best
