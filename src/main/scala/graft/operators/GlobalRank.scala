@@ -60,6 +60,40 @@ object GlobalRank {
     (out, n)
   }
 
+  /** Adds a global running total of `valueCol` ordered by `sortCols`
+    * (exclusive of the current row: the classic "tokens before me"
+    * prefix sum sequence-packing needs), same two-pass shape as
+    * [[withGlobalRowNumber]]: range partition → partition-local
+    * cumsum (P-way parallel) → driver prefix-sums the P per-partition
+    * totals → broadcast literal offsets. Integer-typed values only
+    * (the driver-side prefix sum must be exact — doubles would
+    * reorder additions vs a sequential scan). */
+  def withGlobalCumSumBefore(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: Column,
+      cumCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, sortCols: _*)
+      .withColumn("_gc_pid", spark_partition_id())
+      .withColumn("_gc_v", valueCol.cast("long"))
+    val wLocal = Window.partitionBy("_gc_pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_gc_cum", sum(col("_gc_v")).over(wLocal))
+    val totals = local.groupBy("_gc_pid").agg(sum(col("_gc_v")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+    local
+      .withColumn(cumCol,
+        col("_gc_cum") - col("_gc_v") +
+          element_at(typedLit(offsets), col("_gc_pid")))
+      .drop("_gc_pid", "_gc_v", "_gc_cum")
+  }
+
   /** NTILE(k) bucket from a global row number and total count, per the
     * SQL rule: bucket size floor(n/k), the first (n mod k) buckets one
     * larger. Closed-form — no window. */

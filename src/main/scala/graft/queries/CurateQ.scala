@@ -545,6 +545,47 @@ object CurateQ {
         .select((col("vec_id") + lit(5000000L)).as("vec_id"),
           noisy(col("vec_id"), col("embedding")).as("embedding"))
       graft.ext.Dedup.incrementalCosineNearDups(emb, batch)
+    },
+
+    // SEQUENCE PACKING (r7 new surface): assign each document a slot in
+    // a fixed-token-budget training sequence — the assembly step every
+    // LLM pretraining pipeline runs between curation and tokenization.
+    // Sequential-fill packing by doc_id: seq_id = tokens-before-me div
+    // budget, seq_offset = tokens-before-me mod budget, plus a
+    // boundary-straddle flag (the docs a packer must split or pad
+    // around). The global prefix sum is the classic scale trap — an
+    // unpartitioned running-total window — so the engine side rides
+    // operators/GlobalRank.withGlobalCumSumBefore (range partition →
+    // P-way local cumsum → broadcast offsets), the same two-pass shape
+    // that fixed win_ntile_percent. Oracle: DuckDB's global window (the
+    // oracle only needs to be correct, not scale).
+    QueryDef(
+      "doc_pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |       CAST(cum0 // 512 AS BIGINT) AS seq_id,
+        |       CAST(cum0 % 512 AS BIGINT) AS seq_offset,
+        |       (cum0 % 512) + n_tokens > 512 AS spans_boundary
+        |FROM c""".stripMargin) { (s, d) =>
+      val budget = 512L
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"))
+      graft.operators.GlobalRank
+        .withGlobalCumSumBefore(t, Seq(col("doc_id")), col("n_tokens"), "cum0")
+        .select(
+          col("doc_id"), col("n_tokens"),
+          expr(s"cum0 div $budget").cast("long").as("seq_id"),
+          pmod(col("cum0"), lit(budget)).cast("long").as("seq_offset"),
+          (pmod(col("cum0"), lit(budget)) + col("n_tokens") > budget)
+            .as("spans_boundary"))
     }
   )
 }

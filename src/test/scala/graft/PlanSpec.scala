@@ -169,6 +169,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("payload"), "payload column leaked into the scan:\n" + p.take(1200))
   }
 
+  test("global rank/cumsum queries never plan a single-partition exchange") {
+    // VERDICT r5/r6 item 3 regression guard: win_ntile_percent and
+    // doc_pack_sequences are GLOBAL-order operators; the naive form
+    // (Window.orderBy with no partition key) plans
+    // Exchange SinglePartition and funnels the table into one task.
+    // The GlobalRank two-pass form must keep every exchange parallel.
+    for (name <- Seq("win_ntile_percent", "doc_pack_sequences")) {
+      spark.catalog.clearCache()
+      val df = SparkEntry.queries(name)(spark, sf())
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SinglePartition"),
+        s"$name plans a single-partition exchange:\n${p.take(1500)}")
+    }
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
