@@ -39,10 +39,14 @@ object Dedup {
     * that carries 100 TB (candidate cost is Σ bucket², never
     * all-pairs). */
   /** (doc_id, band, b0, b1) banded-MinHash signatures — the md5/LCG
-    * family of [[minhashCandidates]], shared with the incremental path
-    * (at 100 TB these rows are what a near-dup INDEX persists: four
-    * 20-byte rows per doc, re-join-able against any future batch). */
-  private[graft] def bandSignatures(docs: DataFrame): DataFrame = {
+    * family of [[minhashCandidates]], shared with the incremental path.
+    * PUBLIC because at 100 TB these rows ARE what a near-dup index
+    * persists: four 20-byte rows per doc, written once at ingest and
+    * re-joined against every future batch via
+    * [[incrementalNearDups]]'s `corpusSig` parameter — the corpus text
+    * is then only re-read for the docs that actually collide
+    * (parquet round-trip equivalence asserted in DedupSpec). */
+  def bandSignatures(docs: DataFrame): DataFrame = {
     val p = 2147483647L
     val base = distinctShingles(docs).withColumn("h0", expr(
       s"cast(conv(substring(md5(cast(shingle AS binary)), 1, 15), 16, 10) AS bigint) % $p"))
@@ -80,8 +84,12 @@ object Dedup {
   def incrementalNearDups(
       corpus: DataFrame,
       batch: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
-    val sigC = bandSignatures(corpus)
+      threshold: Double = 0.5,
+      corpusSig: Option[DataFrame] = None): DataFrame = {
+    // the persisted-index path: a daily-ingest deployment writes
+    // bandSignatures(corpus) once and hands the reloaded rows in here —
+    // corpus text is then scanned only for collided docs below
+    val sigC = corpusSig.getOrElse(bandSignatures(corpus))
       .select(col("doc_id").as("doc_corpus"), col("band"), col("b0"), col("b1"))
     val sigB = bandSignatures(batch)
       .select(col("doc_id").as("doc_new"), col("band").as("band_b"),
@@ -387,15 +395,26 @@ object Dedup {
     * embedding dimensions across both sides (each side's bucket UDF
     * rejects heterogeneous rows; the cross-side verify would surface a
     * mismatch loudly). Default params are the measured recall-1.0
-    * near-dup configuration of [[cosineCanonicalLsh]]. */
+    * near-dup configuration of [[cosineCanonicalLsh]].
+    *
+    * `corpusBuckets`: the persisted-index path — pass the reloaded
+    * (vec_id, tbl, h) rows a prior [[Similarity.hashedBuckets]] wrote
+    * (deterministic seed-42 planes make them stable across sessions).
+    * The caller MUST then pass the same explicit `hashesPerTable` used
+    * at build time (the bucket rows don't record the AND-width, and
+    * auto-derivation could disagree once the corpus has grown). */
   def incrementalCosineNearDups(
       corpus: DataFrame,
       batch: DataFrame,
       threshold: Double = 0.9,
       bucketLength: Double = 0.15,
       numTables: Int = 12,
-      hashesPerTable: Int = 0): DataFrame = {
+      hashesPerTable: Int = 0,
+      corpusBuckets: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(corpusBuckets.isEmpty || hashesPerTable > 0,
+      "persisted-index calls must pin hashesPerTable to the width the " +
+        "index was built with — auto-derivation can diverge as the corpus grows")
     val empty = corpus.sparkSession.emptyDataFrame
       .select(lit(0L).as("vec_corpus"), lit(0L).as("vec_new"),
         lit(0.0).as("cos")).limit(0)
@@ -404,7 +423,7 @@ object Dedup {
     // bucket key ever matches.
     val m = if (hashesPerTable > 0) hashesPerTable
             else Similarity.autoHashesPerTable(corpus.count())
-    (Similarity.hashedBuckets(corpus, bucketLength, numTables, m),
+    (corpusBuckets.orElse(Similarity.hashedBuckets(corpus, bucketLength, numTables, m)),
       Similarity.hashedBuckets(batch, bucketLength, numTables, m)) match {
       case (Some(hc), Some(hb)) =>
         val cand = hc

@@ -212,6 +212,25 @@ object Similarity {
       posexplode(buckets(col("embedding"))).as(Seq("tbl", "h"))))
   }
 
+  /** Public index builder for incremental embedding dedup: the
+    * (vec_id, tbl, h) bucket rows of [[hashedBuckets]] as a plain
+    * DataFrame (empty-typed when the corpus is empty). At 100 TB these
+    * rows are what a vector near-dup index persists — numTables longs
+    * per vector, written once at ingest, reloaded and passed to
+    * [[Dedup.incrementalCosineNearDups]]'s `corpusBuckets` for every
+    * future batch (the seed-42 planes are deterministic across
+    * sessions, so persisted and fresh buckets are identical — asserted
+    * in DedupSpec). Record the `hashesPerTable` used at build time
+    * alongside the index; probes must pin the same width. */
+  def cosineBucketIndex(
+      emb: DataFrame,
+      bucketLength: Double = 0.15,
+      numTables: Int = 12,
+      hashesPerTable: Int = 6): DataFrame =
+    hashedBuckets(emb, bucketLength, numTables, hashesPerTable).getOrElse(
+      emb.sparkSession.emptyDataFrame.select(
+        lit(0L).as("vec_id"), lit(0).as("tbl"), lit(0L).as("h")).limit(0))
+
   /** Bucket-collision candidate pairs (vec_a < vec_b) over the whole
     * corpus — the LSH front end of embedding near-dup detection
     * ([[Dedup.cosineCanonicalLsh]] scores these exactly and keeps pairs

@@ -131,6 +131,51 @@ class DedupSpec extends SparkSpec {
       s"hashesPerTable=8 lost recall on ${tight.count { case (k, v) => exact(k) != v }} ids")
   }
 
+  test("persisted signature index: parquet round-trip matches in-line recompute") {
+    import org.apache.spark.sql.functions.col
+    // the daily-ingest deployment shape: signatures written once at
+    // corpus build, reloaded for every future batch — results must be
+    // identical to recomputing from text/vectors
+    val docs = graft.Tables.documents(spark, sf())
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("sig-index").toString
+
+    Dedup.bandSignatures(corpus).write.mode("overwrite").parquet(s"$dir/docsig")
+    val reloaded = spark.read.parquet(s"$dir/docsig")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_corpus", "doc_new").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = key(Dedup.incrementalNearDups(corpus, batch))
+    val indexed = key(Dedup.incrementalNearDups(corpus, batch,
+      corpusSig = Some(reloaded)))
+    assert(indexed == fresh, s"doc index drift: ${indexed.diff(fresh)} / ${fresh.diff(indexed)}")
+
+    // embedding twin: deterministic planes must make persisted buckets
+    // bit-stable across sessions/round-trips
+    val emb = graft.Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val ecorpus = emb.filter(col("vec_id") % 2 === 0)
+    val ebatch = emb.filter(col("vec_id") % 2 === 1)
+      .select((col("vec_id") + 7000000L).as("vec_id"), col("embedding"))
+    Similarity.cosineBucketIndex(ecorpus, hashesPerTable = 6)
+      .write.mode("overwrite").parquet(s"$dir/vecsig")
+    val vreloaded = spark.read.parquet(s"$dir/vecsig")
+    def vkey(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_corpus", "vec_new").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vfresh = vkey(Dedup.incrementalCosineNearDups(
+      ecorpus, ebatch, threshold = 0.3, hashesPerTable = 6))
+    val vindexed = vkey(Dedup.incrementalCosineNearDups(
+      ecorpus, ebatch, threshold = 0.3, hashesPerTable = 6,
+      corpusBuckets = Some(vreloaded)))
+    assert(vindexed == vfresh)
+    // the width pin is enforced, not just documented
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalCosineNearDups(ecorpus, ebatch,
+        corpusBuckets = Some(vreloaded))
+    }
+  }
+
   test("cosineCanonical refuses the O(n²) all-pairs plan above the row ceiling") {
     val emb = graft.Tables.embeddings(spark, sf()).select("vec_id", "embedding")
     // tiny ceiling so the guard trips on the fixture itself
