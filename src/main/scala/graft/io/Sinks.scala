@@ -24,6 +24,36 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** Training-shard writer — the OUTPUT end of the curation pipeline:
+    * directory-partitioned by `partitionCols` (e.g. lang/source),
+    * rows SORTED by `sortCols` inside every file (sequence/doc order
+    * survives the write), file sizes capped via `maxRecordsPerFile`.
+    *
+    * Plan shape for 100 TB: one shuffle (repartition on the partition
+    * key — co-locates each directory's rows so the writer emits one
+    * file sequence per key instead of |tasks|×|keys| small files),
+    * then a partition-local sort; `maxRecordsPerFile` splits a task's
+    * sorted run into capped files WITHOUT re-sorting, so within-file
+    * order is preserved (asserted in SinksShardSpec via
+    * input_file_name). Skewed partition keys: salt the repartition by
+    * adding a `pmod(hash(sortCols), k)` column to `partitionCols`'
+    * repartition keys — the directory layout is unchanged, the write
+    * parallelism fans to k per hot key. */
+  def trainingShards(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      maxRecordsPerFile: Int): Unit = {
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** Batch Kafka produce (R13). A `topic` column on the frame overrides
     * `defaultTopic` per record (producers.py:52's `topic or self.topic`). */
   def kafkaBatch(df: DataFrame, servers: String, defaultTopic: Option[String]): Unit = {

@@ -559,6 +559,32 @@ object CurateQ {
     // P-way local cumsum → broadcast offsets), the same two-pass shape
     // that fixed win_ntile_percent. Oracle: DuckDB's global window (the
     // oracle only needs to be correct, not scale).
+    // QUALITY-THRESHOLD GATE (r7): keep the top quartile of the corpus
+    // by a quality score — the "train on the best X%" cut every corpus
+    // build makes. Rank-based (not value-percentile) so the kept count
+    // is exactly n/4 regardless of score ties, deterministic via the
+    // doc_id tiebreak, and exactly oracle-expressible (interpolated
+    // percentile thresholds invite cross-engine float drift; the
+    // rank form is pure integers). Global order rides the same
+    // scale-safe GlobalRank two-pass as win_ntile_percent; the
+    // documented approximate scale variant is approx_percentile on the
+    // score with a broadcast threshold.
+    QueryDef(
+      "doc_quality_threshold",
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars, rn <= n // 4 AS keep
+        |FROM r""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      val (ranked, n) = graft.operators.GlobalRank.withGlobalRowNumber(
+        docs, Seq(col("n_chars").desc, col("doc_id")), "_rn")
+      ranked.select(col("doc_id"), col("n_chars"),
+        (col("_rn") <= lit(n / 4)).as("keep"))
+    },
+
     QueryDef(
       "doc_pack_sequences",
       """WITH t AS (

@@ -175,7 +175,8 @@ class PlanSpec extends SparkSpec {
     // (Window.orderBy with no partition key) plans
     // Exchange SinglePartition and funnels the table into one task.
     // The GlobalRank two-pass form must keep every exchange parallel.
-    for (name <- Seq("win_ntile_percent", "doc_pack_sequences")) {
+    for (name <- Seq("win_ntile_percent", "doc_pack_sequences",
+        "doc_quality_threshold")) {
       spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, sf())
       val p = df.queryExecution.executedPlan.toString
