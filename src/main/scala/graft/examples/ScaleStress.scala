@@ -45,7 +45,11 @@ object ScaleStress {
     "ext_ivf_topk_batch",
     "emb_semdedup",
     "emb_dedup_lsh",
-    "emb_incremental_neardups")
+    "emb_incremental_neardups",
+    // r7 GlobalRank-backed global-order ops: the two-pass form must
+    // stay sort-dominated (no single-partition funnel) as rows grow
+    "doc_pack_sequences",
+    "doc_quality_threshold")
 
   def buildFixture(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val fs = new java.io.File(s"$out/_built_x$factor")
