@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * payloads + typed metadata, processed per-partition (the Scala analogue
   * of mapInPandas batch UDFs — one iterator per partition, vectorizable).
   *
-  * The actual media decode is STUBBED — no image/audio libraries exist in
-  * this container — with a deterministic fake keyed on the payload bytes,
-  * so the Spark-side contract (schema, partitioning, batch iteration,
-  * null-safety) is real and tested while the decoder body is swappable.
-  * A production build replaces `StubDecoder` with the codec bridge; the
-  * pipeline shape does not change.
+  * IMAGE decode is REAL (r7): `ImageIODecoder` reads PNG/JPEG/GIF/BMP
+  * through the JDK's own `javax.imageio` — no external codec library
+  * needed — emitting true dimensions, mean luma, and the standard 8×8
+  * average-hash perceptual hash (box-sampled grayscale, bit per cell
+  * vs the mean — the aHash near-dup key an image dedup pipeline
+  * buckets on). Payloads ImageIO cannot parse (synthetic fixtures,
+  * audio/video containers) fall back to the deterministic
+  * `StubDecoder`, keeping the batch contract total; audio/video
+  * decode remains honestly stubbed (no codecs in the JDK).
   *
   * 100 TB posture: payloads never hit the driver; decode is a narrow
   * per-partition map (no shuffle); metadata-only queries prune the binary
@@ -50,15 +53,70 @@ object Multimodal {
     }
   }
 
+  /** Real image decode via the JDK's built-in codecs (PNG/JPEG/GIF/BMP).
+    * Returns None for payloads ImageIO cannot parse — callers fall back
+    * to [[StubDecoder]] so the batch map stays total. */
+  object ImageIODecoder {
+    def decode(docId: Long, payload: Array[Byte]): Option[ImageFeatures] = {
+      if (payload == null || payload.length == 0) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          // 8x8 box-sampled grayscale: cell luma = mean of its pixel
+          // block (ITU-R BT.601 weights), then aHash = bit per cell
+          // set when the cell is at or above the global mean
+          val cells = new Array[Double](64)
+          var cy = 0
+          while (cy < 8) {
+            val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+            var cx = 0
+            while (cx < 8) {
+              val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+              var s = 0.0; var n = 0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  s += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              cells(cy * 8 + cx) = s / n
+              cx += 1
+            }
+            cy += 1
+          }
+          val mean = cells.sum / 64.0
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (cells(i) >= mean) hash |= (1L << i)
+            i += 1
+          }
+          Some(ImageFeatures(docId, w, h, payload.length, mean / 255.0, hash))
+        }
+      } catch { case _: Exception => None }
+    }
+  }
+
   /** Per-partition batch decode — the mapInPandas shape: one iterator in,
-    * one iterator out, no per-row task overhead, no shuffle. */
+    * one iterator out, no per-row task overhead, no shuffle. Real
+    * ImageIO decode first; deterministic stub for undecodable bytes. */
   def decodeImages(df: DataFrame): Dataset[ImageFeatures] = {
     import df.sparkSession.implicits._
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          StubDecoder.decode(id, if (bytes == null) Array.emptyByteArray else bytes)
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          ImageIODecoder.decode(id, b).getOrElse(StubDecoder.decode(id, b))
         }
       }
   }

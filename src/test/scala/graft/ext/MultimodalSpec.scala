@@ -27,6 +27,44 @@ class MultimodalSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("real PNG/JPEG payloads decode through ImageIO: true dims, luma, aHash near-dups") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // draw: a 100x60 half-black/half-white PNG, a 1-pixel-perturbed
+    // near-dup, and a small inverted image (a far image in aHash space)
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val half: (Int, Int) => Int = (x, _) => if (x < 50) 0x000000 else 0xffffff
+    val base = png(100, 60, half)
+    val nearDup = png(100, 60, (x, y) =>
+      if (x == 0 && y == 0) 0x010101 else half(x, y))
+    val inverted = png(100, 60, (x, _) => if (x < 50) 0xffffff else 0x000000)
+
+    import spark.implicits._
+    val df = Seq((1L, base), (2L, nearDup), (3L, inverted))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(df).collect().sortBy(_.doc_id)
+    assert(out.map(f => (f.width, f.height)).toSeq == Seq((100, 60), (100, 60), (100, 60)),
+      "ImageIO decode must report TRUE dimensions (stub fabricates >=64 from a hash)")
+    // half black / half white -> mean luma ~0.5
+    assert(out.forall(f => math.abs(f.mean_luma - 0.5) < 0.02), out.mkString(";"))
+    // aHash: identical for the 1-px perturbation, far for the inversion
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(0).phash, out(1).phash) <= 2,
+      s"near-dup aHash distance ${ham(out(0).phash, out(1).phash)}")
+    assert(ham(out(0).phash, out(2).phash) >= 32,
+      s"inverted aHash distance ${ham(out(0).phash, out(2).phash)}")
+    // undecodable bytes still flow through the (stub) fallback
+    val garbage = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.decodeImages(garbage).collect().head.n_bytes == 3)
+  }
+
   test("null payloads decode to empty features, not exceptions") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
