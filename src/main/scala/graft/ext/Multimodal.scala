@@ -121,6 +121,35 @@ object Multimodal {
       }
   }
 
+  /** Image near-dup pairs by perceptual hash — the image twin of
+    * simhash text dedup, over [[decodeImages]] output (doc_id, phash).
+    * 8 bands of 8 bits: by pigeonhole, any pair within hamming
+    * distance ≤ 7 shares at least one exact band, so banding loses NO
+    * pair under the default threshold; candidates from the band-key
+    * equi-join (Σ bucket², never all-pairs) are verified with the
+    * exact `bit_count(a XOR b)`. Output: (doc_a, doc_b, hamming),
+    * doc_a < doc_b. */
+  def phashNearDups(feats: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming < 8,
+      "8-band pigeonhole only guarantees recall for hamming <= 7; " +
+        "re-band (more, narrower bands) for a looser threshold")
+    val banded = feats.select(col("doc_id"), col("phash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * 8).bitwiseAND(0xffL).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("phash").as("pa"),
+      col("band"), col("key"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("phash").as("pb"),
+      col("band").as("band_r"), col("key").as("key_r"))
+    l.join(r, col("band") === col("band_r") && col("key") === col("key_r")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling contract for video-like payloads: split the payload
     * into fixed-size "frames", keep every `stride`-th — emits (doc_id,
     * frame_idx, frame_bytes). Real impl swaps the chunker for the codec's

@@ -356,6 +356,24 @@ object ExtraQ {
       Multimodal.sampleFrames(payloads, frameSize = 64, stride = 2)
         .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("frame_len"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // Image near-dup dedup by perceptual hash (r7, over the now-real
+    // aHash): banded phash bucket join + exact hamming verify — the
+    // image twin of simhash text dedup. The fixture carries no real
+    // images, so duplicate payloads are PLANTED (ids +10^7) to prove
+    // the pipeline end-to-end: every planted copy must pair with its
+    // original at hamming 0. No oracle (stub phashes for undecodable
+    // bytes are implementation-defined); the real-PNG recall/precision
+    // behavior is asserted in MultimodalSpec.
+    QueryDef.noOracle("mm_phash_neardups") { (s, d) =>
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val planted = payloads.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("payload"))
+      val feats = Multimodal.decodeImages(payloads.union(planted)).toDF()
+      Multimodal.phashNearDups(feats.select("doc_id", "phash"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 }

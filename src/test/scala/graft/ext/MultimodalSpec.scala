@@ -65,6 +65,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImages(garbage).collect().head.n_bytes == 3)
   }
 
+  test("phash near-dups: banded bucket join finds the perturbed PNG pair, not the inverted one") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val half: (Int, Int) => Int = (x, _) => if (x < 50) 0x000000 else 0xffffff
+    import spark.implicits._
+    val df = Seq(
+      (1L, png(100, 60, half)),
+      (2L, png(100, 60, (x, y) => if (x == 0 && y == 0) 0x010101 else half(x, y))),
+      (3L, png(100, 60, (x, _) => if (x < 50) 0xffffff else 0x000000)))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.decodeImages(df).toDF().select("doc_id", "phash")
+    val pairs = Multimodal.phashNearDups(feats)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the perturbed pair, got $pairs")
+    // threshold wider than the pigeonhole guarantee must refuse loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDups(feats, maxHamming = 20)
+    }
+  }
+
   test("null payloads decode to empty features, not exceptions") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
