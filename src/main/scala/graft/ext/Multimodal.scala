@@ -121,6 +121,86 @@ object Multimodal {
       }
   }
 
+  /** Decoded-audio feature row (what the WAV path emits). */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      duration_sec: Double,
+      rms: Double,
+      zero_crossing_rate: Double)
+
+  /** Real audio decode for WAV/PCM via the JDK's `javax.sound.sampled`
+    * (headless-safe — it parses containers, no audio device involved).
+    * Emits true sample rate/channels/duration plus the two classic
+    * cheap audio-quality signals: RMS energy (silence / clipping
+    * detection) and zero-crossing rate (noisiness proxy), both over
+    * channel-averaged 16-bit samples. None for payloads that aren't a
+    * parseable audio container (callers fall back to metadata-only). */
+  object AudioDecoder {
+    def decode(docId: Long, payload: Array[Byte]): Option[AudioFeatures] = {
+      if (payload == null || payload.length == 0) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val channels = fmt.getChannels
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          if (bytesPerSample != 2) return None // 16-bit PCM only
+          val frameBytes = bytesPerSample * channels
+          val big = fmt.isBigEndian
+          val buf = in.readAllBytes()
+          val nFrames = buf.length / frameBytes
+          var i = 0
+          var sumSq = 0.0
+          var crossings = 0L
+          var prevSign = 0
+          while (i < nFrames) {
+            var c = 0
+            var acc = 0.0
+            while (c < channels) {
+              val off = i * frameBytes + c * bytesPerSample
+              val s =
+                if (big) ((buf(off) << 8) | (buf(off + 1) & 0xff)).toShort
+                else ((buf(off + 1) << 8) | (buf(off) & 0xff)).toShort
+              acc += s / 32768.0
+              c += 1
+            }
+            val v = acc / channels
+            sumSq += v * v
+            val sign = if (v > 0) 1 else if (v < 0) -1 else prevSign
+            if (prevSign != 0 && sign != 0 && sign != prevSign) crossings += 1
+            if (sign != 0) prevSign = sign
+            i += 1
+          }
+          val rate = fmt.getSampleRate.toInt
+          val dur = if (rate == 0) 0.0 else nFrames.toDouble / rate
+          Some(AudioFeatures(docId, rate, channels, nFrames, dur,
+            if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames),
+            if (nFrames <= 1) 0.0 else crossings.toDouble / (nFrames - 1)))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Per-partition batch audio decode, same mapInPandas shape as
+    * [[decodeImages]]. Non-audio payloads yield a metadata-only row
+    * (zeroed signal fields) instead of failing the batch. */
+  def decodeAudio(df: DataFrame): Dataset[AudioFeatures] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          AudioDecoder.decode(id, b)
+            .getOrElse(AudioFeatures(id, 0, 0, 0L, 0.0, 0.0, 0.0))
+        }
+      }
+  }
+
   /** Image near-dup pairs by perceptual hash — the image twin of
     * simhash text dedup, over [[decodeImages]] output (doc_id, phash).
     * 8 bands of 8 bits: by pigeonhole, any pair within hamming

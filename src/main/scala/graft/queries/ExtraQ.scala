@@ -366,6 +366,43 @@ object ExtraQ {
     // original at hamming 0. No oracle (stub phashes for undecodable
     // bytes are implementation-defined); the real-PNG recall/precision
     // behavior is asserted in MultimodalSpec.
+    // Audio feature extraction (r7, real decode): each doc gets a
+    // deterministic synthesized WAV (0.1 s sine, frequency keyed on
+    // doc_id — the fixture ships no audio payloads), decoded
+    // DISTRIBUTED through javax.sound to rate/duration/RMS/ZCR. The
+    // WAV bytes are built per-partition (narrow map, never collected);
+    // real-audio physics (RMS = amp/sqrt(2), ZCR = 2f/rate) is
+    // asserted against constructed signals in MultimodalSpec.
+    QueryDef.noOracle("mm_audio_features") { (s, d) =>
+      import org.apache.spark.sql.functions.udf
+      val mkWav = udf { (id: Long) =>
+        val rate = 8000; val n = rate / 10
+        val freq = 200.0 + (id % 200)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (math.sin(2 * math.Pi * freq * i / rate) * 0.5 * 32767).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val payloads = Tables.documents(s, d).limit(200)
+        .select(col("doc_id"), mkWav(col("doc_id")).as("payload"))
+      Multimodal.decodeAudio(payloads).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          round(col("rms"), 4).as("rms"),
+          round(col("zero_crossing_rate"), 4).as("zcr"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.noOracle("mm_phash_neardups") { (s, d) =>
       val payloads = Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))

@@ -93,6 +93,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV payloads decode through javax.sound: rate, duration, RMS, ZCR") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // synthesize 0.5 s of a 440 Hz sine at amplitude 0.5, 16-bit mono PCM
+    val rate = 8000
+    val n = rate / 2
+    val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val silent = {
+      val b = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(
+          new java.io.ByteArrayInputStream(new Array[Byte](n * 2)), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, b)
+      b.toByteArray
+    }
+    import spark.implicits._
+    val df = Seq((1L, bos.toByteArray), (2L, silent), (3L, Array[Byte](9, 9)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudio(df).collect().sortBy(_.doc_id)
+    val sine = out(0)
+    assert(sine.sample_rate == rate && sine.channels == 1 && sine.n_samples == n)
+    assert(math.abs(sine.duration_sec - 0.5) < 1e-9)
+    // sine RMS = amp/sqrt(2); ZCR = 2 crossings per cycle = 2*440/8000
+    assert(math.abs(sine.rms - amp / math.sqrt(2)) < 0.01, s"rms ${sine.rms}")
+    assert(math.abs(sine.zero_crossing_rate - 2.0 * 440 / rate) < 0.005,
+      s"zcr ${sine.zero_crossing_rate}")
+    assert(out(1).rms == 0.0 && out(1).zero_crossing_rate == 0.0)
+    assert(out(2).sample_rate == 0, "garbage must fall through to metadata-only")
+  }
+
   test("null payloads decode to empty features, not exceptions") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
