@@ -27,13 +27,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Caches {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Caches")
+
+  /** Past this many tracked intermediates on one session, a consumer has
+    * almost certainly never called [[releaseAll]] — warn once per
+    * session so silent non-adoption of the release contract is visible
+    * (ADVICE r7: the leak otherwise just moves from unpersisted caches
+    * to an unbounded registry). */
+  private val warnThreshold = 64
+
   private val reg =
     new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
+  private val warned =
+    new ConcurrentHashMap[SparkSession, java.lang.Boolean]()
 
   /** Register a frame the library just persisted. Returns it. */
-  private[ext] def track(df: DataFrame): DataFrame = {
-    reg.computeIfAbsent(df.sparkSession,
-      _ => new ConcurrentLinkedQueue[DataFrame]()).add(df)
+  private[graft] def track(df: DataFrame): DataFrame = {
+    val q = reg.computeIfAbsent(df.sparkSession,
+      _ => new ConcurrentLinkedQueue[DataFrame]())
+    q.add(df)
+    if (q.size() > warnThreshold &&
+        warned.putIfAbsent(df.sparkSession, java.lang.Boolean.TRUE) == null)
+      log.warn(s"graft.ext.Caches is tracking > $warnThreshold persisted " +
+        "intermediates on one SparkSession — call Caches.releaseAll(spark) " +
+        "between pipeline invocations or executor storage will accumulate")
     df
   }
 
@@ -55,6 +72,7 @@ object Caches {
   /** Unpersist every intermediate `ext/` entry points have cached on
     * this session since the last release. Non-blocking. */
   def releaseAll(spark: SparkSession): Unit = {
+    warned.remove(spark)
     val q = reg.remove(spark)
     if (q != null) {
       var df = q.poll()

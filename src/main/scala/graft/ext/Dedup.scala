@@ -302,10 +302,14 @@ object Dedup {
       maxExactRows: Long = 50000L): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     if (!allowExactAllPairs) {
-      val n = emb.count()
-      require(n <= maxExactRows,
-        s"cosineCanonical is O(n²) all-pairs and the corpus has $n rows " +
-        s"(> $maxExactRows). Use cosineCanonicalLsh (same semantics, " +
+      // limit(max+1).count(), not count(): the guard only needs "over the
+      // ceiling or not", so it must not cost a full corpus scan on every
+      // guarded call (ADVICE r7) — the limit stops the scan at max+1 rows
+      val capped = emb.limit(
+        math.min(maxExactRows + 1, Int.MaxValue.toLong).toInt).count()
+      require(capped <= maxExactRows,
+        s"cosineCanonical is O(n²) all-pairs and the corpus has more than " +
+        s"$maxExactRows rows. Use cosineCanonicalLsh (same semantics, " +
         s"Σ bucket² cost) or pass allowExactAllPairs = true to insist.")
     }
     val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
@@ -336,14 +340,17 @@ object Dedup {
       threshold: Double = 0.9,
       bucketLength: Double = 0.15,
       numTables: Int = 12,
-      hashesPerTable: Int = 0): DataFrame = {
+      hashesPerTable: Int = 0,
+      corpusCount: Long = 0L): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     // AND-width ≤0 = auto ∝ log(corpus): bucket occupancy grows with
     // corpus density at fixed width — the measured fix (SCALE.md:
     // m 6→8 at 10x re-tightened growth to ~1.2x, zero recall loss on
-    // the planted truth set). One count job, only in auto mode.
+    // the planted truth set). One count job, only in auto mode and only
+    // when corpusCount wasn't handed in by the caller (ADVICE r7).
     val m = if (hashesPerTable > 0) hashesPerTable
-            else graft.ext.Similarity.autoHashesPerTable(emb.count())
+            else graft.ext.Similarity.autoHashesPerTable(
+              if (corpusCount > 0) corpusCount else emb.count())
     val cand = graft.ext.Similarity
       .cosineCandidatePairs(emb, bucketLength, numTables, m)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
@@ -400,9 +407,14 @@ object Dedup {
     * `corpusBuckets`: the persisted-index path — pass the reloaded
     * (vec_id, tbl, h) rows a prior [[Similarity.hashedBuckets]] wrote
     * (deterministic seed-42 planes make them stable across sessions).
-    * The caller MUST then pass the same explicit `hashesPerTable` used
-    * at build time (the bucket rows don't record the AND-width, and
-    * auto-derivation could disagree once the corpus has grown). */
+    * The caller MUST then pin ALL THREE hash knobs to the values the
+    * index was built with — `hashesPerTable` (enforced: it has no safe
+    * default), and `bucketLength`/`numTables` (cannot be enforced here:
+    * the bucket rows record neither; a mismatch — e.g. index built at
+    * numTables=12, probe at 24 — makes batch keys for tables the index
+    * never hashed, silently LOSING recall rather than erroring, ADVICE
+    * r7). Persist the three knobs next to the index (the
+    * `cosineBucketIndex` scaladoc says the same from the build side). */
   def incrementalCosineNearDups(
       corpus: DataFrame,
       batch: DataFrame,
@@ -410,19 +422,25 @@ object Dedup {
       bucketLength: Double = 0.15,
       numTables: Int = 12,
       hashesPerTable: Int = 0,
-      corpusBuckets: Option[DataFrame] = None): DataFrame = {
+      corpusBuckets: Option[DataFrame] = None,
+      corpusCount: Long = 0L): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     require(corpusBuckets.isEmpty || hashesPerTable > 0,
       "persisted-index calls must pin hashesPerTable to the width the " +
-        "index was built with — auto-derivation can diverge as the corpus grows")
+        "index was built with — auto-derivation can diverge as the corpus " +
+        "grows. bucketLength and numTables must ALSO match the build " +
+        "(unverifiable here: the index rows record neither — a mismatch " +
+        "silently loses recall, so persist all three knobs with the index)")
     val empty = corpus.sparkSession.emptyDataFrame
       .select(lit(0L).as("vec_corpus"), lit(0L).as("vec_new"),
         lit(0.0).as("cos")).limit(0)
     // AND-width auto-scales with the CORPUS side (it owns the bucket
     // occupancy); both sides must hash with the same width or no
-    // bucket key ever matches.
+    // bucket key ever matches. corpusCount skips the auto-mode count
+    // job — the daily-ingest loop calls this per batch (ADVICE r7).
     val m = if (hashesPerTable > 0) hashesPerTable
-            else Similarity.autoHashesPerTable(corpus.count())
+            else Similarity.autoHashesPerTable(
+              if (corpusCount > 0) corpusCount else corpus.count())
     (corpusBuckets.orElse(Similarity.hashedBuckets(corpus, bucketLength, numTables, m)),
       Similarity.hashedBuckets(batch, bucketLength, numTables, m)) match {
       case (Some(hc), Some(hb)) =>
@@ -459,12 +477,15 @@ object Dedup {
   def semanticCanonical(
       emb: DataFrame,
       threshold: Double = 0.9,
-      nCells: Int = 0): DataFrame = {
+      nCells: Int = 0,
+      corpusCount: Long = 0L): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     // ≤0 = auto: constant ~125-vector cells (Similarity.autoNCells) —
-    // keeps Σ|cell|² pair cost linear in n as the corpus grows
+    // keeps Σ|cell|² pair cost linear in n as the corpus grows. The
+    // count job is skipped when the caller hands corpusCount in.
     val k = if (nCells > 0) nCells
-            else graft.ext.Similarity.autoNCells(emb.count())
+            else graft.ext.Similarity.autoNCells(
+              if (corpusCount > 0) corpusCount else emb.count())
     val cells = graft.ext.Similarity.assignCells(emb, k)._1
       .select("vec_id", "cell")
     val withCell = emb.select("vec_id", "embedding").join(cells, "vec_id")

@@ -220,8 +220,10 @@ object Similarity {
     * [[Dedup.incrementalCosineNearDups]]'s `corpusBuckets` for every
     * future batch (the seed-42 planes are deterministic across
     * sessions, so persisted and fresh buckets are identical — asserted
-    * in DedupSpec). Record the `hashesPerTable` used at build time
-    * alongside the index; probes must pin the same width. */
+    * in DedupSpec). Record ALL THREE hash knobs (`bucketLength`,
+    * `numTables`, `hashesPerTable`) alongside the index; probes must
+    * pin the same values — a silent mismatch loses recall (the bucket
+    * rows themselves record none of them). */
   def cosineBucketIndex(
       emb: DataFrame,
       bucketLength: Double = 0.15,
@@ -313,19 +315,27 @@ object Similarity {
     *
     * `queries` is a DataFrame with a `vec_id` column (other columns
     * ignored), semi-joined against the corpus — see [[annTopK]] for why
-    * this beats an id-literal predicate at real query cardinality. */
+    * this beats an id-literal predicate at real query cardinality.
+    *
+    * `corpusCount` > 0 skips the auto-mode count job (ADVICE/VERDICT
+    * r7: a pipeline calling ANN per batch otherwise re-counts the
+    * corpus on every call) — pass the count a prior stage already
+    * computed, or the row count persisted with the index metadata. */
   def ivfTopK(
       emb: DataFrame,
       queries: DataFrame,
       k: Int = 10,
       nCells: Int = 0,
-      nProbe: Int = 0): DataFrame = {
+      nProbe: Int = 0,
+      corpusCount: Long = 0L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // ≤0 = auto: constant-occupancy cells derived from the corpus count
     // (see autoNCells scaladoc — the measured production fix for the
-    // fixed-knob superlinear blowup). One count job, only in auto mode.
-    val cells = if (nCells > 0) nCells else autoNCells(emb.count())
+    // fixed-knob superlinear blowup). One count job, only in auto mode
+    // and only when the caller didn't hand the count in.
+    val cells = if (nCells > 0) nCells
+                else autoNCells(if (corpusCount > 0) corpusCount else emb.count())
     val probes = if (nProbe > 0) nProbe else autoNProbe(cells)
     val (assigned, centroids) = assignCells(emb, cells)
     val bc2 = spark.sparkContext.broadcast(centroids)

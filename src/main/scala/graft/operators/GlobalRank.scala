@@ -33,7 +33,16 @@ object GlobalRank {
   /** Adds a global 1-based `rnCol` ordered by `sortCols` (must be a
     * total order), plus the total count, without ever collapsing to a
     * single partition. `numPartitions` defaults to
-    * spark.sql.shuffle.partitions. */
+    * spark.sql.shuffle.partitions.
+    *
+    * The ranked intermediate is persisted (and registered with
+    * [[graft.ext.Caches]] — call `Caches.releaseAll(spark)` when done)
+    * because the plan executes twice: once for the per-partition counts
+    * collect, once for the output. Without the persist, a
+    * nondeterministic upstream (rand()-based sampling is common in
+    * curation pipelines) could produce DIFFERENT rows — and a different
+    * range-partitioner sample — across the two executions, silently
+    * misaligning every broadcast offset (ADVICE r7, medium). */
   def withGlobalRowNumber(
       df: DataFrame,
       sortCols: Seq[Column],
@@ -45,7 +54,8 @@ object GlobalRank {
     val ranged = df.repartitionByRange(p, sortCols: _*)
       .withColumn("_gr_pid", spark_partition_id())
     val wLocal = Window.partitionBy("_gr_pid").orderBy(sortCols: _*)
-    val local = ranged.withColumn("_gr_lrn", row_number().over(wLocal))
+    val local = graft.ext.Caches.track(
+      ranged.withColumn("_gr_lrn", row_number().over(wLocal)).cache())
     // P rows — bounded by partition count, not data size
     val counts = local.groupBy("_gr_pid").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -75,6 +85,14 @@ object GlobalRank {
       cumCol: String,
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    // integral only — a double would be silently truncated per row and
+    // produce a quietly wrong prefix sum instead of failing (ADVICE r7)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val vt = df.select(valueCol).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"withGlobalCumSumBefore needs an integral value column (the " +
+        s"driver-side prefix sum must be exact); got $vt — cast/round " +
+        "explicitly upstream if truncation is really intended")
     val p = if (numPartitions > 0) numPartitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(p, sortCols: _*)
@@ -82,7 +100,10 @@ object GlobalRank {
       .withColumn("_gc_v", valueCol.cast("long"))
     val wLocal = Window.partitionBy("_gc_pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("_gc_cum", sum(col("_gc_v")).over(wLocal))
+    // persisted for the same two-execution determinism reason as
+    // withGlobalRowNumber (see its scaladoc)
+    val local = graft.ext.Caches.track(
+      ranged.withColumn("_gc_cum", sum(col("_gc_v")).over(wLocal)).cache())
     val totals = local.groupBy("_gc_pid").agg(sum(col("_gc_v")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets: Map[Int, Long] = totals.map(_._1).zip(

@@ -53,15 +53,26 @@ object ExtQ {
     },
 
     // Stratified corpus subsampling — the language-rebalancing op every
-    // training-data pipeline runs. Seeded Bernoulli per stratum
-    // (sampleBy): deterministic for a given seed, no shuffle (narrow
-    // filter over the scan). No oracle (RNG stream is implementation-
-    // defined); determinism + per-stratum tolerance in DedupSpec.
-    QueryDef.noOracle("doc_sample_stratified") { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val langs = docs.select("lang").distinct().collect().map(_.getString(0))
-      val fractions = langs.map { l => l -> (if (l == "en") 0.5 else 1.0) }.toMap
-      docs.stat.sampleBy("lang", fractions, 42L).select("doc_id", "lang").orderBy("doc_id")
+    // training-data pipeline runs (here: keep 50% of 'en', 100% of the
+    // rest). HASH-based, not RNG-based (VERDICT r7 task 5): the keep
+    // decision is md5(doc_id) % 100 < pct — deterministic across
+    // engines, sessions, AND retries (a seeded RNG stream is stable
+    // only within one engine), re-runnable incrementally (a doc's fate
+    // never changes as the corpus grows), and exactly
+    // oracle-expressible. Narrow filter over the scan — no shuffle, no
+    // driver-side distinct-langs collect (the old sampleBy form needed
+    // one to build its fraction map).
+    QueryDef(
+      "doc_sample_stratified",
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang <> 'en'
+        |   OR CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("lang") =!= "en"
+          || pmod(expr(
+               "cast(conv(substring(md5(cast(cast(doc_id AS string) AS binary)), 1, 15), 16, 10) AS bigint)"),
+             lit(100L)) < 50)
+        .select("doc_id", "lang").orderBy("doc_id")
     },
 
     // Per-doc TF-IDF vector stats over EXACT terms (VERDICT r5 item 2:
