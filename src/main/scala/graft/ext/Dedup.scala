@@ -210,6 +210,77 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** SPAN-LEVEL (substring) dedup — the whole-document family's missing
+    * sibling (VERDICT r7 item 1): find substrings repeated ACROSS
+    * documents (boilerplate, license headers, navigation templates) and
+    * emit the per-doc token spans to cut, rather than dropping whole
+    * docs. The standard public technique for training corpora (cf.
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 — ExactSubstr dedup; re-expressed
+    * here in the distributed k-gram form instead of a suffix array,
+    * which has no shared-memory analogue on a cluster).
+    *
+    * Pipeline: token k-grams with offsets (narrow map) → corpus
+    * document frequency per gram (ONE map-side-combinable aggregate —
+    * no self-join, no bucket² term anywhere) → keep grams appearing in
+    * ≥ `minDf` distinct docs → merge each doc's surviving gram
+    * intervals [pos, pos+k-1] into maximal spans (two windows + one
+    * aggregate, ALL partitioned by doc_id — no cross-doc traffic).
+    *
+    * Output: (doc_id, span_start, span_end, span_len) — 0-based token
+    * offsets, inclusive; overlapping/adjacent gram hits merged. Cutting
+    * the spans (or docs whose span coverage exceeds a budget) is the
+    * caller's policy decision.
+    *
+    * 100 TB posture: the df aggregate shuffles (gram, doc-distinct)
+    * partials — k-gram keys are high-entropy so the shuffle is
+    * uniformly spread; the join back to offset rows is 1:1 per row
+    * (the df table has one row per gram — hot grams DON'T fan out);
+    * the merge windows hash on doc_id. Three shuffles total,
+    * df-independent. Set `dfCap` (> 0) to ALSO drop ubiquitous grams
+    * (df > cap) from spans when the goal is cutting only
+    * moderate-frequency boilerplate while leaving, e.g., short common
+    * idioms alone; 0 = no cap. */
+  def repeatedSpans(
+      docs: DataFrame,
+      k: Int = 8,
+      minDf: Int = 2,
+      dfCap: Int = 0): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2, got $k")
+    require(minDf >= 2, s"minDf < 2 would mark every doc's own text as repeated")
+    import org.apache.spark.sql.expressions.Window
+    val arr = split(col("text"), "\\s+")
+    // k-grams with 0-based start offsets; docs shorter than k emit none
+    val grams = docs.select(col("doc_id"),
+      posexplode(
+        when(size(arr) >= k,
+          transform(sequence(lit(0), size(arr) - k),
+            i => array_join(slice(arr, i + 1, lit(k)), " ")))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+    val dfq = grams.groupBy("gram").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf &&
+        (if (dfCap > 0) col("df") <= dfCap else lit(true)))
+      .select("gram")
+    val hits = grams.join(dfq, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + k - 1).cast("long").as("e"))
+    // gaps-and-islands interval merge, doc-local: a new span starts when
+    // the gram interval no longer overlaps/abuts the furthest end seen
+    val wOrd = Window.partitionBy("doc_id").orderBy("s")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("prev_e", max("e").over(wPrev))
+      .withColumn("new_span",
+        when(col("prev_e").isNull || col("s") > col("prev_e") + 1, 1)
+          .otherwise(0))
+      .withColumn("span_no", sum("new_span").over(wRun))
+      .groupBy("doc_id", "span_no")
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
   /** Incremental exact-dedup prefilter: a Bloom membership sketch of the
     * existing corpus' text hashes, probed by candidate docs — only docs
     * whose text is NOT in the corpus pass. The sketch is built

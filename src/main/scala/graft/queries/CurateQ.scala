@@ -585,6 +585,46 @@ object CurateQ {
         (col("_rn") <= lit(n / 4)).as("keep"))
     },
 
+    // SPAN-LEVEL substring dedup (r8, VERDICT item 1): token spans
+    // repeated across >= 2 documents — rolling 8-gram offsets, corpus
+    // df per gram (one map-side-combinable aggregate, NO self-join),
+    // doc-local maximal-span merge (gaps-and-islands windows, all
+    // partitioned by doc_id). The DuckDB twin recomputes the whole
+    // composition: gram explode with offsets, df HAVING, the same
+    // interval-merge windows — hash-verified end to end.
+    QueryDef(
+      "doc_span_dedup",
+      """WITH arrs AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS arr FROM documents),
+        |g0 AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(arr) - 6),
+        |           i -> array_to_string(arr[i:i+7], ' '))) AS gram,
+        |         generate_subscripts(range(1, len(arr) - 6), 1) AS idx
+        |  FROM arrs),
+        |g AS (SELECT doc_id, gram, idx - 1 AS pos FROM g0),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |r AS (
+        |  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s, CAST(g.pos + 7 AS BIGINT) AS e
+        |  FROM g JOIN d USING (gram)),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        |  FROM r),
+        |i AS (
+        |  SELECT doc_id, s, e,
+        |         SUM(CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_no
+        |  FROM m)
+        |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+        |       MAX(e) - MIN(s) + 1 AS span_len
+        |FROM i GROUP BY doc_id, span_no""".stripMargin) { (s, d) =>
+      graft.ext.Dedup.repeatedSpans(Tables.documents(s, d), k = 8, minDf = 2)
+        .orderBy("doc_id", "span_start")
+    },
+
     QueryDef(
       "doc_pack_sequences",
       """WITH t AS (

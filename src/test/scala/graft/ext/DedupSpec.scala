@@ -131,6 +131,42 @@ class DedupSpec extends SparkSpec {
       s"hashesPerTable=8 lost recall on ${tight.count { case (k, v) => exact(k) != v }} ids")
   }
 
+  test("repeatedSpans: planted boilerplate recovered as maximal spans, clean docs untouched") {
+    import spark.implicits._
+    // a 12-token "license header" planted in two docs at different
+    // offsets, plus a clean doc sharing no 8-gram with anyone
+    val license = (1 to 12).map(i => s"license$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$license alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"one two three four five six seven eight $license"),
+      (3L, "unique tokens only nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, k = 8, minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // overlapping gram hits must merge to ONE maximal span per doc,
+    // covering exactly the planted 12 tokens at each doc's offset
+    assert(spans == Set((1L, 0L, 11L, 12L), (2L, 8L, 19L, 12L)),
+      s"got $spans")
+  }
+
+  test("repeatedSpans: disjoint repeats stay separate spans; short docs are safe") {
+    import spark.implicits._
+    val blockA = (1 to 8).map(i => s"hdr$i").mkString(" ")
+    val blockB = (1 to 8).map(i => s"ftr$i").mkString(" ")
+    val docs = Seq(
+      // doc 1 carries BOTH blocks separated by unique filler -> 2 spans
+      (1L, s"$blockA u1 u2 u3 u4 $blockB"),
+      (2L, s"$blockA w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, s"v1 v2 v3 v4 v5 v6 v7 v8 $blockB"),
+      (4L, "tiny doc") // shorter than k: no grams, must not throw
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, k = 8, minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set(
+      (1L, 0L, 7L), (1L, 12L, 19L), // two maximal spans, not one merged
+      (2L, 0L, 7L), (3L, 8L, 15L)), s"got $spans")
+  }
+
   test("persisted signature index: parquet round-trip matches in-line recompute") {
     import org.apache.spark.sql.functions.col
     // the daily-ingest deployment shape: signatures written once at
