@@ -358,14 +358,6 @@ object ExtraQ {
         .orderBy("doc_id", "frame_idx")
     },
 
-    // Image near-dup dedup by perceptual hash (r7, over the now-real
-    // aHash): banded phash bucket join + exact hamming verify — the
-    // image twin of simhash text dedup. The fixture carries no real
-    // images, so duplicate payloads are PLANTED (ids +10^7) to prove
-    // the pipeline end-to-end: every planted copy must pair with its
-    // original at hamming 0. No oracle (stub phashes for undecodable
-    // bytes are implementation-defined); the real-PNG recall/precision
-    // behavior is asserted in MultimodalSpec.
     // Audio feature extraction (r7, real decode): each doc gets a
     // deterministic synthesized WAV (0.1 s sine, frequency keyed on
     // doc_id — the fixture ships no audio payloads), decoded
@@ -403,13 +395,97 @@ object ExtraQ {
         .orderBy("doc_id")
     },
 
+    // Video container metadata (r8, VERDICT item 3): each doc gets a
+    // deterministic synthesized container — even ids a minimal ISO-BMFF
+    // MP4, odd ids a RIFF/AVI header, params keyed on doc_id (the
+    // fixture ships no video payloads; the JDK has no encoder, so the
+    // box/chunk builders in Multimodal construct them byte-for-byte) —
+    // parsed DISTRIBUTED through the pure-JDK box walk to declared
+    // duration/dims/codec. No oracle (binary container layout has no
+    // DuckDB twin); round-trip exactness (built params == parsed
+    // params, both container families, v1 mvhd, truncation safety) is
+    // asserted in MultimodalSpec.
+    QueryDef.noOracle("mm_video_meta") { (s, d) =>
+      import org.apache.spark.sql.functions.udf
+      val mkVideo = udf { (id: Long) =>
+        if (id % 2 == 0)
+          Multimodal.syntheticMp4(
+            timescale = 1000, duration = 1000L * (id % 120 + 1),
+            width = 320 + 16 * (id % 8).toInt, height = 240 + 16 * (id % 8).toInt,
+            codec = if (id % 4 == 0) "avc1" else "hev1")
+        else
+          Multimodal.syntheticAvi(
+            microSecPerFrame = 40000, frames = 25 * (id % 120 + 1).toInt,
+            width = 320 + 16 * (id % 8).toInt, height = 240 + 16 * (id % 8).toInt,
+            codec = if (id % 4 == 1) "MJPG" else "XVID")
+      }
+      val payloads = Tables.documents(s, d).limit(200)
+        .select(col("doc_id"), mkVideo(col("doc_id")).as("payload"))
+      Multimodal.decodeVideoMeta(payloads).toDF()
+        .select(col("doc_id"), col("container"),
+          round(col("duration_sec"), 3).as("duration_sec"),
+          col("width"), col("height"), col("codec"))
+        .orderBy("doc_id")
+    },
+
+    // Image near-dup over REAL decoded PNGs (r8, VERDICT item 2: the r7
+    // form fed text bytes, so the gated row only ever exercised the
+    // StubDecoder fallback). Every doc now gets a deterministic 16×16
+    // PNG (8×8 random block pattern seeded on doc_id — the fixture
+    // ships no images, same synthesis discipline as mm_audio_features'
+    // WAVs), encoded AND decoded distributed through javax.imageio.
+    // Near-dups are PLANTED (ids +10^7): the same pattern with one
+    // pixel nudged ±16 luma — far below the 0/255 cell contrast, so
+    // the aHash is unchanged and the pair must surface at hamming 0.
+    // The width==16 filter is the real-decoder gate: StubDecoder's
+    // hash-derived dims are always >= 64, so if ImageIO ever stopped
+    // parsing these payloads the row would go EMPTY, not quietly pass
+    // stub hashes through the banded join. (Random 64-bit patterns are
+    // the banded join's worst case — no structure to bucket on — but
+    // candidate volume is still n²/32 band collisions, fine at bench
+    // scale and pessimistic vs real image corpora.)
     QueryDef.noOracle("mm_phash_neardups") { (s, d) =>
-      val payloads = Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      val planted = payloads.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("payload"))
-      val feats = Multimodal.decodeImages(payloads.union(planted)).toDF()
-      Multimodal.phashNearDups(feats.select("doc_id", "phash"))
+      import org.apache.spark.sql.functions.udf
+      val mkPng = udf { (id: Long, perturb: Boolean) =>
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val r = new java.util.Random(id)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            val v = if (r.nextBoolean()) 0xffffff else 0x000000
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) { img.setRGB(bx * 2 + dx, by * 2 + dy, v); dx += 1 }
+              dy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        if (perturb) {
+          val cur = img.getRGB(0, 0) & 0xff
+          val n = if (cur > 127) cur - 16 else cur + 16
+          img.setRGB(0, 0, (n << 16) | (n << 8) | n)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val ids = Tables.documents(s, d).select("doc_id")
+      val all = ids.select(col("doc_id"), col("doc_id").as("pattern_id"),
+          lit(false).as("perturb"))
+        .union(ids.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            col("doc_id").as("pattern_id"), lit(true).as("perturb")))
+      val payloads = all.select(col("doc_id"),
+        mkPng(col("pattern_id"), col("perturb")).as("payload"))
+      val feats = Multimodal.decodeImages(payloads).toDF()
+      Multimodal.phashNearDups(
+          feats.filter(col("width") === 16 && col("height") === 16)
+            .select("doc_id", "phash"))
         .orderBy("doc_a", "doc_b")
     }
   )

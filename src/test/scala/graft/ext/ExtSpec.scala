@@ -132,6 +132,47 @@ class ExtSpec extends SparkSpec {
     assert(Similarity.autoHashesPerTable(0) >= 2)
   }
 
+  test("auto-knob paths skip the corpus count job when corpusCount is handed in") {
+    // ADVICE/VERDICT r7 item: a per-batch pipeline calling ANN in auto
+    // mode paid one count() job per call. The count threads through now;
+    // job accounting via job groups proves the count job disappears.
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val n = emb.count()
+    val q = emb.select("vec_id").limit(5)
+
+    def jobsIn(group: String)(body: => Unit): Int = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      // statusTracker is listener-fed; poll until the count stabilizes
+      var prev = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      while (cur != prev) {
+        prev = cur; Thread.sleep(300)
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+
+    val auto = jobsIn("ivf-auto") {
+      Similarity.ivfTopK(emb, q, k = 5).collect()
+    }
+    Caches.releaseAll(spark)
+    val threaded = jobsIn("ivf-threaded") {
+      Similarity.ivfTopK(emb, q, k = 5, corpusCount = n).collect()
+    }
+    Caches.releaseAll(spark)
+    assert(threaded < auto,
+      s"passing corpusCount should shed the count job: auto=$auto threaded=$threaded")
+
+    // results must be identical — the threaded count feeds the same knob
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(Similarity.ivfTopK(emb, q, k = 5, corpusCount = n)) ==
+      key(Similarity.ivfTopK(emb, q, k = 5)))
+    Caches.releaseAll(spark)
+  }
+
   test("annTopK/ivfTopK: empty query set yields empty frame, not an error") {
     assert(Similarity.annTopK(Tables.embeddings(spark, sf()), Seq(-1L), k = 5).count() == 0)
     assert(Similarity.ivfTopK(Tables.embeddings(spark, sf()), Seq(-1L),

@@ -93,6 +93,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_phash_neardups registry row decodes REAL PNGs and finds every planted pair") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r7 item 2: the row used to feed text bytes, so only the
+    // StubDecoder path ever ran in the gated bench/correctness lane.
+    // Now it synthesizes real PNGs; if ImageIO stopped parsing them,
+    // the width==16 gate inside the query would empty the row — so a
+    // non-empty, exactly-planted result proves the real decoder ran.
+    val rows = graft.SparkEntry.queries("mm_phash_neardups")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = graft.Tables.documents(spark, sf())
+      .filter(col("doc_id") % 25 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+      .map(id => (id, id + 10000000L)).toSet
+    assert(expected.nonEmpty)
+    val found = rows.map(r => (r._1, r._2)).toSet
+    assert(found == expected,
+      s"planted-pair mismatch: missing=${expected -- found} extra=${found -- expected}")
+    // the ±16-luma nudge is far below the 0/255 cell contrast: the
+    // aHash must be unchanged, i.e. every planted pair at hamming 0
+    assert(rows.forall(_._3 == 0), s"nonzero hamming: ${rows.filter(_._3 != 0).take(3)}")
+  }
+
   test("real WAV payloads decode through javax.sound: rate, duration, RMS, ZCR") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // synthesize 0.5 s of a 440 Hz sine at amplitude 0.5, 16-bit mono PCM
@@ -131,6 +153,67 @@ class MultimodalSpec extends SparkSpec {
       s"zcr ${sine.zero_crossing_rate}")
     assert(out(1).rms == 0.0 && out(1).zero_crossing_rate == 0.0)
     assert(out(2).sample_rate == 0, "garbage must fall through to metadata-only")
+  }
+
+  test("video container parse: MP4 box walk and AVI chunk walk round-trip the built params") {
+    import spark.implicits._
+    val mp4 = Multimodal.syntheticMp4(
+      timescale = 1000, duration = 5000L, width = 320, height = 240, codec = "avc1")
+    val avi = Multimodal.syntheticAvi(
+      microSecPerFrame = 40000, frames = 250, width = 640, height = 480, codec = "XVID")
+    val df = Seq((1L, mp4), (2L, avi), (3L, "not a video at all..".getBytes))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeVideoMeta(df).collect()
+      .map(v => v.doc_id -> v).toMap
+    assert(rows(1L).container == "mp4" && rows(1L).duration_sec == 5.0 &&
+      rows(1L).width == 320 && rows(1L).height == 240 && rows(1L).codec == "avc1",
+      s"mp4 parse: ${rows(1L)}")
+    assert(rows(2L).container == "avi" && rows(2L).duration_sec == 10.0 &&
+      rows(2L).width == 640 && rows(2L).height == 480 && rows(2L).codec == "XVID",
+      s"avi parse: ${rows(2L)}")
+    assert(rows(3L).container == "unknown" && rows(3L).codec == "",
+      s"junk must fall to the unknown row: ${rows(3L)}")
+  }
+
+  test("video container parse: v1 mvhd (64-bit duration) and truncated boxes are safe") {
+    // hand-build a moov with a VERSION-1 mvhd (the builder emits v0):
+    // fullbox v1: flags, c8, m8, ts4, d8
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ t.getBytes("ISO-8859-1") ++ body
+    val mvhdV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+        be32(90000) ++ be32(0) ++ be32(90000L * 7))
+    val payload = box("ftyp", "isom".getBytes ++ be32(0)) ++ box("moov", mvhdV1)
+    val v = Multimodal.VideoContainerParser.parse(9L, payload)
+    assert(v.exists(m => m.container == "mp4" && m.duration_sec == 7.0 &&
+      m.width == 0 && m.codec == ""), s"v1 mvhd: $v")
+    // truncation at every prefix length must return None/unknown, never throw
+    val full = Multimodal.syntheticMp4(1000, 5000L, 320, 240)
+    (0 until full.length by 7).foreach { n =>
+      Multimodal.VideoContainerParser.parse(1L, full.take(n)) // must not throw
+    }
+    val fullAvi = Multimodal.syntheticAvi(40000, 250, 640, 480)
+    (0 until fullAvi.length by 7).foreach { n =>
+      Multimodal.VideoContainerParser.parse(1L, fullAvi.take(n))
+    }
+  }
+
+  test("mm_video_meta registry row: both container families parsed, params keyed on doc_id") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("mm_video_meta")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expectDur = if (id % 2 == 0) (id % 120 + 1).toDouble
+                      else 0.04 * 25 * (id % 120 + 1)
+      assert(r.getString(1) == (if (id % 2 == 0) "mp4" else "avi"), s"row $r")
+      assert(math.abs(r.getDouble(2) - expectDur) < 1e-3, s"duration: $r vs $expectDur")
+      assert(r.getInt(3) == 320 + 16 * (id % 8).toInt, s"width: $r")
+      assert(r.getString(5).nonEmpty, s"codec: $r")
+    }
   }
 
   test("null payloads decode to empty features, not exceptions") {
