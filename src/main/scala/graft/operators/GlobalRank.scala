@@ -115,6 +115,77 @@ object GlobalRank {
       .drop("_gc_pid", "_gc_v", "_gc_cum")
   }
 
+  /** Global RANGE-frame aggregates over a CONTINUOUS numeric ORDER BY
+    * domain — the last global-window shape (VERDICT r7 item 6; the
+    * discrete-domain form is `win_range_frame`'s per-value band join).
+    * A bare `Window.orderBy(x).rangeBetween(-b, a)` plans Exchange
+    * SinglePartition; this is the documented range-repartition +
+    * boundary-overlap-replication alternative:
+    *
+    *  1. range-partition on the order key (P-way, sampled ranges);
+    *  2. collect the P (lo, hi) partition bounds (P rows, bounded by
+    *     partition count, never data size);
+    *  3. replicate each row into every partition whose value range its
+    *     frame overlaps: a row at k is a DONOR to partition p iff
+    *     [k-after, k+before] ∩ [lo_p, hi_p] ≠ ∅, i.e. the rows of p
+    *     whose frames [x-before, x+after] could contain k. Replication
+    *     factor ≈ 1 + (before+after)/partition-width — window widths
+    *     small vs the partition span cost ~nothing; a frame spanning
+    *     the whole domain degenerates toward P copies (at that point
+    *     you want a broadcast aggregate, not a window);
+    *  4. per-partition RANGE window over home rows + donors (window
+    *     partitioned by target pid — P-way parallel, never a single
+    *     partition), then keep each row's home copy only.
+    *
+    * `aggs` maps output column name -> SQL aggregate text evaluated
+    * over the frame (e.g. "count(1)", "sum(CAST(q AS DECIMAL(18,2)))")
+    * — any input column may be referenced; cast/rename AFTER the call
+    * (the OVER clause must attach to the bare aggregate). The order
+    * key is evaluated as double (`orderCol.cast("double")`); frame
+    * bounds are double literals, so semantics match an engine's
+    * RANGE BETWEEN b PRECEDING AND a FOLLOWING over the same doubles
+    * bit-for-bit. Input is persisted across the two executions (same
+    * determinism contract as [[withGlobalRowNumber]] — release via
+    * `Caches.releaseAll`). */
+  def withRangeFrameAgg(
+      df: DataFrame,
+      orderCol: Column,
+      before: Double,
+      after: Double,
+      aggs: Map[String, String],
+      numPartitions: Int = 0): DataFrame = {
+    require(before >= 0 && after >= 0, s"frame offsets must be >= 0, got ($before, $after)")
+    require(aggs.nonEmpty, "no aggregates requested")
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df.withColumn("_rf_k", orderCol.cast("double"))
+    val ranged = graft.ext.Caches.track(
+      keyed.repartitionByRange(p, col("_rf_k"))
+        .withColumn("_rf_pid", spark_partition_id()).cache())
+    // P (pid, lo, hi) bounds — empty partitions simply don't appear
+    val bounds = ranged.groupBy("_rf_pid")
+      .agg(min("_rf_k").as("lo"), max("_rf_k").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // donor fan-out: literal bounds array (P structs — broadcast-sized),
+    // filtered per row inside codegen, then exploded to target pids.
+    // Empty input -> empty bounds -> empty (correctly typed) output.
+    val bl = typedLit(bounds)
+    val donors = ranged.withColumn("_rf_tpid",
+      explode(transform(
+        filter(bl, b =>
+          col("_rf_k") >= b.getField("_2") - lit(before) &&
+            col("_rf_k") <= b.getField("_3") + lit(after)),
+        b => b.getField("_1"))))
+    val over = s"OVER (PARTITION BY _rf_tpid ORDER BY _rf_k " +
+      s"RANGE BETWEEN ${before}D PRECEDING AND ${after}D FOLLOWING)"
+    val aggCols = aggs.toSeq.map { case (n, a) => expr(s"$a $over").as(n) }
+    donors
+      .select(col("*") +: aggCols: _*)
+      .filter(col("_rf_tpid") === col("_rf_pid"))
+      .drop("_rf_k", "_rf_pid", "_rf_tpid")
+  }
+
   /** NTILE(k) bucket from a global row number and total count, per the
     * SQL rule: bucket size floor(n/k), the first (n mod k) buckets one
     * larger. Closed-form — no window. */

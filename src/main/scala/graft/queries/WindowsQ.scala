@@ -123,7 +123,8 @@ object WindowsQ {
       // band-self-join the TINY per-value table (broadcast), and join
       // back. No global window, no single-partition sink; the n²
       // band join is over |distinct sizes| rows, not |part|. (For a
-      // continuous domain the analogue is range-repartition with
+      // continuous domain see win_range_frame_cont below —
+      // GlobalRank.withRangeFrameAgg's range-repartition with
       // boundary-overlap replication.)
       val parts = Tables.part(s, d)
       val bySize = parts.groupBy("p_size").agg(count(lit(1)).as("c"))
@@ -136,6 +137,38 @@ object WindowsQ {
       parts.select("p_partkey", "p_size")
         .join(broadcast(nClose), "p_size")
         .select("p_partkey", "p_size", "n_close")
+    },
+
+    // CONTINUOUS-domain global range frame (r8, VERDICT item 6): a
+    // price band of +/-100.0 around every row over the WHOLE table.
+    // The discrete trick above (aggregate per distinct value) dies on
+    // a continuous key, and the naive Window.orderBy plans Exchange
+    // SinglePartition — so this rides GlobalRank.withRangeFrameAgg:
+    // range-repartition on the key, replicate rows into the partitions
+    // whose band their frame overlaps, per-partition RANGE window
+    // (P-way), keep home copies. PlanSpec asserts no SinglePartition;
+    // the oracle is the plain global range window (the oracle only
+    // needs to be correct, not scale). Decimal band sum => exact in
+    // both engines; the count is integral.
+    QueryDef(
+      "win_range_frame_cont",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_band,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS qty_band
+        |FROM lineitem WHERE l_orderkey < 2000
+        |WINDOW w AS (ORDER BY l_extendedprice
+        |             RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)""".stripMargin) { (s, d) =>
+      import graft.operators.GlobalRank
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      GlobalRank.withRangeFrameAgg(li, col("l_extendedprice"),
+          before = 100.0, after = 100.0,
+          aggs = Map(
+            "n_band" -> "count(1)",
+            "qty_band" -> "sum(CAST(l_quantity AS DECIMAL(18,2)))"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("n_band").cast("bigint").as("n_band"),
+          col("qty_band").cast("double").as("qty_band"))
     },
 
     QueryDef(

@@ -176,7 +176,7 @@ class PlanSpec extends SparkSpec {
     // Exchange SinglePartition and funnels the table into one task.
     // The GlobalRank two-pass form must keep every exchange parallel.
     for (name <- Seq("win_ntile_percent", "doc_pack_sequences",
-        "doc_quality_threshold")) {
+        "doc_quality_threshold", "win_range_frame_cont")) {
       spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, sf())
       val p = df.queryExecution.executedPlan.toString

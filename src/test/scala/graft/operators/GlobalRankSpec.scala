@@ -36,6 +36,36 @@ class GlobalRankSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("withRangeFrameAgg equals the naive global range window, any input partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // continuous values with duplicates (range-frame peers), awkward
+    // spread so partition boundaries fall inside frame windows
+    val r = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => (i.toLong, math.floor(r.nextDouble() * 200) / 2.0, i % 7 + 1))
+    val df = rows.toDF("id", "x", "v").repartition(9)
+    val naive = df
+      .withColumn("n", count(lit(1)).over(
+        Window.orderBy("x").rangeBetween(-10L, 10L)))
+      .withColumn("s", sum("v").over(
+        Window.orderBy("x").rangeBetween(-10L, 10L)))
+      .select("id", "n", "s")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = GlobalRank.withRangeFrameAgg(df, col("x"),
+        before = 10.0, after = 10.0,
+        aggs = Map("n" -> "count(1)", "s" -> "sum(v)"), numPartitions = 8)
+      .select("id", "n", "s")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == rows.size, s"row count drift: ${got.size}")
+    assert(got == naive)
+    graft.ext.Caches.releaseAll(spark)
+    // empty input: correctly-typed empty output, no throw
+    assert(GlobalRank.withRangeFrameAgg(df.limit(0), col("x"), 10.0, 10.0,
+      Map("n" -> "count(1)")).count() == 0)
+    graft.ext.Caches.releaseAll(spark)
+  }
+
   test("ntile closed form matches the SQL bucket rule at awkward n/k") {
     // n=10, k=4 -> buckets 3,3,2,2; n=3, k=4 -> buckets of 1
     val expect10 = Seq(1, 1, 1, 2, 2, 2, 3, 3, 4, 4)
