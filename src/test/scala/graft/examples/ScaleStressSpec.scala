@@ -43,6 +43,33 @@ class ScaleStressSpec extends SparkSpec {
     }
   }
 
+  test("embedding replica transform: orthogonal (norm-exact) and decorrelated at ANY rep") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val base = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select("embedding").limit(20)
+      .collect().map(_.getSeq[Float](0))
+    // reps below AND above the 64-dim wrap point: bare rotation would
+    // be the identity at rep = 64 (the factor>63 planted-dup bug)
+    for (rep <- Seq(1, 5, 63, 64, 70, 99); e <- base) {
+      val m = ScaleStress.mutateEmbedding(e, rep)
+      val n0 = math.sqrt(e.map(x => x.toDouble * x).sum)
+      val n1 = math.sqrt(m.map(x => x.toDouble * x).sum)
+      assert(math.abs(n0 - n1) < 1e-9, s"norm drift at rep $rep")
+      assert(math.abs(cos(e, m)) < 0.6, s"rep $rep correlated: cos=${cos(e, m)}")
+    }
+    // distinct reps sharing a rotation (64 apart) must ALSO be decorrelated
+    for (e <- base) {
+      val a = ScaleStress.mutateEmbedding(e, 6)
+      val b = ScaleStress.mutateEmbedding(e, 70)
+      assert(math.abs(cos(a, b)) < 0.6, s"reps 6/70 correlated: ${cos(a, b)}")
+    }
+  }
+
   test("replicas are NOT shingle near-dups of their originals") {
     val docs = spark.read.parquet(s"$out/documents.parquet")
     val sh = docs.select(col("doc_id"),
