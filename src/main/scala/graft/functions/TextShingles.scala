@@ -36,4 +36,34 @@ object TextShingles {
 
   /** Distinct word 3-grams of `tokens` (array<string>), first-seen order. */
   def shingle3(tokens: Column): Column = shingle3Udf(tokens)
+
+  private val kgram8Udf = udf { (toks: Seq[String]) =>
+    val k = 8
+    if (toks == null || toks.length < k) Array.empty[String]
+    else {
+      val out = new Array[String](toks.length - k + 1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** ALL word 8-grams of `tokens`, in position order (index i = 0-based
+    * start offset — `posexplode` recovers the offset). NOT deduplicated:
+    * the span-dedup merge needs every occurrence. Same compiled-UDF
+    * rationale as [[shingle3]]; output bit-identical to
+    * `transform(sequence(0, size(toks)-8), i -> array_join(slice(toks,
+    * i+1, 8), ' '))` (empty when size < 8). */
+  def kgram8(tokens: Column): Column = kgram8Udf(tokens)
 }

@@ -45,6 +45,41 @@ object CurateQ {
 
   private val wDoc = Window.partitionBy("doc_id").orderBy("pos")
 
+  /** DuckDB CTE block reproducing [[graft.ext.Dedup.repeatedSpans]]
+    * (k=8, minDf=2) over `documents`, ending in
+    * `spans(doc_id, span_start, span_end, span_len)`. Shared by the
+    * three span-dedup oracles so the gram/merge semantics live once.
+    * Use as `WITH $spanCtes[, more CTEs] SELECT ... FROM spans`. */
+  private val spanCtes =
+    """arrs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS arr FROM documents),
+      |g0 AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(arr) - 6),
+      |           i -> array_to_string(arr[i:i+7], ' '))) AS gram,
+      |         generate_subscripts(range(1, len(arr) - 6), 1) AS idx
+      |  FROM arrs),
+      |g AS (SELECT doc_id, gram, idx - 1 AS pos FROM g0),
+      |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      |r AS (
+      |  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s, CAST(g.pos + 7 AS BIGINT) AS e
+      |  FROM g JOIN d USING (gram)),
+      |m AS (
+      |  SELECT doc_id, s, e,
+      |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+      |  FROM r),
+      |i AS (
+      |  SELECT doc_id, s, e,
+      |         SUM(CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY s
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_no
+      |  FROM m),
+      |spans AS (
+      |  SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+      |         MAX(e) - MIN(s) + 1 AS span_len
+      |  FROM i GROUP BY doc_id, span_no)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Gopher-style repetition metrics (arXiv:2112.11446 Table A1): the
@@ -594,35 +629,89 @@ object CurateQ {
     // interval-merge windows — hash-verified end to end.
     QueryDef(
       "doc_span_dedup",
-      """WITH arrs AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS arr FROM documents),
-        |g0 AS (
-        |  SELECT doc_id,
-        |         unnest(list_transform(range(1, len(arr) - 6),
-        |           i -> array_to_string(arr[i:i+7], ' '))) AS gram,
-        |         generate_subscripts(range(1, len(arr) - 6), 1) AS idx
-        |  FROM arrs),
-        |g AS (SELECT doc_id, gram, idx - 1 AS pos FROM g0),
-        |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
-        |r AS (
-        |  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s, CAST(g.pos + 7 AS BIGINT) AS e
-        |  FROM g JOIN d USING (gram)),
-        |m AS (
-        |  SELECT doc_id, s, e,
-        |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
-        |  FROM r),
-        |i AS (
-        |  SELECT doc_id, s, e,
-        |         SUM(CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY doc_id ORDER BY s
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_no
-        |  FROM m)
-        |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
-        |       MAX(e) - MIN(s) + 1 AS span_len
-        |FROM i GROUP BY doc_id, span_no""".stripMargin) { (s, d) =>
+      s"""WITH $spanCtes
+        |SELECT doc_id, span_start, span_end, span_len FROM spans""".stripMargin) { (s, d) =>
       graft.ext.Dedup.repeatedSpans(Tables.documents(s, d), k = 8, minDf = 2)
         .orderBy("doc_id", "span_start")
+    },
+
+    // Span COVERAGE + drop policy (r8): the decision step after span
+    // detection — how much of each doc is corpus-repeated boilerplate,
+    // and which docs are mostly boilerplate (coverage >= 0.5 -> drop
+    // whole doc rather than cut). Spans are disjoint by construction,
+    // so covered = SUM(span_len) exactly. Adds one doc-keyed aggregate
+    // + a left join to the span pipeline — same shuffle keys.
+    QueryDef(
+      "doc_span_coverage",
+      s"""WITH $spanCtes,
+        |cov AS (SELECT doc_id, SUM(span_len) AS covered FROM spans GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT tot.doc_id, n_tokens,
+        |       COALESCE(covered, 0) AS covered_tokens,
+        |       CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens AS coverage_frac,
+        |       CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens >= 0.5 AS drop_doc
+        |FROM tot LEFT JOIN cov ON tot.doc_id = cov.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cov = graft.ext.Dedup.repeatedSpans(docs, k = 8, minDf = 2)
+        .groupBy("doc_id").agg(sum("span_len").as("covered"))
+      docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+          (coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"))
+            .as("coverage_frac"),
+          (coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens") >= 0.5)
+            .as("drop_doc"))
+    },
+
+    // Span CUT (r8): apply the spans — emit each doc's text with every
+    // corpus-repeated span removed (the Lee-et-al. ExactSubstr action:
+    // cut the substring, keep the doc). Token-level reconstruction:
+    // tokens anti-joined against their doc's span ranges (equi on
+    // doc_id + range predicate — doc-local fan-out, spans per doc are
+    // few), then an ordered within-group concat (listagg / string_agg
+    // ORDER BY pos — deterministic in both engines). Docs whose every
+    // token is covered vanish from the token side, so the left join
+    // from documents restores them with empty text.
+    QueryDef(
+      "doc_span_cut",
+      s"""WITH $spanCtes,
+        |tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(text, '\\s+')) AS t,
+        |         generate_subscripts(string_split_regex(text, '\\s+'), 1) - 1 AS pos
+        |  FROM documents),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.t, tok.pos FROM tok
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans
+        |    WHERE spans.doc_id = tok.doc_id
+        |      AND tok.pos BETWEEN spans.span_start AND spans.span_end)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
+        |         CAST(COUNT(*) AS BIGINT) AS n_tokens_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       COALESCE(agg.clean_text, '') AS clean_text,
+        |       COALESCE(agg.n_tokens_kept, 0) AS n_tokens_kept
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val spans = graft.ext.Dedup.repeatedSpans(docs, k = 8, minDf = 2)
+      val tok = posTokens(s, d)
+      val kept = tok.join(spans,
+          tok("doc_id") === spans("doc_id") &&
+            tok("pos").between(col("span_start"), col("span_end")),
+          "left_anti")
+      val agg = kept.groupBy("doc_id")
+        .agg(expr("listagg(t, ' ') WITHIN GROUP (ORDER BY pos)").as("clean_text"),
+          count(lit(1)).as("n_tokens_kept"))
+      docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
     },
 
     QueryDef(
