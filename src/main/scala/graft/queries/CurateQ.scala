@@ -714,6 +714,57 @@ object CurateQ {
           coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
     },
 
+    // Domain MIXTURE sampling (r8): per-source keep rates — the
+    // data-mixing step that reweights domains before training (e.g.
+    // downsample low-quality crawl sources, keep curated ones whole).
+    // Hash-based like doc_sample_stratified, with a stage salt
+    // ('mix:') so this stage's keep decisions are independent of the
+    // language-rebalancing stage's (same doc, different coin). Narrow
+    // filter over the scan — no shuffle.
+    QueryDef(
+      "doc_mixture_sample",
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |      < CASE WHEN ends_with(source, '0') THEN 20 ELSE 80 END""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(
+          pmod(expr(
+            "cast(conv(substring(md5(cast(concat('mix:', cast(doc_id AS string)) AS binary)), 1, 15), 16, 10) AS bigint)"),
+            lit(100L))
+          < when(col("source").endsWith("0"), 20).otherwise(80))
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // Token-budget curriculum HEAD (r8): take documents in quality
+    // order (longest-first proxy, deterministic tiebreak) until the
+    // cumulative token budget is spent — the "train on the best N
+    // tokens" cut. The global prefix sum over a NON-key ordering rides
+    // the same scale-safe GlobalRank two-pass as doc_pack_sequences;
+    // keep = tokens-before-me < budget, so exactly the head that fits
+    // (the straddling doc is kept and may be truncated downstream).
+    QueryDef(
+      "doc_token_budget_head",
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_before, cum_before < 20000 AS keep
+        |FROM c""".stripMargin) { (s, d) =>
+      val budget = 20000L
+      val t = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        size(toks).cast("long").as("n_tokens"))
+      graft.operators.GlobalRank
+        .withGlobalCumSumBefore(t,
+          Seq(col("n_chars").desc, col("doc_id")), col("n_tokens"), "cum_before")
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+          (col("cum_before") < budget).as("keep"))
+    },
+
     QueryDef(
       "doc_pack_sequences",
       """WITH t AS (
