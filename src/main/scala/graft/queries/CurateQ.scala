@@ -714,6 +714,41 @@ object CurateQ {
           coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
     },
 
+    // Document CHUNKING (r8): fixed-size overlapping token windows —
+    // the prep step before embedding long documents (chunk 128 tokens,
+    // stride 96 -> 32-token overlap so no boundary sentence is lost).
+    // Chunk starts at every stride multiple below n_tokens; the last
+    // chunk may be short. Pure narrow map (explode over a per-doc
+    // sequence) — NO shuffle at all; both engines clamp the trailing
+    // slice identically.
+    QueryDef(
+      "doc_chunk",
+      """WITH a AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS arr FROM documents),
+        |c AS (
+        |  SELECT doc_id, arr,
+        |         unnest(range(0, (len(arr) - 1) // 96 + 1)) AS chunk_id
+        |  FROM a)
+        |SELECT doc_id,
+        |       CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(chunk_id * 96 AS BIGINT) AS chunk_start,
+        |       CAST(len(arr[chunk_id*96+1 : chunk_id*96+128]) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(arr[chunk_id*96+1 : chunk_id*96+128], ' ') AS chunk_text
+        |FROM c""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("arr"))
+        .select(col("doc_id"), col("arr"),
+          posexplode(expr("sequence(0, (size(arr) - 1) div 96)"))
+            .as(Seq("p", "chunk_id")))
+        .select(col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          (col("chunk_id") * 96).cast("long").as("chunk_start"),
+          size(slice(col("arr"), col("chunk_id") * 96 + 1, lit(128)))
+            .cast("long").as("n_chunk_tokens"),
+          array_join(slice(col("arr"), col("chunk_id") * 96 + 1, lit(128)), " ")
+            .as("chunk_text"))
+    },
+
     // Domain MIXTURE sampling (r8): per-source keep rates — the
     // data-mixing step that reweights domains before training (e.g.
     // downsample low-quality crawl sources, keep curated ones whole).

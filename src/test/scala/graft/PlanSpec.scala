@@ -176,7 +176,12 @@ class PlanSpec extends SparkSpec {
     // Exchange SinglePartition and funnels the table into one task.
     // The GlobalRank two-pass form must keep every exchange parallel.
     for (name <- Seq("win_ntile_percent", "doc_pack_sequences",
-        "doc_quality_threshold", "win_range_frame_cont")) {
+        "doc_quality_threshold", "win_range_frame_cont",
+        // r8: the span-dedup family (df-aggregate + doc-local windows)
+        // and the token-budget head (GlobalRank prefix sum) must also
+        // never funnel — every exchange keyed on gram/doc_id/range
+        "doc_span_dedup", "doc_span_coverage", "doc_span_cut",
+        "doc_token_budget_head")) {
       spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, sf())
       val p = df.queryExecution.executedPlan.toString

@@ -46,5 +46,20 @@ class EmptyInputSpec extends SparkSpec {
   test("text entry points: empty corpus -> empty result, no crash") {
     assert(Similarity.shingleVectors(emptyDocs).count() == 0)
     assert(Similarity.tfidf(emptyDocs).count() == 0)
+    assert(Dedup.repeatedSpans(emptyDocs).count() == 0)
+  }
+
+  test("multimodal entry points: empty payload set -> empty result, no crash") {
+    val emptyPayloads = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    assert(Multimodal.decodeImages(emptyPayloads).count() == 0)
+    assert(Multimodal.decodeAudio(emptyPayloads).count() == 0)
+    assert(Multimodal.decodeVideoMeta(emptyPayloads).count() == 0)
+    assert(Multimodal.phashNearDups(
+      Multimodal.decodeImages(emptyPayloads).toDF()
+        .select("doc_id", "phash")).count() == 0)
   }
 }
