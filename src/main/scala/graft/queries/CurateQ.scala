@@ -714,6 +714,24 @@ object CurateQ {
           coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
     },
 
+    // The WHOLE corpus-build recipe as one call (r8,
+    // ext/CorpusBuild): quality filter -> span-cut/drop -> exact dedup
+    // -> LSH-verified near-dup dedup -> sequence packing. Output = the
+    // funnel report (one row). No oracle — each constituent stage is
+    // already oracle-verified by its registry twin; the composition's
+    // invariants (monotone funnel, unique survivors, packing bounds,
+    // determinism) are asserted in CorpusBuildSpec.
+    QueryDef.noOracle("pipeline_corpus_build") { (s, d) =>
+      import s.implicits._
+      val (packed, r) = graft.ext.CorpusBuild.run(Tables.documents(s, d))
+      val nPacked = packed.count()
+      graft.ext.Caches.releaseAll(s)
+      Seq((r.nRaw, r.nQuality, r.nAfterSpanPolicy, r.nExactCanonical,
+        r.nNearDupCanonical, nPacked))
+        .toDF("n_raw", "n_quality", "n_after_span", "n_exact", "n_neardup",
+          "n_packed")
+    },
+
     // Document CHUNKING (r8): fixed-size overlapping token windows —
     // the prep step before embedding long documents (chunk 128 tokens,
     // stride 96 -> 32-token overlap so no boundary sentence is lost).
