@@ -64,8 +64,11 @@ object CorpusBuild {
     val qualityC = Caches.track(quality.cache())
     val nQuality = qualityC.count()
 
-    // 2. span policy: coverage ≥ threshold -> drop doc; else cut spans
-    val spans = Dedup.repeatedSpans(qualityC, cfg.spanK, cfg.spanMinDf)
+    // 2. span policy: coverage ≥ threshold -> drop doc; else cut spans.
+    // spans feeds BOTH the coverage policy and the token anti-join —
+    // cache it or the whole gram/df/merge pipeline runs twice.
+    val spans = Caches.track(
+      Dedup.repeatedSpans(qualityC, cfg.spanK, cfg.spanMinDf).cache())
     val cov = spans.groupBy("doc_id").agg(sum("span_len").as("covered"))
     val tok = qualityC.select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
     val keptDocs = qualityC
