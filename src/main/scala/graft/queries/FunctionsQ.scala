@@ -498,6 +498,30 @@ object FunctionsQ {
         .select(col("r_regionkey"), explode(mp))
     },
 
+    // Map higher-order functions (transform_keys/values, map_filter,
+    // map_zip_with) — the map-HOF slice of the array-HOF family above.
+    // DuckDB has no map lambdas, so the oracle computes the SAME
+    // results independently from the literal construction (list
+    // arithmetic in entry order — Spark maps preserve insertion order,
+    // and every map HOF here is order-preserving), making this a
+    // genuine cross-check rather than a same-engine echo.
+    QueryDef(
+      "fn_map_hof",
+      """SELECT r_regionkey,
+        |       CAST(to_json([r_regionkey * 2, r_regionkey * 3 * 2]) AS VARCHAR) AS tv,
+        |       CAST(to_json(['a_x', 'b_x']) AS VARCHAR) AS tk,
+        |       CAST(to_json(list_filter([r_regionkey, r_regionkey * 3], x -> x % 2 = 0)) AS VARCHAR) AS mf,
+        |       CAST(to_json([r_regionkey + r_regionkey, r_regionkey * 3 + r_regionkey * 3]) AS VARCHAR) AS mz
+        |FROM region""".stripMargin) { (s, d) =>
+      val mp = map(lit("a"), col("r_regionkey"), lit("b"), col("r_regionkey") * 3)
+      Tables.region(s, d).select(
+        col("r_regionkey"),
+        to_json(map_values(transform_values(mp, (_, v) => v * 2))).as("tv"),
+        to_json(map_keys(transform_keys(mp, (k, _) => concat(k, lit("_x"))))).as("tk"),
+        to_json(map_values(map_filter(mp, (_, v) => v % 2 === 0))).as("mf"),
+        to_json(map_values(map_zip_with(mp, mp, (_, v1, v2) => v1 + v2))).as("mz"))
+    },
+
     QueryDef(
       "fn_json",
       // events.props carries JSON-in-string — samsa's value convention
