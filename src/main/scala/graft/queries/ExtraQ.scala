@@ -157,6 +157,38 @@ object ExtraQ {
         .orderBy("l_returnflag")
     },
 
+    // Bitwise aggregates (bit_and/bit_or/bit_xor) — flag-mask rollups
+    // (permission masks, feature flags) per group. Map-side combinable
+    // like any semigroup aggregate; both engines implement the same
+    // two's-complement semantics.
+    QueryDef(
+      "agg_bitwise",
+      """SELECT l_returnflag,
+        |       CAST(bit_and(l_linenumber) AS BIGINT) AS b_and,
+        |       CAST(bit_or(l_linenumber) AS BIGINT) AS b_or,
+        |       CAST(bit_xor(l_linenumber) AS BIGINT) AS b_xor
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        expr("bit_and(l_linenumber)").cast("bigint").as("b_and"),
+        expr("bit_or(l_linenumber)").cast("bigint").as("b_or"),
+        expr("bit_xor(l_linenumber)").cast("bigint").as("b_xor"))
+    },
+
+    // str_to_map: delimited key:value string -> map (config/provenance
+    // string parsing). JSON-encoded output; the oracle builds the same
+    // object independently from the source columns.
+    QueryDef(
+      "fn_str_to_map",
+      """SELECT doc_id,
+        |       CAST(to_json(struct_pack(src := source, lng := lang)) AS VARCHAR) AS kv
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        to_json(str_to_map(
+          concat(lit("src:"), col("source"), lit(",lng:"), col("lang")),
+          lit(","), lit(":"))).as("kv"))
+    },
+
     // Ordered string aggregation — Spark 4.1's ANSI listagg(... ORDER
     // BY) vs DuckDB's string_agg(... ORDER BY): a deterministic
     // within-group concatenation (report/export shape). Cost is one
