@@ -167,6 +167,65 @@ class DedupSpec extends SparkSpec {
       (2L, 0L, 7L), (3L, 8L, 15L)), s"got $spans")
   }
 
+  test("repeatedSpans matches a reference single-machine implementation on random corpora") {
+    import spark.implicits._
+    // reference implementation: brute-force k-gram df + interval union,
+    // straight-line Scala — the distributed plan must agree exactly
+    def reference(docs: Seq[(Long, String)], k: Int, minDf: Int): Set[(Long, Long, Long, Long)] = {
+      val grams = docs.map { case (id, t) =>
+        id -> t.split("\\s+").sliding(k).filter(_.length == k).map(_.mkString(" ")).toVector
+      }.toMap
+      val df = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+      val rep = df.filter(_._2 >= minDf).keySet
+      grams.toSeq.flatMap { case (id, gs) =>
+        val hits = gs.zipWithIndex.collect { case (g, i) if rep(g) => (i.toLong, i.toLong + k - 1) }
+        // interval union (inclusive, adjacency merges)
+        val merged = hits.sortBy(_._1).foldLeft(Vector.empty[(Long, Long)]) {
+          case (acc, (s, e)) if acc.nonEmpty && s <= acc.last._2 + 1 =>
+            acc.init :+ (acc.last._1, math.max(acc.last._2, e))
+          case (acc, iv) => acc :+ iv
+        }
+        merged.map { case (s, e) => (id, s, e, e - s + 1) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(11)
+    // small vocab forces accidental cross-doc 8-gram repeats; also plant
+    // a block shared by a few docs
+    val block = (1 to 10).map(i => s"blk$i").mkString(" ")
+    val docs = (1L to 40L).map { id =>
+      val body = Seq.fill(30)("w" + rnd.nextInt(12)).mkString(" ")
+      val t = if (id % 7 == 0) s"$body $block" else body
+      (id, t)
+    }
+    val expect = reference(docs, k = 8, minDf = 2)
+    val got = Dedup.repeatedSpans(docs.toDF("doc_id", "text"), k = 8, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(4)} extra=${(got -- expect).take(4)}")
+    assert(expect.nonEmpty)
+  }
+
+  test("repeatedSpans dfCap drops ubiquitous grams from spans") {
+    import spark.implicits._
+    val common = (1 to 8).map(i => s"c$i").mkString(" ") // in ALL 6 docs
+    val rare = (1 to 8).map(i => s"r$i").mkString(" ")   // in 2 docs
+    val docs = (1L to 6L).map { id =>
+      val tail = if (id <= 2) s" $rare" else ""
+      (id, s"$common u${id}a u${id}b$tail")
+    }.toDF("doc_id", "text")
+    // uncapped: both blocks repeat (rare block starts at token 10:
+    // 8 common + 2 unique filler)
+    val all = Dedup.repeatedSpans(docs, k = 8, minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.exists(_._2 == 0L) && all.contains((1L, 10L)) && all.contains((2L, 10L)))
+    // dfCap 4: the 6-doc common block is no longer 'boilerplate to cut',
+    // the 2-doc rare block still is
+    val capped = Dedup.repeatedSpans(docs, k = 8, minDf = 2, dfCap = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((1L, 10L, 17L), (2L, 10L, 17L)), s"got $capped")
+  }
+
   test("persisted signature index: parquet round-trip matches in-line recompute") {
     import org.apache.spark.sql.functions.col
     // the daily-ingest deployment shape: signatures written once at

@@ -201,6 +201,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video container parse: odd-sized RIFF chunks are word-aligned, not misparsed") {
+    // RIFF chunks pad to even offsets; a walker that forgets the pad
+    // byte desynchronizes and misses every later chunk. Build an AVI
+    // with an odd-sized junk chunk BEFORE the hdrl list.
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val junk = "JUNK".getBytes("ISO-8859-1") ++ le32(5) ++
+      Array[Byte](1, 2, 3, 4, 5, 0) // 5 data bytes + 1 pad
+    val clean = Multimodal.syntheticAvi(40000, 250, 640, 480, codec = "MJPG")
+    // splice: RIFF hdr (12 bytes) + junk + rest, fixing the RIFF size
+    val body = junk ++ clean.drop(12)
+    val patched = "RIFF".getBytes("ISO-8859-1") ++ le32(4L + body.length) ++
+      "AVI ".getBytes("ISO-8859-1") ++ body
+    val v = Multimodal.VideoContainerParser.parse(5L, patched)
+    assert(v.exists(m => m.container == "avi" && m.width == 640 &&
+      m.height == 480 && m.codec == "MJPG" && m.duration_sec == 10.0),
+      s"odd-chunk walk broke: $v")
+  }
+
   test("mm_video_meta registry row: both container families parsed, params keyed on doc_id") {
     import org.apache.spark.sql.functions._
     val rows = graft.SparkEntry.queries("mm_video_meta")(spark, sf()).collect()
