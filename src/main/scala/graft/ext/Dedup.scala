@@ -171,21 +171,26 @@ object Dedup {
       val viaNeighbor = sym
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .select(col("src").as("node"), col("label"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("node").agg(min("label").as("label"))
-        .persist()
+      // fold the PREVIOUS label into the frame being checkpointed: the
+      // convergence check then scans checkpointed rows instead of
+      // re-running the min-aggregate + a fresh join against old labels
+      // (one full extra join per sweep in the earlier form — CC is the
+      // fixed-cost hog of every dedup pipeline row, so per-sweep work
+      // matters). The extra `old` column costs one long per node in
+      // checkpoint storage and is projected away immediately after.
+      val next = labels.withColumnRenamed("label", "old")
+        .join(labels.union(viaNeighbor)
+          .groupBy("node").agg(min("label").as("label")), "node")
       // localCheckpoint cuts lineage so the plan depth stays O(1)
       // across sweeps (iterative DataFrame loops otherwise stack joins)
       val nextCk = next.localCheckpoint()
-      val changed = nextCk.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+      val changed = nextCk.filter(col("label") =!= col("old")).count()
       // hardUnpersist, not Dataset.unpersist: from sweep 2 on, `labels`
       // is checkpoint-backed, and plain unpersist silently no-ops on
       // RDD-level checkpoint storage — this loop used to leak one
       // checkpoint RDD per sweep (found by CacheHygieneSpec).
       Caches.hardUnpersist(labels)
-      next.unpersist()
-      labels = nextCk
+      labels = nextCk.select("node", "label")
       converged = changed == 0
       i += 1
     }
