@@ -46,9 +46,15 @@ object Dedup {
     * [[incrementalNearDups]]'s `corpusSig` parameter — the corpus text
     * is then only re-read for the docs that actually collide
     * (parquet round-trip equivalence asserted in DedupSpec). */
-  def bandSignatures(docs: DataFrame): DataFrame = {
+  def bandSignatures(docs: DataFrame): DataFrame =
+    bandSignaturesFrom(distinctShingles(docs))
+
+  /** [[bandSignatures]] from an already-materialized (doc_id, shingle)
+    * frame — lets [[lshVerifiedCanonicalDocs]] shingle the corpus ONCE
+    * for both the signature and the verification sides. */
+  private def bandSignaturesFrom(sh: DataFrame): DataFrame = {
     val p = 2147483647L
-    val base = distinctShingles(docs).withColumn("h0", expr(
+    val base = sh.withColumn("h0", expr(
       s"cast(conv(substring(md5(cast(shingle AS binary)), 1, 15), 16, 10) AS bigint) % $p"))
     val bs = (0 until 8).map(s => (s.toLong * 999999937L) % p)
     val mins = (0 until 8).map { s =>
@@ -60,8 +66,12 @@ object Dedup {
         "stack(4, 0, m0, m1, 1, m2, m3, 2, m4, m5, 3, m6, m7) AS (band, b0, b1)")
   }
 
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sig = bandSignatures(docs)
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    candidatesFromSignatures(bandSignatures(docs))
+
+  /** Banded self-join over signature rows: (doc_a < doc_b) pairs that
+    * share any full band. */
+  private def candidatesFromSignatures(sig: DataFrame): DataFrame = {
     val l = sig.select(col("doc_id").as("doc_a"), col("band"), col("b0"), col("b1"))
     val r = sig.select(col("doc_id").as("doc_b"), col("band").as("band_r"),
       col("b0").as("b0_r"), col("b1").as("b1_r"))
@@ -336,10 +346,14 @@ object Dedup {
     * closure), so the registry twin `doc_lsh_verified_dedup`
     * hash-verifies the whole composition. */
   def lshVerifiedCanonicalDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val cands = minhashCandidates(docs).persist()
+    // shingle ONCE: the compiled-UDF shingle pass feeds both the
+    // signature side and the verification side (it used to run twice —
+    // the single hottest redundant work in the flagship pipeline)
+    val shAll = distinctShingles(docs).persist()
+    val cands = candidatesFromSignatures(bandSignaturesFrom(shAll)).persist()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
-    val sh = distinctShingles(docs)
+    val sh = shAll
       .join(candDocs, Seq("doc_id"), "left_semi")
       .persist()
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -355,6 +369,7 @@ object Dedup {
         >= threshold)
       .select("doc_a", "doc_b")
     val out = labelAll(docs, connectedComponents(edges))
+    shAll.unpersist()
     cands.unpersist()
     sh.unpersist()
     out
