@@ -98,10 +98,20 @@ object Dedup {
       corpusSig: Option[DataFrame] = None): DataFrame = {
     // the persisted-index path: a daily-ingest deployment writes
     // bandSignatures(corpus) once and hands the reloaded rows in here —
-    // corpus text is then scanned only for collided docs below
-    val sigC = corpusSig.getOrElse(bandSignatures(corpus))
+    // corpus text is then scanned only for collided docs below. In the
+    // non-indexed path, shingle each side ONCE and share the frame
+    // between its signature and verification uses (same redundancy fix
+    // as lshVerifiedCanonicalDocs); the corpus shingles stay lazy when
+    // an index is supplied, so that path still never shingles
+    // un-collided corpus docs.
+    // tracked, not unpersisted here: the returned frame still reads
+    // them lazily — Caches.releaseAll frees them (library contract)
+    val shCAll = if (corpusSig.isEmpty)
+      Some(Caches.track(distinctShingles(corpus).persist())) else None
+    val shBAll = Caches.track(distinctShingles(batch).persist())
+    val sigC = corpusSig.getOrElse(bandSignaturesFrom(shCAll.get))
       .select(col("doc_id").as("doc_corpus"), col("band"), col("b0"), col("b1"))
-    val sigB = bandSignatures(batch)
+    val sigB = bandSignaturesFrom(shBAll)
       .select(col("doc_id").as("doc_new"), col("band").as("band_b"),
         col("b0").as("b0_b"), col("b1").as("b1_b"))
     val cand = sigC.join(sigB,
@@ -110,9 +120,9 @@ object Dedup {
       .select("doc_corpus", "doc_new").distinct()
     // exact verify restricted to collided docs: shingles semi-pruned,
     // then the linear candidate-verify join (see lshVerifiedCanonicalDocs)
-    val shC = distinctShingles(corpus)
+    val shC = shCAll.getOrElse(distinctShingles(corpus))
       .join(cand.select(col("doc_corpus").as("doc_id")), Seq("doc_id"), "left_semi")
-    val shB = distinctShingles(batch)
+    val shB = shBAll
       .join(cand.select(col("doc_new").as("doc_id")), Seq("doc_id"), "left_semi")
     val nC = shC.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
       .select(col("doc_id").as("doc_corpus"), col("n_c"))
