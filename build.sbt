@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Deeply-cached composite pipelines (ext/CorpusBuild) nest
+  // InMemoryRelations whose explain strings grow multiplicatively —
+  // AQE renders the plan string on every plan update, which can OOM the
+  // driver on a string that exists only for logging. Bound it (standard
+  // production-cluster practice; correctness/PlanSpec plans are far
+  // below this cap).
+  "-Dspark.sql.maxPlanStringLength=1000000",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

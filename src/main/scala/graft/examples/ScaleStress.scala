@@ -151,8 +151,13 @@ object ScaleStress {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val byName = SparkEntry.defs.map(q => q.name -> q).toMap
-    // pseudo-names (e.g. "ivf_recall") select extra gate blocks below
-    // without timing the corresponding full-batch registry row
+    // pseudo-names select extra gate blocks below without timing the
+    // corresponding full-batch registry row; anything else unrecognized
+    // is a typo — fail fast rather than silently drop the timing row
+    val pseudoNames = Set("ivf_recall")
+    val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
+    require(unknown.isEmpty,
+      s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")
     names.filter(byName.contains).foreach { name =>
       val q = byName(name)
       var best = Double.MaxValue

@@ -55,18 +55,31 @@ object Caches {
   }
 
   /** Unpersist a frame through BOTH storage paths: the CacheManager
-    * entry (`cache`/`persist`) AND any `localCheckpoint` RDD in its
-    * plan. `Dataset.unpersist` alone is a silent no-op for
+    * entry (`cache`/`persist`) AND the `localCheckpoint` RDD that BACKS
+    * it. `Dataset.unpersist` alone is a silent no-op for
     * checkpoint-backed frames — their persistence is RDD-level
     * (`LogicalRDD`), not a CacheManager entry; that asymmetry is how
-    * the CC sweep loop leaked one checkpoint RDD per iteration. */
+    * the CC sweep loop leaked one checkpoint RDD per iteration.
+    *
+    * Only the plan ROOT (under trivial unary wrappers like the
+    * `select` a checkpointed frame is typically projected through) is
+    * considered: walking the WHOLE tree would unpersist every upstream
+    * checkpointed frame still in use by other consumers — CC's
+    * per-sweep release used to kill CorpusBuild's checkpointed stage
+    * boundaries that sat in the sweep frame's lineage
+    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND downstream). */
   private[ext] def hardUnpersist(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
-    df.queryExecution.logical.foreach {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    @scala.annotation.tailrec
+    def backing(p: LogicalPlan): Unit = p match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
+      case pr: Project => backing(pr.child)
+      case sa: SubqueryAlias => backing(sa.child)
       case _ => ()
     }
+    backing(df.queryExecution.logical)
   }
 
   /** Unpersist every intermediate `ext/` entry points have cached on

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-call corpus build — the public LLM pretraining-data recipe end
@@ -22,7 +21,8 @@ import org.apache.spark.sql.functions._
   *
   * Returns the packed corpus plus the per-stage yield report a
   * production build logs on every run. Call
-  * [[Caches.releaseAll]] when done (stages 2/4/5 cache intermediates);
+  * [[Caches.releaseAll]] when done (stage boundaries are
+  * localCheckpoint'ed — single-lifecycle: consume, release, rebuild);
   * write shards with `graft.io.Sinks.trainingShards(packed, ...)`.
   *
   * Scale posture: no stage introduces a plan shape beyond its
@@ -53,22 +53,45 @@ object CorpusBuild {
   /** Runs the full recipe over `docs` (doc_id, text, ... passthrough
     * columns ignored). Output columns: doc_id, clean_text, n_tokens,
     * seq_id, seq_offset, spans_boundary. */
+  // opt-in per-stage wall-clock to stderr (perf work only)
+  private def timed[A](label: String)(f: => A): A = {
+    if (!sys.env.contains("GRAFT_STAGE_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[corpus-build] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, Report) = {
     val toks = split(col("text"), "\\s+")
-    val nRaw = docs.count()
+    val nRaw = timed("0 raw count")(docs.count())
+
+    // Stage boundaries are localCheckpoint'ed, not cache()'d: each stage
+    // is eagerly materialized for the funnel report anyway, and cutting
+    // lineage keeps every downstream logical plan O(stage) instead of
+    // O(whole pipeline) — with plain cache() the analyzed trees (and
+    // AQE's explain rendering) grow multiplicatively across the five
+    // stages and Catalyst planning time dominates the run. The tradeoff
+    // (truncated lineage can't recompute lost partitions; an executor
+    // loss fails the job instead) is the standard one for deep composite
+    // pipelines; a cluster deployment would persist stage outputs to
+    // storage, which a production corpus build does regardless.
+    // releaseAll handles checkpoint-backed frames (Caches.hardUnpersist).
 
     // 1. quality bounds — narrow per-row flags
     val quality = docs.select(col("doc_id"), col("text"))
       .filter(size(toks).between(cfg.minTokens, cfg.maxTokens)
         && size(array_distinct(toks)).cast("double") / size(toks) >= cfg.minTtr)
-    val qualityC = Caches.track(quality.cache())
-    val nQuality = qualityC.count()
+    val qualityC = Caches.track(timed("1 quality ckpt")(quality.localCheckpoint()))
+    val nQuality = timed("1 quality")(qualityC.count())
 
     // 2. span policy: coverage ≥ threshold -> drop doc; else cut spans.
     // spans feeds BOTH the coverage policy and the token anti-join —
     // cache it or the whole gram/df/merge pipeline runs twice.
-    val spans = Caches.track(
-      Dedup.repeatedSpans(qualityC, cfg.spanK, cfg.spanMinDf).cache())
+    val spans = Caches.track(timed("2 spans ckpt")(
+      Dedup.repeatedSpans(qualityC, cfg.spanK, cfg.spanMinDf).localCheckpoint()))
     val cov = spans.groupBy("doc_id").agg(sum("span_len").as("covered"))
     val tok = qualityC.select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
     val keptDocs = qualityC
@@ -83,27 +106,33 @@ object CorpusBuild {
         tok("doc_id") === spans("doc_id")
           && col("pos").between(col("span_start"), col("span_end")),
         "left_anti")
-    val cut = keptTok.groupBy("doc_id")
+    val cutAgg = keptTok.groupBy("doc_id")
       .agg(expr("listagg(t, ' ') WITHIN GROUP (ORDER BY pos)").as("text"),
         count(lit(1)).cast("long").as("n_tokens"))
-    val cutC = Caches.track(cut.cache())
-    val nAfterSpan = cutC.count()
+    // left join from keptDocs (like the doc_span_cut registry twin): a
+    // kept doc whose EVERY token is span-covered (possible when
+    // spanCoverageDrop > 1.0 disables whole-doc drops) has no rows in
+    // keptTok and would otherwise vanish here, silently deflating the
+    // funnel — restore it with empty text instead.
+    val cut = keptDocs.join(cutAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val cutC = Caches.track(timed("2 span policy+cut ckpt")(cut.localCheckpoint()))
+    val nAfterSpan = timed("2 span policy+cut")(cutC.count())
 
     // 3. exact dedup on normalized cut text — min-id canonical survives
-    val wFp = Window.partitionBy("fp")
-    val exact = cutC
-      .withColumn("fp", md5(lower(trim(col("text"))).cast("binary")))
-      .withColumn("keep", col("doc_id") === min("doc_id").over(wFp))
-      .filter(col("keep")).drop("fp", "keep")
-    val exactC = Caches.track(exact.cache())
-    val nExact = exactC.count()
+    val exactC = Caches.track(
+      timed("3 exact dedup ckpt")(exactDedupCanonical(cutC).localCheckpoint()))
+    val nExact = timed("3 exact dedup")(exactC.count())
 
     // 4. near-dup dedup (LSH candidates -> exact verify -> CC); only
     //    canonical docs survive
     val canon = Dedup.lshVerifiedCanonicalDocs(exactC, cfg.nearDupThreshold)
       .filter(col("is_canonical")).select("doc_id")
-    val deduped = Caches.track(exactC.join(canon, Seq("doc_id"), "left_semi").cache())
-    val nNearDup = deduped.count()
+    val deduped = Caches.track(timed("4 near-dup ckpt")(
+      exactC.join(canon, Seq("doc_id"), "left_semi").localCheckpoint()))
+    val nNearDup = timed("4 near-dup dedup")(deduped.count())
 
     // 5. sequence packing over the survivors
     val packed = graft.operators.GlobalRank
@@ -117,5 +146,22 @@ object CorpusBuild {
           .as("spans_boundary"))
 
     (packed, Report(nRaw, nQuality, nAfterSpan, nExact, nNearDup))
+  }
+
+  /** Stage 3: exact dedup on normalized text, min-doc_id canonical.
+    * ONE min_by aggregate — not min().over(Window.partitionBy("fp")),
+    * whose shuffle puts every member of a duplicate group in a single
+    * task (the skew-killer when one fingerprint has millions of members,
+    * e.g. web boilerplate), and not even groupBy+semi-join, which pays a
+    * second shuffle for the join. Partial aggregation collapses each
+    * duplicate group to at most one survivor row per map partition
+    * before anything shuffles, so a mega dup-group costs its partition
+    * count, not its row count. */
+  def exactDedupCanonical(docs: DataFrame): DataFrame = {
+    val cols = docs.columns.toSeq
+    docs
+      .groupBy(md5(lower(trim(col("text"))).cast("binary")).as("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("_r"))
+      .select(cols.map(c => col(s"_r.$c").as(c)): _*)
   }
 }

@@ -163,6 +163,16 @@ object GlobalRank {
     val ranged = graft.ext.Caches.track(
       keyed.repartitionByRange(p, col("_rf_k"))
         .withColumn("_rf_pid", spark_partition_id()).cache())
+    // CONTRACT: the order key must be non-null (and castable to double).
+    // A plain RANGE window treats NULLs as a peer group; here they would
+    // be silently null-eliminated by the donor bounds filter — and an
+    // all-NULL range partition would NPE at bounds collection — so fail
+    // loudly instead of diverging from window semantics. (limit-1 probe
+    // on the frame this operator caches anyway — not a full scan.)
+    require(ranged.filter(col("_rf_k").isNull).isEmpty,
+      "withRangeFrameAgg: NULL order key (or a cast-to-double failure) — " +
+        "this operator requires a non-null numeric order column; filter or " +
+        "impute NULLs first (a plain RANGE window would treat them as a peer group)")
     // P (pid, lo, hi) bounds — empty partitions simply don't appear
     val bounds = ranged.groupBy("_rf_pid")
       .agg(min("_rf_k").as("lo"), max("_rf_k").as("hi"))

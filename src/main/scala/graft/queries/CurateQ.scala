@@ -650,7 +650,7 @@ object CurateQ {
         |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT tot.doc_id, n_tokens,
-        |       COALESCE(covered, 0) AS covered_tokens,
+        |       CAST(COALESCE(covered, 0) AS BIGINT) AS covered_tokens,
         |       CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens AS coverage_frac,
         |       CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens >= 0.5 AS drop_doc
         |FROM tot LEFT JOIN cov ON tot.doc_id = cov.doc_id""".stripMargin) { (s, d) =>
@@ -803,8 +803,8 @@ object CurateQ {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
-        |         COALESCE(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM t)
         |SELECT doc_id, n_tokens, cum_before, cum_before < 20000 AS keep
         |FROM c""".stripMargin) { (s, d) =>

@@ -190,6 +190,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("CorpusBuild exact-dedup stage: map-side partial aggregate, no Window exchange") {
+    // VERDICT r8 item 3: the composite's stage 3 must plan the map-side-
+    // combinable aggregate shape (partial_min_by BEFORE the exchange —
+    // each duplicate group collapses to ≤1 row per map partition before
+    // anything shuffles), never a data-scale Window —
+    // min().over(partitionBy(fp)) shuffles every member of a duplicate
+    // group into one task (skew-killer when one fingerprint has
+    // millions of members). min_by over a struct buffers an object, so
+    // it plans as SortAggregate, not HashAggregate — partial+final all
+    // the same.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val df = graft.ext.CorpusBuild.exactDedupCanonical(docs)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"stage 3 plans a Window:\n${p.take(1500)}")
+    assert(p.contains("partial_min_by"),
+      s"expected a map-side partial aggregate before the exchange:\n${p.take(1500)}")
+    assert(!p.contains("SinglePartition"),
+      s"stage 3 plans a single-partition exchange:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences

@@ -64,6 +64,17 @@ class GlobalRankSpec extends SparkSpec {
     assert(GlobalRank.withRangeFrameAgg(df.limit(0), col("x"), 10.0, 10.0,
       Map("n" -> "count(1)")).count() == 0)
     graft.ext.Caches.releaseAll(spark)
+    // NULL order key (ADVICE r8): a plain RANGE window peers NULLs; this
+    // operator can't, so it must refuse loudly rather than silently drop
+    // the rows (or NPE on an all-NULL range partition)
+    val withNull = df.withColumn("x",
+      when(col("id") === 3L, lit(null)).otherwise(col("x")))
+    val ex = intercept[IllegalArgumentException] {
+      GlobalRank.withRangeFrameAgg(withNull, col("x"), 10.0, 10.0,
+        Map("n" -> "count(1)")).count()
+    }
+    assert(ex.getMessage.contains("NULL order key"))
+    graft.ext.Caches.releaseAll(spark)
   }
 
   test("ntile closed form matches the SQL bucket rule at awkward n/k") {

@@ -18,6 +18,11 @@ def canon(rows, cols):
     out = [tuple(r[i] for i in order) for r in rows]
     return sorted(out, key=repr), [cols[i] for i in order]
 
+def col_types(con, sql):
+    """DuckDB column_name -> column_type for a query (via DESCRIBE)."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1].upper() for r in rows}
+
 def cell_eq(a, b):
     if a is None and b is None: return True
     if isinstance(a, float) and isinstance(b, float):
@@ -54,6 +59,22 @@ def main():
             n_fail += 1; fails.append(name); continue
         if len(srows) != len(orows):
             print(f"ROWS     {name}: spark={len(srows)} oracle={len(orows)}")
+            n_fail += 1; fails.append(name); continue
+        # Type check (driver's hash is type-sensitive): DESCRIBE both the
+        # oracle SQL and the parquet read of the Spark dump — both land in
+        # DuckDB's type system, so types must match exactly. Catches e.g.
+        # uncast SUM(BIGINT) -> HUGEINT drift that value compare misses.
+        try:
+            otypes = col_types(con, sql)
+            stypes = col_types(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            tbad = [(c, stypes[c], otypes[c]) for c in sorted(otypes)
+                    if stypes.get(c) != otypes[c]]
+        except Exception as e:
+            print(f"TYPERR   {name}: {e}"); n_fail += 1; fails.append(name); continue
+        if tbad:
+            print(f"TYPES    {name}:")
+            for c, st, ot in tbad:
+                print(f"         col {c}: spark={st} oracle={ot}")
             n_fail += 1; fails.append(name); continue
         sc, cols = canon(srows, scols)
         oc, _ = canon(orows, ocols)
