@@ -55,7 +55,13 @@ object ScaleStress {
     // win_range_frame_cont is NOT here: the derived fixture replicates
     // only documents/embeddings, and its scale behavior is bounded by
     // the measured replication factor anyway (SCALE.md windows note).
-    "doc_span_dedup")
+    "doc_span_dedup",
+    // r9 (VERDICT r8 item 5): the span policy/cut siblings and the
+    // end-to-end corpus-build composite — the funnel was the one new
+    // code path with no scale datapoint
+    "doc_span_coverage",
+    "doc_span_cut",
+    "pipeline_corpus_build")
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
     * within-replica cosine structure are preserved; distinct reps are

@@ -52,6 +52,42 @@ object ExtQ {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // The Bloom prefilter's deterministic complement (VERDICT r8 item
+    // 7): the EXACT incremental-dedup decision the sketch approximates —
+    // candidates (odd ids) whose text fingerprint appears nowhere in the
+    // corpus (even ids). Anti-join on md5, not raw text: the shuffle
+    // carries 16-byte keys instead of documents (the 100 TB shape), and
+    // md5 is bit-identical across engines so the oracle hash-verifies
+    // the whole decision. The same query also REQUIREs the Bloom row's
+    // no-false-negative contract against this exact answer (bloom-kept
+    // must be a subset of exactly-new; the sketch may only err by
+    // dropping genuinely-new docs), so the sketch operator is now
+    // oracle-anchored, not test-only.
+    QueryDef(
+      "doc_bloom_exact_twin",
+      """SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 2 = 1
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents e
+        |    WHERE e.doc_id % 2 = 0 AND md5(e.text) = md5(d.text))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val fp = md5(col("text").cast("binary")).as("fp")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val cand = docs.filter(col("doc_id") % 2 === 1)
+      val exactNew = cand.select(col("doc_id"), fp)
+        .join(corpus.select(fp), Seq("fp"), "left_anti")
+        .select("doc_id")
+      val falseNegPasses = graft.ext.Dedup.bloomNewDocs(corpus, cand)
+        .select("doc_id")
+        .join(exactNew, Seq("doc_id"), "left_anti")
+        .count()
+      require(falseNegPasses == 0,
+        s"bloomNewDocs passed $falseNegPasses duplicate docs — " +
+          "violates the Bloom no-false-negative guarantee")
+      exactNew.orderBy("doc_id")
+    },
+
     // Stratified corpus subsampling — the language-rebalancing op every
     // training-data pipeline runs (here: keep 50% of 'en', 100% of the
     // rest). HASH-based, not RNG-based (VERDICT r7 task 5): the keep

@@ -172,6 +172,76 @@ class StreamingWindowsSpec extends SparkSpec {
       s"unmatched left row for u2 must surface null-padded after watermark: ${rows.mkString(";")}")
   }
 
+  test("stream-stream RIGHT OUTER join emits unmatched right rows after watermark") {
+    // closes the §2.3 streaming-join matrix (VERDICT r8 item 6): the
+    // time-interval condition bounds both state stores, so the engine
+    // can declare a right row unmatchable once the left watermark passes
+    // its join window and emit it null-padded on the left side
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val joined = clicks.toDS()
+      .withWatermark("ts", "10 minutes").as("c")
+      .join(
+        buys.toDS().withWatermark("ts", "10 minutes").as("b"),
+        expr("c.user = b.user AND b.ts BETWEEN c.ts AND c.ts + INTERVAL 15 minutes"),
+        "rightOuter")
+      .select(col("c.user").as("click_user"), col("b.user").as("buy_user"), col("b.amt"))
+    val q = joined.writeStream.format("memory").queryName("ssj_right")
+      .option("checkpointLocation", ckpt("ck-ssj-right"))
+      .outputMode("append").start()
+    clicks.addData(Click(ts(1), "u1"))
+    buys.addData(Buy(ts(5), "u1", 9.99))  // matches u1's click
+    buys.addData(Buy(ts(6), "u2", 5.0))   // no u2 click ever arrives
+    q.processAllAvailable()
+    // push both watermarks far past u2's buy so the match is impossible
+    clicks.addData(Click(ts(240), "u9"))
+    buys.addData(Buy(ts(240), "u9", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_right").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getString(0)),
+        r.getString(1), r.getDouble(2))).toSet
+    assert(rows.contains((Some("u1"), "u1", 9.99)), rows.mkString(";"))
+    assert(rows.contains((None, "u2", 5.0)),
+      s"unmatched right row for u2 must surface null-padded after watermark: ${rows.mkString(";")}")
+  }
+
+  test("stream-stream FULL OUTER join emits both unmatched sides after watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val joined = clicks.toDS()
+      .withWatermark("ts", "10 minutes").as("c")
+      .join(
+        buys.toDS().withWatermark("ts", "10 minutes").as("b"),
+        expr("c.user = b.user AND b.ts BETWEEN c.ts AND c.ts + INTERVAL 15 minutes"),
+        "fullOuter")
+      .select(col("c.user").as("click_user"), col("b.user").as("buy_user"), col("b.amt"))
+    val q = joined.writeStream.format("memory").queryName("ssj_full")
+      .option("checkpointLocation", ckpt("ck-ssj-full"))
+      .outputMode("append").start()
+    clicks.addData(Click(ts(1), "u1"), Click(ts(2), "u2")) // u2 never buys
+    buys.addData(Buy(ts(5), "u1", 9.99))                   // matches u1
+    buys.addData(Buy(ts(6), "u3", 7.5))                    // u3 never clicks
+    q.processAllAvailable()
+    clicks.addData(Click(ts(240), "u9"))
+    buys.addData(Buy(ts(240), "u9", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_full").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows.contains((Some("u1"), Some("u1"), Some(9.99))), rows.mkString(";"))
+    assert(rows.contains((Some("u2"), None, None)),
+      s"unmatched LEFT row (u2 click) missing: ${rows.mkString(";")}")
+    assert(rows.contains((None, Some("u3"), Some(7.5))),
+      s"unmatched RIGHT row (u3 buy) missing: ${rows.mkString(";")}")
+  }
+
   test("watermark is monotonic: out-of-order (older) data cannot move it back") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
