@@ -531,6 +531,53 @@ object Similarity {
       |              AS DECIMAL(18,6)) AS w
       |  FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN ndocs)""".stripMargin
 
+  /** BM25 ranked retrieval over the corpus for a fixed query term set —
+    * the standard probabilistic relevance scorer (Robertson & Spärck
+    * Jones' probabilistic model in the Okapi/Lucene k1-b form; idf =
+    * ln(1 + (N - df + 0.5)/(df + 0.5)), always positive). A
+    * training-data pipeline uses it for decontamination scoring and
+    * query-targeted corpus audits; it is [[similarDocsTopK]]'s
+    * query-side sibling (terms, not an exemplar document).
+    *
+    * Plan shape: token explode → two map-side-combinable aggregates
+    * (per-doc length; per-(doc,term) tf RESTRICTED to the query terms
+    * before any shuffle, so the heavy branch carries only matching
+    * tokens) → broadcast of the tiny df/corpus-stats sides → per-term
+    * contributions rounded onto the DECIMAL(9,6)/(18,6) grids (same
+    * cross-engine float discipline as [[tfidfExactTerms]]: every
+    * double op is IEEE-identical in both engines, every transcendental
+    * is grid-quantized before entering exact decimal arithmetic) →
+    * exact decimal sum → global top-k (TakeOrderedAndProject: k rows
+    * per partition, never a single-partition sort). Linear in corpus
+    * tokens at any scale. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0, "bm25TopK needs query terms and k > 0")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+      count(lit(1)).as("n"))
+    val tf = toks.filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6)
+          .cast(DecimalType(9, 6)))
+      .withColumn("c",
+        round((col("idf").cast("double") * (col("tf").cast("double") * (lit(k1) + lit(1.0)))) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(decimalSum6(col("c")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Similar-document retrieval: TF-IDF cosine top-k over the corpus
     * for a DataFrame of query doc_ids. The lexical "more like this"
     * query — near-dup dedup's retrieval-shaped sibling (high cosine on

@@ -117,6 +117,42 @@ object ExtQ {
     // decimal in both engines; sqrt is IEEE-exact. The hashed
     // Similarity.tfidf path stays the bounded-state scale variant
     // (exercised by ext_minhash_ml_neardups + ExtSpec).
+    // BM25 ranked retrieval (r9): the standard probabilistic relevance
+    // scorer over a fixed query term set — decontamination scoring /
+    // query-targeted corpus audits. Same cross-engine float discipline
+    // as ext_tfidf_stats: ln quantized to the DECIMAL(9,6) grid, each
+    // per-term contribution rounded to DECIMAL(18,6), exact decimal
+    // sum; every unquantized double op (+,-,*,/ on integer-derived
+    // values) is IEEE-correctly-rounded identically in both engines.
+    QueryDef(
+      "ext_bm25_topk",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (
+        |  SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE t IN ('spark', 'vector', 'query') GROUP BY doc_id, t),
+        |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |         CAST(ROUND(
+        |           (CAST(CAST(ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6) AS DECIMAL(9,6)) AS DOUBLE)
+        |             * (tf * (1.2 + 1.0))) /
+        |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6)) AS c
+        |  FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(CAST(ROUND(SUM(c), 6) AS DECIMAL(20,6)) AS DOUBLE) AS bm25
+        |FROM c GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      Similarity.bm25TopK(Tables.documents(s, d),
+        terms = Seq("spark", "vector", "query"), k = 50)
+    },
+
     QueryDef(
       "ext_tfidf_stats",
       s"""WITH ${Similarity.tfidfExactTermsSql}

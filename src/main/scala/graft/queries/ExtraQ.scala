@@ -157,6 +157,42 @@ object ExtraQ {
         .orderBy("l_returnflag")
     },
 
+    // Count–min sketch (r9): the mergeable FREQUENCY sketch — bounded-
+    // memory per-key counts that union across partitions/shards/days,
+    // the heavy-hitter/count companion to the HLL distinct sketch and
+    // approx_top_k above (completes the sketch family). Same anchoring
+    // pattern as doc_bloom_exact_twin: the sketch bit layout is
+    // implementation-defined so the sketch itself can't be oracled, but
+    // the EXACT per-key counts it approximates can — the query emits
+    // those (oracle-paired) and REQUIREs the CMS contract against them
+    // in the same run: estimate is never below the true count, and is
+    // within eps·N above it (deterministic here: fixed seed). The
+    // sketch is built by ONE map-side-combinable aggregate over the
+    // table; the probe loop runs over the 25-key exact result, bounded.
+    QueryDef(
+      "agg_count_min_twin",
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val exact = cust.groupBy("c_nationkey")
+        .agg(count(lit(1)).cast("long").as("exact_cnt"))
+      val bytes = cust
+        .agg(expr("count_min_sketch(CAST(c_nationkey AS BIGINT), 0.001d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val exactRows = exact.collect()
+        .map(r => (r.getAs[Number]("c_nationkey").longValue(), r.getAs[Long]("exact_cnt")))
+      val totalN = exactRows.map(_._2).sum
+      val slack = math.ceil(0.001 * totalN).toLong
+      exactRows.foreach { case (k, n) =>
+        val est = cms.estimateCount(k)
+        require(est >= n && est <= n + slack,
+          s"count_min_sketch violated its bound for key $k: est=$est exact=$n eps*N=$slack")
+      }
+      exact.orderBy("c_nationkey")
+    },
+
     // Bitwise aggregates (bit_and/bit_or/bit_xor) — flag-mask rollups
     // (permission masks, feature flags) per group. Map-side combinable
     // like any semigroup aggregate; both engines implement the same

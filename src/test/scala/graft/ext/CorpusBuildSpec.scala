@@ -59,6 +59,30 @@ class CorpusBuildSpec extends SparkSpec {
       s"dedup stages collapsed nothing: $r")
   }
 
+  test("spanCoverageDrop > 1.0: fully-covered kept docs are restored with empty text, not silently dropped") {
+    // ADVICE r8: with whole-doc drops disabled, a doc whose EVERY token
+    // is corpus-repeated has no surviving tokens at the cut stage — it
+    // must be restored with empty text (like the doc_span_cut registry
+    // twin), not vanish and deflate nAfterSpanPolicy.
+    import spark.implicits._
+    val base = (0 until 20).map(i => s"tok$i").mkString(" ") // 20 distinct tokens, TTR 1.0
+    val uniq = (0 until 20).map(i => s"u$i").mkString(" ")
+    // doc 1 and 2 identical -> all their 8-grams have df 2 -> fully
+    // covered; doc 3 unique -> untouched
+    val docs = Seq((1L, base), (2L, base), (3L, uniq)).toDF("doc_id", "text")
+    val (packed, r) = CorpusBuild.run(docs,
+      CorpusBuild.Config(spanCoverageDrop = 2.0))
+    val rows = packed.collect()
+    Caches.releaseAll(spark)
+    assert(r.nQuality == 3 && r.nAfterSpanPolicy == 3,
+      s"span stage dropped a doc despite drop policy disabled: $r")
+    // the two fully-covered docs collapse at EXACT dedup (both empty
+    // text) -> 2 survivors total
+    assert(r.nExactCanonical == 2, s"expected empty-text twins to collapse at stage 3: $r")
+    val byId = rows.map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("clean_text")).toMap
+    assert(byId(1L) == "" && byId(3L) == uniq, byId.toString)
+  }
+
   test("the whole chain is deterministic across runs") {
     val docs = Tables.documents(spark, sf())
     def runOnce() = {
