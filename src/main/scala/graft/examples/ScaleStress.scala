@@ -61,7 +61,9 @@ object ScaleStress {
     // code path with no scale datapoint
     "doc_span_coverage",
     "doc_span_cut",
-    "pipeline_corpus_build")
+    "pipeline_corpus_build",
+    // r9: BM25 retrieval — expected flat-ish (term-pruned tf branch)
+    "ext_bm25_topk")
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
     * within-replica cosine structure are preserved; distinct reps are

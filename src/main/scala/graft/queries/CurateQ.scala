@@ -788,6 +788,30 @@ object CurateQ {
         .select("doc_id", "source").orderBy("doc_id")
     },
 
+    // Global training-order SHUFFLE (r9): the deterministic
+    // pseudo-random permutation the assembly step writes shards in —
+    // decorrelates curriculum from ingest order (adjacent crawl docs
+    // are correlated; training wants them scattered). Hash-order, not
+    // RNG (same rationale as doc_sample_stratified): md5('shuf:'||id)
+    // is reproducible across engines/sessions/retries and independent
+    // of the sampling stages' coins (different salt). The global rank
+    // over the hash ordering rides the scale-safe GlobalRank two-pass
+    // (range partition by hash -> P-way local row_number -> P-row
+    // offset broadcast) — never a single-partition window.
+    QueryDef(
+      "doc_shuffle_order",
+      """SELECT doc_id,
+        |       CAST(ROW_NUMBER() OVER (
+        |         ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |         AS shuffle_rank
+        |FROM documents""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string")).cast("binary")).as("_h"))
+      val (ranked, _) = graft.operators.GlobalRank.withGlobalRowNumber(
+        t, Seq(col("_h"), col("doc_id")), "_rn")
+      ranked.select(col("doc_id"), col("_rn").cast("long").as("shuffle_rank"))
+    },
+
     // Token-budget curriculum HEAD (r8): take documents in quality
     // order (longest-first proxy, deterministic tiebreak) until the
     // cumulative token budget is spent — the "train on the best N

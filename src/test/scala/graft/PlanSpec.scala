@@ -181,7 +181,9 @@ class PlanSpec extends SparkSpec {
         // and the token-budget head (GlobalRank prefix sum) must also
         // never funnel — every exchange keyed on gram/doc_id/range
         "doc_span_dedup", "doc_span_coverage", "doc_span_cut",
-        "doc_token_budget_head")) {
+        "doc_token_budget_head",
+        // r9: global hash-order shuffle rank (GlobalRank two-pass)
+        "doc_shuffle_order")) {
       spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, sf())
       val p = df.queryExecution.executedPlan.toString
