@@ -38,7 +38,12 @@ object Sinks {
     * input_file_name). Skewed partition keys: salt the repartition by
     * adding a `pmod(hash(sortCols), k)` column to `partitionCols`'
     * repartition keys — the directory layout is unchanged, the write
-    * parallelism fans to k per hot key. */
+    * parallelism fans to k per hot key.
+    *
+    * Training-order shuffle: pass the `shuffle_rank` column produced by
+    * the `doc_shuffle_order` operator (deterministic md5 hash-order
+    * global rank) as `sortCols` — shards then come out in a reproducible
+    * pseudo-random order instead of ingest order. */
   def trainingShards(
       df: DataFrame,
       path: String,
