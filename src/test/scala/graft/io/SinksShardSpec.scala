@@ -46,4 +46,38 @@ class SinksShardSpec extends SparkSpec {
       assert(ids == ids.sorted, s"unsorted file $f")
     }
   }
+
+  test("end-to-end: CorpusBuild output shard-written in doc_shuffle_order training order") {
+    // the full r9 assembly story as one integration: build the corpus,
+    // rank it with the deterministic hash-order shuffle, write shards
+    // sorted by shuffle_rank — files come out in reproducible
+    // pseudo-random order, not ingest order
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf())
+    val (packed, r) = graft.ext.CorpusBuild.run(docs)
+    val withRank = {
+      val hashed = packed.withColumn("_h",
+        md5(concat(lit("shuf:"), col("doc_id").cast("string")).cast("binary")))
+      val (ranked, _) = graft.operators.GlobalRank.withGlobalRowNumber(
+        hashed, Seq(col("_h"), col("doc_id")), "_rn")
+      ranked.select(col("doc_id"), col("clean_text"), col("n_tokens"),
+        col("_rn").cast("long").as("shuffle_rank")).localCheckpoint()
+    }
+    graft.ext.Caches.releaseAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("shards-shuf").toString
+    Sinks.trainingShards(withRank, dir,
+      partitionCols = Nil, sortCols = Seq("shuffle_rank"), maxRecordsPerFile = 50)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == r.nNearDupCanonical, "shard write lost rows")
+    // within-file order follows shuffle_rank, and the rank permutation
+    // is NOT the ingest (doc_id) order
+    val perFile = back.select(input_file_name().as("f"), col("shuffle_rank"), col("doc_id"))
+      .collect().groupBy(_.getString(0))
+    perFile.values.foreach { rows =>
+      val ranks = rows.map(_.getLong(1)).toSeq
+      assert(ranks == ranks.sorted, "file not in shuffle_rank order")
+    }
+    val idsByRank = back.orderBy("shuffle_rank").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(idsByRank != idsByRank.sorted, "shuffle order degenerated to ingest order")
+  }
 }
