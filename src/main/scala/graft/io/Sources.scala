@@ -24,6 +24,12 @@ object Sources {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** XML scan (Spark 4 built-in XML data source, the spark-xml connector
+    * folded into core): one record per `rowTag` element. Schema passed
+    * explicitly like csv/json — inference costs an extra pass. */
+  def xml(spark: SparkSession, path: String, schema: StructType, rowTag: String): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).format("xml").load(path)
+
   /** Kafka batch read (offset-bounded). */
   def kafkaBatch(spark: SparkSession, servers: String, topics: Seq[String]): DataFrame =
     spark.read.format("kafka")

@@ -42,6 +42,24 @@ object SourcesQ {
       graft.io.Sources.json(s, path, schema)
     },
 
+    // XML round-trip (r9): Spark 4 ships the spark-xml connector as a
+    // built-in data source — the config/feed-ingest format the csv/json
+    // rows don't cover. Same fidelity pattern: write the table as XML
+    // (one <nation> element per row), scan it back with an explicit
+    // schema, oracle = the original table.
+    QueryDef(
+      "src_xml_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, d) =>
+      val path = scratch(d, "nation_xml")
+      Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").option("rowTag", "nation").format("xml").save(path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      graft.io.Sources.xml(s, path, schema, rowTag = "nation")
+    },
+
     QueryDef(
       "src_parquet_roundtrip",
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier") { (s, d) =>
