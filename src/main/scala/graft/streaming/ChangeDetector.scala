@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues}
 
 /** The README change-detection slice (/root/reference/README.md:27-52) as a
   * Spark 4 `StatefulProcessor`: one `ValueState[String]` per key holds the
@@ -31,16 +31,57 @@ class ChangeDetectorProcessor(
   override def handleInputRows(
       key: String,
       rows: Iterator[KeyedRecord],
-      timerValues: TimerValues): Iterator[ChangeEvent] = {
-    // Rows of one micro-batch arrive unordered; process in event-time order
-    // (null-safe tiebreak for determinism — see KeyedRecord.orderKey) so
-    // "latest wins" matches batch lag(). Emitting a transition per row
-    // requires seeing the rows in order, so one key's share of ONE
-    // micro-batch is buffered — bounded by an explicit, asserted cap
-    // (checked WHILE buffering, so a pathological key fails loudly with
-    // a remedy instead of OOMing the executor). Heap behavior under a
-    // deliberately hot key (1e5 rows) is asserted in StreamingParitySpec.
-    val ordered = ChangeDetector.boundedBuffer(key, rows, maxBatchRowsPerKey)
+      timerValues: TimerValues): Iterator[ChangeEvent] =
+    ChangeDetector.processBatch(key, rows, lastValue, maxBatchRowsPerKey)
+}
+
+/** [[ChangeDetectorProcessor]] with INITIAL STATE — samsa's startup
+  * restore (replay the changelog table into the store before consuming,
+  * /root/reference/samsa/kafka/storage.py:151-184) as Spark's
+  * first-class bootstrap: a fresh query (no checkpoint) seeds each
+  * key's `lastValue` from a batch snapshot via `handleInitialState`,
+  * so a known key's first sighting classifies as unchanged/changed —
+  * never a spurious "initial". Checkpoint restore covers the
+  * same-query restart path; this covers the NEW-query-over-existing-
+  * state path (changelog compaction, store migration, backfill). */
+class ChangeDetectorBootstrapProcessor(
+    maxBatchRowsPerKey: Int = ChangeDetector.DefaultMaxBatchRowsPerKey)
+    extends StatefulProcessorWithInitialState[String, KeyedRecord, ChangeEvent, String] {
+
+  @transient private var lastValue: org.apache.spark.sql.streaming.ValueState[String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastValue = getHandle.getValueState[String]("lastValue", Encoders.STRING, TTLConfig.NONE)
+
+  override def handleInitialState(
+      key: String, initial: String, timerValues: TimerValues): Unit =
+    if (initial != null) lastValue.update(initial)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[KeyedRecord],
+      timerValues: TimerValues): Iterator[ChangeEvent] =
+    ChangeDetector.processBatch(key, rows, lastValue, maxBatchRowsPerKey)
+}
+
+object ChangeDetector {
+
+  /** Shared per-batch transition logic for the plain and bootstrap
+    * processors. Rows of one micro-batch arrive unordered; process in
+    * event-time order (null-safe tiebreak for determinism — see
+    * KeyedRecord.orderKey) so "latest wins" matches batch lag().
+    * Emitting a transition per row requires seeing the rows in order,
+    * so one key's share of ONE micro-batch is buffered — bounded by an
+    * explicit, asserted cap (checked WHILE buffering, so a pathological
+    * key fails loudly with a remedy instead of OOMing the executor).
+    * Heap behavior under a deliberately hot key (1e5 rows) is asserted
+    * in StreamingParitySpec. */
+  private[streaming] def processBatch(
+      key: String,
+      rows: Iterator[KeyedRecord],
+      lastValue: org.apache.spark.sql.streaming.ValueState[String],
+      maxBatchRowsPerKey: Int): Iterator[ChangeEvent] = {
+    val ordered = boundedBuffer(key, rows, maxBatchRowsPerKey)
       .sortBy(KeyedRecord.orderKey)
     ordered.iterator.map { r =>
       val prev = if (lastValue.exists()) Option(lastValue.get()) else None
@@ -62,9 +103,6 @@ class ChangeDetectorProcessor(
       }
     }
   }
-}
-
-object ChangeDetector {
 
   /** Per-key-per-micro-batch row cap for the ordering buffer. 2^20 rows
     * of (key, value, topic, partition, ts) is low tens of MB — well
@@ -108,6 +146,23 @@ object ChangeDetector {
         new ChangeDetectorProcessor(ttl, maxBatchRowsPerKey),
         timeMode,
         OutputMode.Append())
+  }
+
+  /** Bootstrap path: seed per-key state from a batch `(key, value)`
+    * snapshot (a compacted changelog read, a store export) before the
+    * first micro-batch — samsa's restore-then-consume startup for a
+    * FRESH query with no checkpoint. */
+  def bootstrapped(
+      ds: Dataset[KeyedRecord],
+      snapshot: Dataset[(String, String)],
+      maxBatchRowsPerKey: Int = DefaultMaxBatchRowsPerKey): Dataset[ChangeEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new ChangeDetectorBootstrapProcessor(maxBatchRowsPerKey),
+        TimeMode.None(),
+        OutputMode.Append(),
+        snapshot.groupByKey(_._1).mapValues(_._2))
   }
 
   /** flatMapGroupsWithState fallback — identical semantics, runs on any

@@ -82,6 +82,32 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("initial-state bootstrap: snapshot-known keys never emit a spurious 'initial'") {
+    // samsa's restore-then-consume startup (storage.py:151-184 changelog
+    // replay) for a FRESH query with no checkpoint: state seeded from a
+    // batch (key, value) snapshot via handleInitialState
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedRecord]
+    val snapshot = Seq(("k1", "x"), ("k2", "y")).toDS()
+    val out = ChangeDetector.bootstrapped(input.toDS(), snapshot)
+      .writeStream.format("memory").queryName("cd_boot")
+      .option("checkpointLocation", tmp("ckpt-cd-boot"))
+      .outputMode("append")
+      .start()
+    input.addData(Seq(
+      KeyedRecord("k1", "x", "t", 0, new java.sql.Timestamp(1)),  // same as snapshot
+      KeyedRecord("k2", "z", "t", 0, new java.sql.Timestamp(2)),  // differs
+      KeyedRecord("k3", "w", "t", 0, new java.sql.Timestamp(3)))) // unknown
+    out.processAllAvailable()
+    out.stop()
+    val got = spark.table("cd_boot").as[ChangeEvent].collect()
+      .map(e => e.key -> (e.change, e.previous)).toMap
+    assert(got("k1") == (("unchanged", Some("x"))), got.toString)
+    assert(got("k2") == (("changed", Some("y"))), got.toString)
+    assert(got("k3") == (("initial", None)), got.toString)
+  }
+
   test("state survives stop + restart from checkpoint (rebalance parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
