@@ -63,7 +63,13 @@ object ScaleStress {
     "doc_span_cut",
     "pipeline_corpus_build",
     // r9: BM25 retrieval — expected flat-ish (term-pruned tf branch)
-    "ext_bm25_topk")
+    "ext_bm25_topk",
+    // r9: DSIR importance weights (expected linear — one bucket-count
+    // pass + broadcast log-ratio join) and cluster-density pruning
+    // (k-means assign + per-cell windows; auto nCells keeps cell
+    // occupancy constant, so the windows must stay flat as n grows)
+    "doc_dsir_weight",
+    "emb_cluster_prune")
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
     * within-replica cosine structure are preserved; distinct reps are

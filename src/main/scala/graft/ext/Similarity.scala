@@ -439,6 +439,63 @@ object Similarity {
     (Caches.track(vecs.withColumn("cell", assignCell(col("features"))).cache()), centroids)
   }
 
+  /** Cluster-density (prototypicality) pruning — the data-selection
+    * step of Sorscher et al., "Beyond neural scaling laws" (arXiv
+    * 2206.14486), as productionized in SemDeDup/D4-style curation
+    * pipelines: cluster the embedding space, score each example by its
+    * cosine to its cluster centroid, and DROP the most prototypical
+    * `pruneFrac` of each cluster (near-centroid examples carry the
+    * least marginal information at large data scale; the retained
+    * tail keeps the hard/rare examples).
+    *
+    * Output: (vec_id, cell, proto_score, keep) — every input row is
+    * present; `keep=false` marks the pruned prototypes. Deterministic
+    * given the cell assignment (score ties broken by vec_id).
+    *
+    * Scale shape: reuses [[assignCells]] (seeded k-means-lite — the
+    * only shuffle there is an nCells-key reduce; assignment is a
+    * narrow broadcast map), then ONE hash exchange on `cell` feeding
+    * two Window passes over the same partitioning (count + row_number).
+    * Cell occupancy is held ~constant (~125 rows, [[autoNCells]]) so
+    * per-cell windows stay tiny as the corpus grows — no global sort,
+    * no skew magnet, driver memory nCells-bounded. */
+  def clusterPrune(
+      emb: DataFrame,
+      pruneFrac: Double = 0.25,
+      nCells: Int = 0,
+      corpusCount: Long = 0L): DataFrame = {
+    require(pruneFrac >= 0.0 && pruneFrac < 1.0,
+      s"pruneFrac must be in [0, 1), got $pruneFrac")
+    val spark = emb.sparkSession
+    val k = if (nCells > 0) nCells
+            else autoNCells(if (corpusCount > 0) corpusCount else emb.count())
+    val (assigned, centroids) = assignCells(emb.select("vec_id", "embedding"), k)
+    // features are unit vectors (normalizedVectors); centroids are MEANS
+    // of unit vectors, so normalize them once on the driver — cosine is
+    // then a plain dot product in the narrow map below.
+    val unitCentroids = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    val bc = spark.sparkContext.broadcast(unitCentroids)
+    val protoScore = udf { (cell: Int, v: Vector) =>
+      val c = bc.value(cell)
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * v(i); i += 1 }
+      s
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    val byProto = w.orderBy(col("proto_score").desc, col("vec_id"))
+    assigned
+      .withColumn("proto_score", protoScore(col("cell"), col("features")))
+      .withColumn("rk", row_number().over(byProto))
+      .withColumn("n_cell", count(lit(1)).over(w))
+      // drop the ceil(|cell| * pruneFrac) highest-scoring (most
+      // prototypical) rows of each cell; pruneFrac=0 keeps everything
+      .withColumn("keep", col("rk") > ceil(col("n_cell") * lit(pruneFrac)))
+      .select("vec_id", "cell", "proto_score", "keep")
+  }
+
   /** TF-IDF pipeline over documents: tokenize -> stopword filter ->
     * hashed TF -> IDF weighting. Output keeps doc_id + sparse tfidf. */
   def tfidf(docs: DataFrame, numFeatures: Int = 1 << 18): DataFrame = {

@@ -412,6 +412,19 @@ object CurateQ {
         threshold = 0.9) // nCells auto ∝ corpus count
     },
 
+    // Cluster-density (prototypicality) pruning — Sorscher et al.
+    // 2206.14486 data selection: drop the near-centroid `pruneFrac` of
+    // each embedding cluster, keep the hard/rare tail. No oracle: the
+    // k-means cell assignment has no DuckDB twin; CurateSpec plants
+    // dense prototype + sparse outlier vectors and asserts prototypes
+    // are the ones dropped, exact per-cell keep counts, and that every
+    // input row appears exactly once.
+    QueryDef.noOracle("emb_cluster_prune") { (s, d) =>
+      graft.ext.Similarity.clusterPrune(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        pruneFrac = 0.25) // nCells auto ∝ corpus count
+    },
+
     // Benchmark DECONTAMINATION: flag corpus docs whose shingle overlap
     // with an eval set exceeds a threshold (the n-gram-collision test
     // every serious pretraining build runs before training; here the
@@ -460,6 +473,75 @@ object CurateQ {
           coalesce(col("max_overlap"), lit(0L)).as("max_overlap"),
           coalesce(col("n_bench_hit"), lit(0L)).as("n_bench_hit"),
           (coalesce(col("max_overlap"), lit(0L)) >= 5).as("contaminated"))
+    },
+
+    // DSIR importance weights (Xie et al., "Data Selection for Language
+    // Models via Importance Resampling", arXiv 2302.03169): score every
+    // corpus doc by the log-likelihood ratio of a TARGET unigram
+    // distribution vs the RAW corpus distribution over a fixed hashed
+    // feature space (512 buckets, add-1 smoothing). The target is the
+    // deterministic doc_id%25=0 slice standing in for a high-quality
+    // exemplar corpus (same stand-in as doc_decontaminate). Docs with
+    // high weight look like the target — the resampling step is then
+    // doc_mixture_sample / doc_token_budget_head over this column.
+    //
+    // Plan shape (100 TB-safe): token explode -> ONE map-side-combinable
+    // count per bucket (<=512 groups, both distributions from the same
+    // pass via conditional aggregation) -> the 512-row log-ratio table
+    // broadcast back onto the token stream -> per-doc exact-decimal sum.
+    // No corpus-sized shuffle except the final groupBy(doc_id), which is
+    // partial-aggregated. Transcendentals are grid-quantized onto
+    // DECIMAL(12,6) before the sum (tfidfExactTerms discipline), so the
+    // whole weight is hash-exact vs the oracle.
+    QueryDef(
+      "doc_dsir_weight",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5('dsir:' || t), 1, 15)) AS BIGINT) % 512 AS b
+        |  FROM tok),
+        |cnt AS (
+        |  SELECT b,
+        |         CAST(COUNT(*) AS BIGINT) AS cr,
+        |         CAST(COUNT(*) FILTER (WHERE doc_id % 25 = 0) AS BIGINT) AS ct
+        |  FROM tb GROUP BY b),
+        |tot AS (
+        |  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+        |  FROM cnt),
+        |lr AS (
+        |  SELECT b,
+        |         CAST(ROUND(
+        |           ln((ct + 1.0) / (nt + 512.0)) - ln((cr + 1.0) / (nr + 512.0)),
+        |           6) AS DECIMAL(12,6)) AS lr
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(CAST(ROUND(SUM(lr), 6) AS DECIMAL(20,6)) AS DOUBLE) AS dsir_w
+        |FROM tb JOIN lr USING (b)
+        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val tb = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+        .select(col("doc_id"),
+          (conv(substring(md5(concat(lit("dsir:"), col("t")).cast("binary")), 1, 15), 16, 10)
+            .cast("long") % 512).as("b"))
+      val cnt = tb.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("doc_id") % 25 === 0, 1)).as("ct"))
+      val tot = cnt.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+      val lr = cnt.crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(
+            log((col("ct") + lit(1.0)) / (col("nt") + lit(512.0))) -
+              log((col("cr") + lit(1.0)) / (col("nr") + lit(512.0))),
+            6).cast(DecimalType(12, 6)).as("lr"))
+      tb.join(broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum("lr").cast(DecimalType(20, 6)).cast("double").as("dsir_w"))
     },
 
     // Dedup with a QUALITY keep-policy: same near-dup closure as

@@ -53,6 +53,74 @@ class CurateSpec extends SparkSpec {
       f"cell pair cost $pairCost%.0f not pruning vs ${n * n}")
   }
 
+  test("cluster_prune: prototypes dropped, exact per-cell keep counts, all rows present") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    // three well-separated planted clusters on orthogonal axes; per
+    // cluster 6 PROTOTYPES exactly on the axis (cosine-to-centroid ~1)
+    // and 6 OUTLIERS tilted off-axis (lower cosine). vec_ids interleave
+    // clusters so the nCells=3 seeds (first 3 by vec_id) land one per
+    // cluster.
+    val dim = 8
+    def vec(axis: Int, tilt: Int, mag: Double): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(axis) = 1.0f
+      if (mag != 0.0) a((axis + tilt) % dim) = mag.toFloat
+      a.toSeq
+    }
+    val rows = (0 until 36).map { i =>
+      val cluster = i % 3
+      val slot = i / 3 // 0-5 prototypes, 6-11 outliers
+      val e =
+        if (slot < 6) vec(cluster, 0, 0.0)
+        else vec(cluster, 3 + (slot % 3), 0.6 + 0.05 * slot)
+      (i.toLong, e)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.clusterPrune(emb, pruneFrac = 0.25, nCells = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+
+    // every input row appears exactly once
+    assert(out.map(_._1).sorted.toSeq == (0L until 36L), out.length.toString)
+    // planted clusters stay whole: each maps to exactly one cell, and
+    // the three cells are distinct
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    val clusters = (0 until 3).map(c => (0 until 36).filter(_ % 3 == c).map(i => cellOf(i.toLong)).toSet)
+    assert(clusters.forall(_.size == 1), s"planted cluster split across cells: $clusters")
+    assert(clusters.flatten.toSet.size == 3, s"clusters merged into one cell: $clusters")
+    // exact keep counts: ceil(12 * 0.25) = 3 dropped per cell
+    val dropped = out.filter(!_._4)
+    assert(dropped.length == 9, s"expected 9 dropped, got ${dropped.length}")
+    assert(dropped.groupBy(_._2).values.forall(_.length == 3),
+      dropped.groupBy(_._2).view.mapValues(_.length).toMap.toString)
+    // the dropped rows are PROTOTYPES (on-axis, slot<6 -> id%3*? ids with i/3<6)
+    assert(dropped.forall(t => (t._1 / 3) < 6),
+      s"outlier dropped as prototype: ${dropped.filter(t => t._1 / 3 >= 6).toSeq}")
+    // and prototypes score strictly above outliers within each cell
+    val byCell = out.groupBy(_._2)
+    byCell.values.foreach { cell =>
+      val protoMin = cell.filter(t => t._1 / 3 < 6).map(_._3).min
+      val outlMax = cell.filter(t => t._1 / 3 >= 6).map(_._3).max
+      assert(protoMin > outlMax, s"prototype/outlier score overlap: $protoMin <= $outlMax")
+    }
+  }
+
+  test("dsir_weight: target-slice docs score above the rest, all docs scored") {
+    // the target distribution is built FROM the doc_id%25=0 slice, so its
+    // own docs must look more target-like than the rest on average —
+    // the directional invariant the oracle hash can't express
+    val rows = q("doc_dsir_weight").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nDocs = Tables.documents(spark, sf("sf0.001")).count()
+    assert(rows.length == nDocs, s"${rows.length} scored of $nDocs docs")
+    val (target, rest) = rows.partition(_._1 % 25 == 0)
+    val mt = target.map(_._3).sum / target.length
+    val mr = rest.map(_._3).sum / rest.length
+    assert(mt > mr, f"target mean $mt%.3f not above rest mean $mr%.3f")
+    assert(rows.forall(_._2 > 0), "zero-token doc scored")
+  }
+
   test("scrub_redact: blocklist hits redacted, boundaries respected, counts consistent") {
     val rows = q("doc_scrub_redact")
       .join(Tables.documents(spark, sf("sf0.001")), "doc_id")
