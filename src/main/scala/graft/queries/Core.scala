@@ -419,14 +419,45 @@ object Core {
         .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"))
     },
 
-    // approx sketches: no DuckDB hash-match possible (implementation-defined)
-    // — rows-only check here, error-bound assertions live in the test suite.
-    QueryDef.noOracle("agg_approx_distinct") { (s, d) =>
-      li(s, d)
+    // Approx sketches (HLL++ distinct + KLL-style approx percentile).
+    // Oracle-anchored since r9 (the count_min_twin pattern): the sketch
+    // estimates are implementation-defined, so the query REQUIREs their
+    // published error contracts against the exact values IN the run —
+    // approx_count_distinct within 5% (at the requested rsd 0.01 that
+    // is a 5-sigma band — the default rsd 0.05 measured 8.6% off on one
+    // group, i.e. the default bound is NOT a contract) and percentile_approx
+    // between the exact 45th/55th percentiles (accuracy 10000 → rank
+    // error 1e-4, the band is generous; the band is Spark-exact, so no
+    // cross-engine float seam enters the REQUIRE) — and emits the EXACT
+    // values, which the DuckDB oracle hash-verifies. The emitted median
+    // is over integral l_quantity (midpoints exactly representable —
+    // the agg_median_quantity precedent), sidestepping the interpolated-
+    // double seam a price median would reopen.
+    QueryDef(
+      "agg_approx_distinct",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       QUANTILE_CONT(l_quantity, 0.5) AS exact_median_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val both = li(s, d)
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"))
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"),
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"),
+          expr("percentile(l_quantity, 0.5)").as("exact_median_qty"))
+      both.collect().foreach { r =>
+        val aD = r.getAs[Long]("approx_orders").toDouble
+        val eD = r.getAs[Long]("exact_orders").toDouble
+        require(math.abs(aD - eD) <= 0.05 * eD,
+          s"approx_count_distinct out of bound for ${r.get(0)}: approx=$aD exact=$eD")
+        val aM = r.getAs[Number]("approx_median").doubleValue()
+        require(aM >= r.getAs[Double]("p45") && aM <= r.getAs[Double]("p55"),
+          s"percentile_approx median out of the p45..p55 band for ${r.get(0)}: $aM")
+      }
+      both.select(col("l_returnflag"), col("exact_orders"), col("exact_median_qty"))
     },
 
     QueryDef(

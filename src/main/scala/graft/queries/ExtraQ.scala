@@ -144,17 +144,28 @@ object ExtraQ {
     // first-class mergeable value — partial sketches union across
     // partitions/groups/days without rescanning, the property that
     // matters at 100 TB (e.g. daily distinct-user sketches folding into
-    // rolling windows). No oracle (sketch estimate is
-    // implementation-defined); the error bound AND the
-    // union-consistency property are asserted in PipelineSpec. The
-    // output carries the exact distinct beside the estimate, so the
-    // recorded rows document the accuracy too.
-    QueryDef.noOracle("agg_hll_sketch") { (s, d) =>
-      Tables.lineitem(s, d).groupBy("l_returnflag")
+    // rolling windows). Oracle-anchored since r9 (the count_min_twin /
+    // bloom_exact_twin pattern): the sketch estimate itself is
+    // implementation-defined, so the query REQUIREs the HLL error
+    // contract against the exact distinct per group IN the same run
+    // (lgConfigK=12 → ~1.6% relative standard error; 5% is > 3 sigma)
+    // and emits the EXACT counts, which the DuckDB oracle hash-verifies.
+    // Union-consistency of partial sketches stays in PipelineSpec.
+    QueryDef(
+      "agg_hll_sketch",
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_nd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val both = Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(
           expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("approx_nd"),
           count_distinct(col("l_orderkey")).as("exact_nd"))
-        .orderBy("l_returnflag")
+      both.collect().foreach { r =>
+        val est = r.getAs[Number]("approx_nd").doubleValue()
+        val exact = r.getAs[Long]("exact_nd").toDouble
+        require(math.abs(est - exact) <= 0.05 * exact,
+          s"hll_sketch estimate out of bound for ${r.get(0)}: est=$est exact=$exact")
+      }
+      both.select(col("l_returnflag"), col("exact_nd"))
     },
 
     // Count–min sketch (r9): the mergeable FREQUENCY sketch — bounded-
@@ -246,14 +257,36 @@ object ExtraQ {
     // Heavy hitters via the DataSketches frequent-items aggregate
     // (Spark 4.1 approx_top_k): mergeable, bounded-memory top-k — the
     // sketch the 100 TB "most common values" report uses instead of a
-    // full groupBy histogram. No oracle (sketch layout is
-    // implementation-defined); PipelineSpec asserts the returned set
-    // and counts equal the exact top-k on this low-cardinality column
-    // (where the sketch is provably exact), JSON-encoded for the
-    // comparator.
-    QueryDef.noOracle("agg_approx_top_k") { (s, d) =>
-      Tables.events(s, d)
-        .agg(to_json(expr("approx_top_k(event_type, 5)")).as("top5"))
+    // full groupBy histogram. Oracle-anchored since r9 (count_min_twin
+    // pattern): the sketch layout is implementation-defined, so the
+    // query REQUIREs the heavy-hitter contract IN the run — every
+    // sketch-returned item's TRUE count is >= the 5th-largest true
+    // count (top-k modulo ties), and its reported count equals the
+    // true count (maxItemsTracked default 10000 >= the distinct types
+    // here, where the sketch is provably exact) — and emits the exact
+    // deterministic top-5, which the DuckDB oracle hash-verifies.
+    QueryDef(
+      "agg_approx_top_k",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type
+        |ORDER BY cnt DESC, event_type LIMIT 5""".stripMargin) { (s, d) =>
+      val exact = Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val trueCnt = exact.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kth = trueCnt.values.toSeq.sorted(Ordering[Long].reverse)
+        .take(5).lastOption.getOrElse(0L)
+      val sketch = Tables.events(s, d)
+        .agg(expr("approx_top_k(event_type, 5)").as("top5"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      sketch.foreach { r =>
+        val (item, est) = (r.getString(0), r.getLong(1))
+        require(trueCnt(item) >= kth,
+          s"approx_top_k returned non-heavy item $item (true=${trueCnt(item)}, kth=$kth)")
+        require(est == trueCnt(item),
+          s"approx_top_k count off for $item: est=$est true=${trueCnt(item)}")
+      }
+      exact.orderBy(col("cnt").desc, col("event_type")).limit(5)
     },
 
     // Pivot: wide conditional aggregation. Spark's groupBy().pivot() with
