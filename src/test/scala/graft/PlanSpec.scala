@@ -213,6 +213,18 @@ class PlanSpec extends SparkSpec {
       s"stage 3 plans a single-partition exchange:\n${p.take(1500)}")
   }
 
+  test("dsir: log-ratio table broadcasts, corpus never sort-merge-joins") {
+    // the token stream is corpus-sized; the <=512-row log-ratio table
+    // must come to IT (broadcast), never the reverse, and the per-doc
+    // sum must be two-phase — the shape that holds at 100 TB
+    val p = plan("doc_dsir_weight")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "log-ratio join must broadcast, not shuffle the token stream:\n" + p.take(1500))
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs:\n" + p.take(1500))
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
