@@ -951,6 +951,82 @@ object CurateQ {
           pmod(col("cum0"), lit(budget)).cast("long").as("seq_offset"),
           (pmod(col("cum0"), lit(budget)) + col("n_tokens") > budget)
             .as("spans_boundary"))
+    },
+
+    // CCNet-style LM-perplexity bucketing (Wenzek et al., "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data", arXiv 1911.00359 §4.3): score every doc by its mean
+    // negative log-likelihood under a unigram LM trained on a
+    // high-quality exemplar slice (the deterministic doc_id%25=0
+    // stand-in shared with doc_decontaminate/doc_dsir_weight), then
+    // split the corpus into the paper's head/middle/tail tertiles —
+    // head = most-target-like, the slice CCNet keeps. Same hashed
+    // 512-bucket feature space + add-1 smoothing as doc_dsir_weight
+    // (DSIR weights by target-vs-raw ratio; CCNet by target NLL alone).
+    //
+    // Plan shape (100 TB-safe): token explode -> ONE map-side-
+    // combinable <=512-group count (LM training is one aggregate, not
+    // a pass over a model) -> 512-row NLL table broadcast onto the
+    // token stream -> per-doc partial-aggregated sum. The corpus-wide
+    // tertile split rides the scale-safe GlobalRank two-pass + the
+    // closed-form NTILE rule — never a single-partition window.
+    // Transcendentals grid-quantized to DECIMAL(12,6) pre-sum, so
+    // mean_nll and the bucket label are hash-exact vs the oracle.
+    QueryDef(
+      "doc_lm_perplexity",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5('ppl:' || t), 1, 15)) AS BIGINT) % 512 AS b
+        |  FROM tok),
+        |cnt AS (
+        |  SELECT b,
+        |         CAST(COUNT(*) FILTER (WHERE doc_id % 25 = 0) AS BIGINT) AS ct
+        |  FROM tb GROUP BY b),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM cnt),
+        |lm AS (
+        |  SELECT b,
+        |         CAST(ROUND(-ln((ct + 1.0) / (nt + 512.0)), 6) AS DECIMAL(12,6)) AS nll
+        |  FROM cnt CROSS JOIN tot),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(CAST(ROUND(SUM(nll), 6) AS DECIMAL(20,6)) AS DOUBLE) / COUNT(*) AS mean_nll
+        |  FROM tb JOIN lm USING (b)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, mean_nll,
+        |       CASE NTILE(3) OVER (ORDER BY mean_nll, doc_id)
+        |         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sc""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      import graft.operators.GlobalRank
+      val tb = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("t"))
+        .select(col("doc_id"),
+          (conv(substring(md5(concat(lit("ppl:"), col("t")).cast("binary")), 1, 15), 16, 10)
+            .cast("long") % 512).as("b"))
+      val cnt = tb.groupBy("b")
+        .agg(count(when(col("doc_id") % 25 === 0, 1)).as("ct"))
+      val tot = cnt.agg(sum("ct").as("nt"))
+      val lm = cnt.crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(-log((col("ct") + lit(1.0)) / (col("nt") + lit(512.0))), 6)
+            .cast(DecimalType(12, 6)).as("nll"))
+      val sc = tb.join(broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          (sum("nll").cast(DecimalType(20, 6)).cast("double") / count(lit(1)))
+            .as("mean_nll"))
+      val (ranked, n) = GlobalRank.withGlobalRowNumber(
+        sc, Seq(col("mean_nll"), col("doc_id")), "_rn")
+      val tile = GlobalRank.ntileFromRn(col("_rn"), n, 3)
+      ranked.select(
+        col("doc_id"), col("n_tokens"), col("mean_nll"),
+        when(tile === 1, "head").when(tile === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
     }
   )
 }

@@ -182,7 +182,11 @@ class PlanSpec extends SparkSpec {
         // never funnel — every exchange keyed on gram/doc_id/range
         "doc_span_dedup", "doc_span_coverage", "doc_span_cut",
         "doc_token_budget_head",
-        // r9: global hash-order shuffle rank (GlobalRank two-pass)
+        // r9: global hash-order shuffle rank (GlobalRank two-pass).
+        // doc_lm_perplexity also rides GlobalRank but carries a benign
+        // <=512-row scalar-total aggregate (SinglePartition over the
+        // bucket table, not the corpus) — covered by the targeted
+        // dsir/ppl broadcast test below instead.
         "doc_shuffle_order")) {
       spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, sf())
@@ -213,16 +217,20 @@ class PlanSpec extends SparkSpec {
       s"stage 3 plans a single-partition exchange:\n${p.take(1500)}")
   }
 
-  test("dsir: log-ratio table broadcasts, corpus never sort-merge-joins") {
-    // the token stream is corpus-sized; the <=512-row log-ratio table
-    // must come to IT (broadcast), never the reverse, and the per-doc
-    // sum must be two-phase — the shape that holds at 100 TB
-    val p = plan("doc_dsir_weight")
-    assert(p.contains("BroadcastHashJoin"), p.take(1500))
-    assert(!p.contains("SortMergeJoin"),
-      "log-ratio join must broadcast, not shuffle the token stream:\n" + p.take(1500))
-    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
-    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs:\n" + p.take(1500))
+  test("dsir/ppl: LM table broadcasts, corpus never sort-merge-joins") {
+    // the token stream is corpus-sized; the <=512-row log-ratio / NLL
+    // table must come to IT (broadcast), never the reverse, and the
+    // per-doc sum must be two-phase — the shape that holds at 100 TB
+    for (name <- Seq("doc_dsir_weight", "doc_lm_perplexity")) {
+      spark.catalog.clearCache()
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: " + p.take(1500))
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: LM join must broadcast, not shuffle the token stream:\n" + p.take(1500))
+      val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+      assert(hashAggs >= 2, s"$name: expected partial+final HashAggregate, got $hashAggs:\n" + p.take(1500))
+      graft.ext.Caches.releaseAll(spark)
+    }
   }
 
   test("whole-stage codegen covers the relational core") {

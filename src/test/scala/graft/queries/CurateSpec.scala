@@ -121,6 +121,27 @@ class CurateSpec extends SparkSpec {
     assert(rows.forall(_._2 > 0), "zero-token doc scored")
   }
 
+  test("lm_perplexity: LM's own slice scores lower NLL, tertiles balanced and ordered") {
+    val rows = q("doc_lm_perplexity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val nDocs = Tables.documents(spark, sf("sf0.001")).count()
+    assert(rows.length == nDocs, s"${rows.length} scored of $nDocs docs")
+    // the LM is trained on the doc_id%25=0 slice — its own docs must be
+    // more probable (lower mean NLL) than the rest on average
+    val (target, rest) = rows.partition(_._1 % 25 == 0)
+    val mt = target.map(_._3).sum / target.length
+    val mr = rest.map(_._3).sum / rest.length
+    assert(mt < mr, f"LM slice mean NLL $mt%.3f not below rest $mr%.3f")
+    // NTILE(3) contract: bucket sizes differ by <= 1 and buckets are
+    // ordered by score (head = most target-like, as in CCNet §4.3)
+    val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"), sizes.toString)
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    assert(rows.filter(_._4 == "head").map(_._3).max <=
+      rows.filter(_._4 == "tail").map(_._3).min,
+      "head/tail overlap: tertiles not ordered by mean_nll")
+  }
+
   test("scrub_redact: blocklist hits redacted, boundaries respected, counts consistent") {
     val rows = q("doc_scrub_redact")
       .join(Tables.documents(spark, sf("sf0.001")), "doc_id")
