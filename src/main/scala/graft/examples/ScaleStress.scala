@@ -69,7 +69,11 @@ object ScaleStress {
     // (k-means assign + per-cell windows; auto nCells keeps cell
     // occupancy constant, so the windows must stay flat as n grows)
     "doc_dsir_weight",
-    "emb_cluster_prune")
+    "emb_cluster_prune",
+    // r9: CCNet perplexity tertiles — same LM-broadcast shape as DSIR
+    // plus the GlobalRank two-pass for the corpus-wide split (expected
+    // ~linear; the rank adds one range exchange over doc-level rows)
+    "doc_lm_perplexity")
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
     * within-replica cosine structure are preserved; distinct reps are
