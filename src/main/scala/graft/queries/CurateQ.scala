@@ -664,6 +664,42 @@ object CurateQ {
       graft.ext.Dedup.incrementalCosineNearDups(emb, batch)
     },
 
+    // SEMANTIC decontamination — the embedding-space twin of
+    // doc_decontaminate (the n-gram form): flag corpus vectors whose
+    // cosine to ANY eval-suite vector clears the threshold, the check
+    // modern corpus builds run alongside n-gram overlap (paraphrased
+    // benchmark leakage survives n-gram matching but not embedding
+    // similarity). Eval slice = the deterministic vec_id%25=0 stand-in
+    // (same convention as doc_decontaminate/doc_dsir_weight). The
+    // fixture has no embedding near-dups (max offdiag cosine ~0.5), so
+    // the corpus side re-plants noisy copies of eval vectors —
+    // contaminated by construction; CurateSpec asserts exactly those
+    // are flagged. Plan shape (100 TB-safe): the SMALL eval side owns
+    // the LSH bucket table (broadcasts under AQE); the corpus-sized
+    // side streams through the bucket equi-join — candidates only
+    // BETWEEN sides, never corpus x corpus.
+    QueryDef.noOracle("emb_decontaminate") { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val evalSet = emb.filter(col("vec_id") % 25 === 0)
+      val noisy = udf { (id: Long, e: Seq[Float]) =>
+        val r = new java.util.Random(id)
+        val scale = 0.05 * math.sqrt(e.map(x => x.toDouble * x).sum / e.length)
+        e.map(x => (x + r.nextGaussian() * scale).toFloat)
+      }
+      val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+        .union(evalSet.limit(40)
+          .select((col("vec_id") + lit(7000000L)).as("vec_id"),
+            noisy(col("vec_id"), col("embedding")).as("embedding")))
+      val hits = graft.ext.Dedup
+        .incrementalCosineNearDups(evalSet, corpus, threshold = 0.9)
+        .groupBy(col("vec_new").as("vec_id"))
+        .agg(max("cos").as("max_cos"),
+          min("vec_corpus").as("nearest_eval"))
+      corpus.select("vec_id").join(hits, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("max_cos"), col("nearest_eval"),
+          col("max_cos").isNotNull.as("contaminated"))
+    },
+
     // SEQUENCE PACKING (r7 new surface): assign each document a slot in
     // a fixed-token-budget training sequence — the assembly step every
     // LLM pretraining pipeline runs between curation and tokenization.
@@ -868,6 +904,47 @@ object CurateQ {
             lit(100L))
           < when(col("source").endsWith("0"), 20).otherwise(80))
         .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // Temperature-flattened SOURCE sampling (r9): the multilingual-
+    // pretraining rebalance (Conneau et al. XLM-R, arXiv 1911.02116
+    // §3.1; UniMax, Chung et al. 2304.09151) — downsample dominant
+    // sources toward p_s^alpha so small sources aren't drowned.
+    // alpha = 0.5, so the acceptance rate has a closed sqrt form:
+    // r_s = sqrt(n_min / n_s) (the rarest source keeps everything) —
+    // and sqrt is IEEE-754 correctly rounded in BOTH engines, unlike
+    // pow, so the rate (floored onto a 1e6 integer grid) is hash-exact
+    // cross-engine. Keep decision is the usual deterministic hash coin
+    // (md5, fresh 'temp:' salt — independent of every other stage's
+    // coins). Plan shape (100 TB-safe): per-source counts are ONE
+    // map-side-combinable agg (<=K rows); the rate table broadcasts
+    // back onto the corpus — no corpus-sized shuffle at all.
+    QueryDef(
+      "doc_mixture_temperature",
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, n_s,
+        |         CAST(FLOOR(sqrt(CAST((SELECT MIN(n_s) FROM c) AS DOUBLE) / n_s) * 1000000) AS BIGINT) AS keep_ppm
+        |  FROM c)
+        |SELECT d.doc_id, d.source, r.keep_ppm,
+        |       CAST(concat('0x', substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        |         < r.keep_ppm AS keep
+        |FROM documents d JOIN r USING (source)""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_s"))
+      val nMin = c.agg(min("n_s").as("n_min"))
+      val r = c.crossJoin(broadcast(nMin))
+        .select(col("source"), col("n_s"),
+          floor(sqrt(col("n_min").cast("double") / col("n_s")) * 1000000)
+            .cast("long").as("keep_ppm"))
+      Tables.documents(s, d).select("doc_id", "source")
+        .join(broadcast(r.drop("n_s")), "source")
+        .select(col("doc_id"), col("source"), col("keep_ppm"),
+          (pmod(expr(
+            "cast(conv(substring(md5(cast(concat('temp:', cast(doc_id AS string)) AS binary)), 1, 15), 16, 10) AS bigint)"),
+            lit(1000000L)) < col("keep_ppm")).as("keep"))
     },
 
     // Global training-order SHUFFLE (r9): the deterministic

@@ -142,6 +142,44 @@ class CurateSpec extends SparkSpec {
       "head/tail overlap: tertiles not ordered by mean_nll")
   }
 
+  test("mixture_temperature: rarest source keeps all, dominant sources flatten toward sqrt") {
+    val rows = q("doc_mixture_temperature").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val bySrc = rows.groupBy(_._1)
+    val counts = bySrc.view.mapValues(_.length).toMap
+    val nMin = counts.values.min
+    // rarest source: keep_ppm = 1e6 -> every row kept
+    val rarest = counts.minBy(_._2)._1
+    assert(bySrc(rarest).forall(_._3), "rarest source lost rows")
+    // every source's kept fraction tracks sqrt(n_min/n_s) (hash coin is
+    // uniform; binomial tolerance at fixture sizes)
+    for ((src, grp) <- bySrc) {
+      val expected = math.sqrt(nMin.toDouble / grp.length)
+      val got = grp.count(_._3).toDouble / grp.length
+      assert(math.abs(got - expected) < 0.08,
+        f"$src kept $got%.3f, expected ~$expected%.3f")
+      // keep_ppm constant within a source
+      assert(grp.map(_._2).distinct.length == 1)
+    }
+  }
+
+  test("emb_decontaminate: planted eval copies flagged, clean corpus untouched") {
+    val rows = q("emb_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    val (planted, clean) = rows.partition(_._1 >= 7000000L)
+    assert(planted.nonEmpty, "fixture planted no eval copies")
+    // planted rows are noisy copies of eval vectors — all contaminated;
+    // the raw fixture has no near-dups (max offdiag cosine ~0.5), so no
+    // clean row may cross the 0.9 threshold
+    val missed = planted.filterNot(_._2)
+    assert(missed.isEmpty, s"${missed.length} planted copies not flagged")
+    val falsePos = clean.filter(_._2)
+    assert(falsePos.isEmpty,
+      s"${falsePos.length} clean vectors falsely flagged: ${falsePos.take(5)}")
+    // every corpus row reported exactly once
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate rows")
+  }
+
   test("scrub_redact: blocklist hits redacted, boundaries respected, counts consistent") {
     val rows = q("doc_scrub_redact")
       .join(Tables.documents(spark, sf("sf0.001")), "doc_id")
