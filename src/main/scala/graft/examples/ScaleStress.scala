@@ -73,7 +73,10 @@ object ScaleStress {
     // r9: CCNet perplexity tertiles — same LM-broadcast shape as DSIR
     // plus the GlobalRank two-pass for the corpus-wide split (expected
     // ~linear; the rank adds one range exchange over doc-level rows)
-    "doc_lm_perplexity")
+    "doc_lm_perplexity",
+    // r9: semantic decontamination — the eval side is fixed-size, so
+    // cost must track the corpus side's bucket-join volume (~linear)
+    "emb_decontaminate")
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
     * within-replica cosine structure are preserved; distinct reps are
