@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.TopKByScore].getName, "topk_by_score"),
       graft.functions.GraftFunctions.topKBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo(
+        classOf[graft.functions.ThetaSketchAgg].getName, "theta_sketch"),
+      graft.functions.GraftFunctions.thetaBuilder))
   }
 }

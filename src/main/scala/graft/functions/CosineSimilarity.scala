@@ -115,10 +115,22 @@ object GraftFunctions {
       "topk_by_score expects (score, id, <int literal k>)")
   }
 
+  /** theta_sketch(key[, lgK]) — lgK must be a foldable int literal. */
+  val thetaBuilder: Seq[Expression] => Expression = {
+    case Seq(k) => ThetaSketchAgg(k).toAggregateExpression()
+    case Seq(k, lg) if lg.foldable =>
+      ThetaSketchAgg(k, lg.eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()
+    case other => throw new IllegalArgumentException(
+      "theta_sketch expects (key[, <int literal lgK>])")
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineSimBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_by_score", topKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_sketch", thetaBuilder, "built-in")
   }
 }

@@ -204,6 +204,56 @@ object ExtraQ {
       exact.orderBy("c_nationkey")
     },
 
+    // Theta-sketch SET-OPERATION cardinality (r9): the one sketch
+    // capability the HLL family lacks — INTERSECTION. "How many
+    // customers placed both an URGENT and a HIGH order" without ever
+    // co-shuffling the raw key sets: each side is ONE bounded
+    // (<=2^lgK entries) map-side-combinable theta sketch
+    // (functions/ThetaSketchAgg, a TypedImperativeAggregate like
+    // topk_by_score), both built in a single pass via null-skipping
+    // conditional update; the intersection runs on two compact byte
+    // arrays. Anchored the count_min_twin way: the EXACT overlap is
+    // oracle-paired (one groupBy(custkey) flag pass — also a single
+    // shuffle), and the sketch estimates REQUIRE their error bounds
+    // against it in the same query (retained sets are deterministic,
+    // theta drifts with merge order — bounded, never hash-compared).
+    QueryDef(
+      "agg_theta_intersect_twin",
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ha,
+        |         MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS hb
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT CAST(COUNT(CASE WHEN ha = 1 THEN 1 END) AS BIGINT) AS exact_a,
+        |       CAST(COUNT(CASE WHEN hb = 1 THEN 1 END) AS BIGINT) AS exact_b,
+        |       CAST(COUNT(CASE WHEN ha = 1 AND hb = 1 THEN 1 END) AS BIGINT) AS exact_common
+        |FROM per""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val orders = Tables.orders(s, d)
+      val sk = orders.agg(
+        expr("theta_sketch(CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END, 12)").as("ska"),
+        expr("theta_sketch(CASE WHEN o_orderpriority = '2-HIGH' THEN o_custkey END, 12)").as("skb"))
+        .head()
+      val (ska, skb) = (sk.getAs[Array[Byte]]("ska"), sk.getAs[Array[Byte]]("skb"))
+      val exact = orders.groupBy("o_custkey").agg(
+        max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("ha"),
+        max(when(col("o_orderpriority") === "2-HIGH", 1).otherwise(0)).as("hb"))
+        .agg(
+          count(when(col("ha") === 1, 1)).as("exact_a"),
+          count(when(col("hb") === 1, 1)).as("exact_b"),
+          count(when(col("ha") === 1 && col("hb") === 1, 1)).as("exact_common"))
+      val r = exact.head()
+      import graft.functions.ThetaOps
+      def check(name: String, est: Double, ex: Long, relTol: Double): Unit =
+        require(math.abs(est - ex) <= math.max(relTol * ex, 10.0),
+          s"theta $name estimate out of bound: est=$est exact=$ex")
+      check("A", ThetaOps.estimate(ska), r.getAs[Long]("exact_a"), 0.05)
+      check("B", ThetaOps.estimate(skb), r.getAs[Long]("exact_b"), 0.05)
+      check("A∩B", ThetaOps.intersectEstimate(ska, skb),
+        r.getAs[Long]("exact_common"), 0.10)
+      exact
+    },
+
     // Bitwise aggregates (bit_and/bit_or/bit_xor) — flag-mask rollups
     // (permission masks, feature flags) per group. Map-side combinable
     // like any semigroup aggregate; both engines implement the same
