@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.ThetaSketchAgg].getName, "theta_sketch"),
       graft.functions.GraftFunctions.thetaBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(
+        classOf[graft.functions.SquaredL2].getName, "squared_l2"),
+      graft.functions.GraftFunctions.squaredL2Builder))
   }
 }

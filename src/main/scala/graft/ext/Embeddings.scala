@@ -1,0 +1,239 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear-algebra primitives over an embedding corpus:
+  * Lloyd's k-means and covariance/PCA. Part of the declared extension
+  * surface (SURVEY §2.3) — the reference has no vector operations at all
+  * (samsa delegates everything to a user callback,
+  * /root/reference/samsa/kafka/storage.py:237).
+  *
+  * Scale design (the point of doing these on Spark at all):
+  *   - k-means assign is a broadcast nested-loop over the k centroids —
+  *     a map-only stage; the argmin is `min_by`, which partial-aggregates
+  *     map-side (each input row's k candidate rows are adjacent, so the
+  *     combiner collapses them to one row before any shuffle). No Window,
+  *     no skew hazard: a mega-cluster costs its partition count.
+  *   - the k-means update is one (cell, dim) aggregation — k*d keys.
+  *   - covariance is ONE `treeAggregate` pass carrying d(d+1)/2 + d + 1
+  *     doubles per partition: no row ever shuffles, the driver receives
+  *     O(d^2) regardless of corpus size. Eigendecomposition is a driver
+  *     O(d^3) Jacobi — d is model-embedding-sized (64..4096), not data-
+  *     sized, so this is the correct split between cluster and driver.
+  */
+object Embeddings {
+
+  /** (vec frame with v: array<double>) from the raw embeddings table. */
+  private def withV(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def sqDist(v: Column, cv: Column): Column =
+    aggregate(zip_with(v, cv, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, b) => a + b)
+
+  /** Assign every vector to its nearest centroid (squared L2, tie-break
+    * lowest cell id). `cents` is (cell: int, cv: array<double>), k rows —
+    * always broadcast. Returns (vec_id, cell, d, v).
+    *
+    * `codegen = true` uses the native SquaredL2 expression (one fused
+    * loop, whole-stage codegen); `false` keeps the zip_with/aggregate HOF
+    * form. Both accumulate (x_i-c_i)^2 in index order, so they are
+    * bit-identical with each other and with DuckDB's list_reduce fold.
+    */
+  def lloydAssign(e: DataFrame, cents: DataFrame,
+      codegen: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    val d = if (codegen) expr("squared_l2(v, cv)") else sqDist(col("v"), col("cv"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("d", d)
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cell"), col("d"), col("v")),
+        struct(col("d"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"),
+        col("m.d").as("d"), col("m.v").as("v"))
+  }
+
+  /** Recompute centroids from an assignment. `exact = true` folds a
+    * SORTED per-(cell,dim) value list so the mean is bit-identical across
+    * engines and partition counts — the oracle discipline for fixture-
+    * sized clusters (same note as emb_centroid_per_label). `exact =
+    * false` is the 100 TB path: plain sum/count, map-side combinable,
+    * never materializes a cluster in one task. */
+  def lloydUpdate(assigned: DataFrame, exact: Boolean): DataFrame = {
+    val perDim = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+    val cm =
+      if (exact)
+        perDim.agg(sort_array(collect_list(col("x"))).as("xs"),
+            count(lit(1)).as("n"))
+          .select(col("cell"), col("dim"),
+            (aggregate(col("xs"), lit(0.0), (a, b) => a + b) / col("n")).as("cm"))
+      else
+        perDim.agg((sum("x") / count(lit(1))).as("cm"))
+          .select(col("cell"), col("dim"), col("cm"))
+    cm.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cm")))),
+        p => p.getField("cm")).as("cv"))
+  }
+
+  /** Lloyd's k-means: deterministic seeds (the k lowest vec_ids), `iters`
+    * assign+update sweeps, then a final assignment. Returns
+    * (vec_id, cell, d) — d is the squared L2 to the final centroid.
+    *
+    * Each sweep = one broadcast map stage + one k*d-key aggregation; the
+    * k-row centroid frame is the only thing that crosses stages. */
+  def lloyd(emb: DataFrame, k: Int, iters: Int,
+      exact: Boolean = false, codegen: Boolean = true): DataFrame = {
+    require(k > 0 && iters >= 1, s"need k>0, iters>=1; got k=$k iters=$iters")
+    val e = withV(emb)
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    var it = 0
+    while (it < iters) {
+      cents = lloydUpdate(lloydAssign(e, cents, codegen), exact)
+      it += 1
+    }
+    lloydAssign(e, cents, codegen).select(col("vec_id"), col("cell"), col("d"))
+  }
+
+  /** One-pass mean + covariance: treeAggregate of (n, sum_i, sum_ij upper
+    * triangle) — d(d+1)/2 + d + 1 doubles per partition, no shuffle of
+    * rows. Returns (n, mu[d], cov[d][d]) with the unbiased (n-1)
+    * denominator. */
+  def meanAndCovariance(emb: DataFrame): (Long, Array[Double], Array[Array[Double]]) = {
+    val vecs = emb.select(col("embedding")).rdd
+      .map(r => r.getSeq[Float](0).toArray)
+    val d = vecs.first().length
+    val tri = d * (d + 1) / 2
+    // acc layout: [0]=n, [1..d]=sums, [d+1 ..]=upper-triangle product sums
+    val zero = new Array[Double](1 + d + tri)
+    def seqOp(acc: Array[Double], x: Array[Float]): Array[Double] = {
+      require(x.length == d, s"dim mismatch: ${x.length} vs $d")
+      acc(0) += 1.0
+      var i = 0
+      var t = 1 + d
+      while (i < d) {
+        val xi = x(i).toDouble
+        acc(1 + i) += xi
+        var j = i
+        while (j < d) {
+          acc(t) += xi * x(j).toDouble
+          t += 1; j += 1
+        }
+        i += 1
+      }
+      acc
+    }
+    def combOp(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    val acc = vecs.treeAggregate(zero)(seqOp, combOp)
+    val n = acc(0).toLong
+    require(n >= 2, s"covariance needs >= 2 vectors, got $n")
+    val mu = Array.tabulate(d)(i => acc(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    var t = 1 + d
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        // E[xy]*n - n*mux*muy, unbiased
+        val c = (acc(t) - n * mu(i) * mu(j)) / (n - 1)
+        cov(i)(j) = c; cov(j)(i) = c
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    (n, mu, cov)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
+    * (eigenvalues desc, eigenvectors as ROWS, matching order). Driver-
+    * side O(d^3) — deterministic sweep order, no randomness. */
+  def jacobiEigen(m: Array[Array[Double]], maxSweeps: Int = 50,
+      tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > tol) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    // rows = eigenvectors; sign-normalize (largest-|component| positive)
+    // so the decomposition is unique and runs are comparable
+    val vecs = order.map { k =>
+      val ev = Array.tabulate(d)(i => v(i)(k))
+      val mi = ev.indices.maxBy(i => math.abs(ev(i)))
+      if (ev(mi) < 0) ev.map(x => -x) else ev
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** PCA: project every vector onto the top-k principal components of the
+    * one-pass covariance. Returns (vec_id, pc: array<double>[k]) plus the
+    * fraction of variance the k components explain (via the second
+    * element). The projection itself is a map-only stage against a
+    * broadcast (k x d) component matrix. */
+  def pcaProject(emb: DataFrame, k: Int): (DataFrame, Double) = {
+    val (_, mu, cov) = meanAndCovariance(emb)
+    val (vals, vecs) = jacobiEigen(cov)
+    val kk = math.min(k, vals.length)
+    val total = vals.map(math.max(_, 0.0)).sum
+    val explained = if (total == 0.0) 0.0 else vals.take(kk).map(math.max(_, 0.0)).sum / total
+    val sc = emb.sparkSession.sparkContext
+    val bMu = sc.broadcast(mu)
+    val bComp = sc.broadcast(vecs.take(kk))
+    val project = udf { (x: Seq[Float]) =>
+      val comp = bComp.value; val m = bMu.value
+      Array.tabulate(comp.length) { c =>
+        var s = 0.0; var i = 0
+        val row = comp(c)
+        while (i < row.length) { s += (x(i) - m(i)) * row(i); i += 1 }
+        s
+      }
+    }
+    (emb.select(col("vec_id"), col("label"), project(col("embedding")).as("pc")),
+      explained)
+  }
+}

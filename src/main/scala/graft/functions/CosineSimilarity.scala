@@ -115,6 +115,12 @@ object GraftFunctions {
       "topk_by_score expects (score, id, <int literal k>)")
   }
 
+  val squaredL2Builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SquaredL2(a, b)
+    case other => throw new IllegalArgumentException(
+      s"squared_l2 expects 2 arguments, got ${other.size}")
+  }
+
   /** theta_sketch(key[, lgK]) — lgK must be a foldable int literal. */
   val thetaBuilder: Seq[Expression] => Expression = {
     case Seq(k) => ThetaSketchAgg(k).toAggregateExpression()
@@ -132,5 +138,7 @@ object GraftFunctions {
       "topk_by_score", topKBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "theta_sketch", thetaBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "squared_l2", squaredL2Builder, "built-in")
   }
 }

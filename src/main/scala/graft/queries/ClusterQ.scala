@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Clustering / linear-algebra family over the embeddings table:
+  * distributed Lloyd's k-means, the d x d covariance matrix, and PCA
+  * projection (ext.Embeddings). Reference precedent: samsa has no vector
+  * operations (SURVEY §2.1) — this is declared extension surface (§2.3),
+  * the clustering/statistics layer a training-data pipeline needs for
+  * SemDeDup-style cluster pruning and embedding-space diagnostics.
+  *
+  * Oracle discipline: every cross-engine double reduction folds a SORTED
+  * value list (bit-identical regardless of accumulation order — the
+  * emb_centroid_per_label discipline); distances fold (x_i-c_i)^2 in
+  * index order on both sides (SquaredL2 ≡ DuckDB list_reduce); outputs
+  * land on the ROUND(..., 6) -> DECIMAL(20,6) grid.
+  */
+object ClusterQ {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Lloyd's k-means, k=8, one full assign+update sweep then the final
+    // assignment. Seeds = the k lowest vec_ids (deterministic). Assign is
+    // a broadcast map + map-side-combinable min_by argmin (no Window);
+    // update is one (cell, dim) aggregation. The DuckDB oracle unrolls
+    // the identical two assignments and the sorted-fold centroid means.
+    QueryDef(
+      "emb_kmeans",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, cell, v,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |  FROM (
+        |    SELECT e.vec_id, c0.cell, e.v,
+        |           list_reduce(list_transform(range(1, len(e.v) + 1),
+        |             i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i])), (a, b) -> a + b) AS d
+        |    FROM e CROSS JOIN c0)),
+        |m1 AS (SELECT vec_id, cell, v FROM a1 WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(cm ORDER BY dim) AS cv
+        |  FROM (
+        |    SELECT cell, t.i AS dim,
+        |           list_reduce(list_sort(list(v[t.i])), (a, b) -> a + b) / COUNT(*) AS cm
+        |    FROM m1, unnest(range(1, len(v) + 1)) AS t(i)
+        |    GROUP BY cell, t.i)
+        |  GROUP BY cell),
+        |a2 AS (
+        |  SELECT vec_id, cell, d,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |  FROM (
+        |    SELECT e.vec_id, c1.cell,
+        |           list_reduce(list_transform(range(1, len(e.v) + 1),
+        |             i -> (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i])), (a, b) -> a + b) AS d
+        |    FROM e CROSS JOIN c1))
+        |SELECT vec_id, cell, CAST(ROUND(d, 6) AS DECIMAL(20,6)) AS dist6
+        |FROM a2 WHERE rn = 1""".stripMargin) { (s, d) =>
+      graft.ext.Embeddings.lloyd(Tables.embeddings(s, d), k = 8, iters = 1,
+          exact = true)
+        .select(col("vec_id"), col("cell"),
+          round(col("d"), 6).cast(DecimalType(20, 6)).as("dist6"))
+    },
+
+    // The d x d covariance matrix (upper triangle, unbiased), the
+    // distributed statistic behind PCA/whitening. Fixture discipline:
+    // sorted-fold means and centered-product sums so both engines agree
+    // bit-for-bit; the 100 TB path is ext.Embeddings.meanAndCovariance —
+    // ONE treeAggregate pass, d(d+1)/2 doubles per partition, no row
+    // shuffle (cross-checked against this query in ClusterSpec).
+    QueryDef(
+      "emb_covariance",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, CAST(t.i AS INT) AS i, v[t.i] AS x
+        |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+        |mu AS (
+        |  SELECT i, list_reduce(list_sort(list(x)), (a, b) -> a + b) / COUNT(*) AS m
+        |  FROM ex GROUP BY i),
+        |ctr AS (
+        |  SELECT ex.vec_id, ex.i, ex.x - mu.m AS c
+        |  FROM ex JOIN mu USING (i)),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, a.c * b.c AS pr
+        |  FROM ctr a JOIN ctr b ON a.vec_id = b.vec_id AND a.i <= b.i)
+        |SELECT i, j,
+        |       CAST(ROUND(list_reduce(list_sort(list(pr)), (a, b) -> a + b)
+        |                  / (COUNT(*) - 1), 6) AS DECIMAL(20,6)) AS cov6
+        |FROM p GROUP BY i, j""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val ex = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
+        .select(col("vec_id"), (col("i0") + 1).cast("int").as("i"), col("x"))
+      val mu = ex.groupBy("i")
+        .agg(sort_array(collect_list(col("x"))).as("xs"), count(lit(1)).as("n"))
+        .select(col("i"),
+          (aggregate(col("xs"), lit(0.0), (a, b) => a + b) / col("n")).as("m"))
+      val ctr = ex.join(broadcast(mu), "i")
+        .select(col("vec_id"), col("i"), (col("x") - col("m")).as("c"))
+      ctr.as("a")
+        .join(ctr.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+          (col("a.c") * col("b.c")).as("pr"))
+        .groupBy("i", "j")
+        .agg(sort_array(collect_list(col("pr"))).as("ps"), count(lit(1)).as("n"))
+        .select(col("i"), col("j"),
+          round(aggregate(col("ps"), lit(0.0), (a, b) => a + b) / (col("n") - 1), 6)
+            .cast(DecimalType(20, 6)).as("cov6"))
+    },
+
+    // PCA projection onto the top-2 principal components: one-pass
+    // covariance (treeAggregate, no shuffle) -> driver Jacobi eigen ->
+    // broadcast map-only projection. No DuckDB oracle (eigendecomposition
+    // is not SQL-expressible); planted-structure invariants — component
+    // alignment, variance ordering, covariance cross-check vs the oracle
+    // query — are REQUIREd in ClusterSpec.
+    QueryDef.noOracle("emb_pca_project") { (s, d) =>
+      val (proj, explained) =
+        graft.ext.Embeddings.pcaProject(Tables.embeddings(s, d), k = 2)
+      proj.select(col("vec_id"), col("label"),
+          col("pc").getItem(0).as("pc1"), col("pc").getItem(1).as("pc2"),
+          lit(explained).as("var_explained_2"))
+        .orderBy("vec_id")
+    }
+  )
+}

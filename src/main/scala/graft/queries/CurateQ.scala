@@ -1104,6 +1104,41 @@ object CurateQ {
         col("doc_id"), col("n_tokens"), col("mean_nll"),
         when(tile === 1, "head").when(tile === 2, "middle")
           .otherwise("tail").as("ppl_bucket"))
+    },
+
+    // BPE tokenizer training, the distributed step: corpus-wide adjacent
+    // character-pair counts (Sennrich et al. 1508.07909 — each merge
+    // iteration picks the most frequent pair). The scale shape: pair
+    // explosion runs over DISTINCT words weighted by word frequency, so
+    // cost is vocabulary-sized, not corpus-sized; both aggs are plain
+    // map-side-combinable counts. Top-100 with a (count, pair) total
+    // order. SUM(BIGINT) CAST to avoid DuckDB HUGEINT drift.
+    QueryDef(
+      "doc_bpe_pairs",
+      """WITH w AS (
+        |  SELECT lower(wrd) AS wrd, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split_regex(text, '[^A-Za-z]+')) AS wrd
+        |        FROM documents)
+        |  WHERE len(wrd) >= 2
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT substr(wrd, CAST(i AS INT), 2) AS pair, f
+        |  FROM w, unnest(range(1, len(wrd))) AS t(i))
+        |SELECT pair, CAST(SUM(f) AS BIGINT) AS c
+        |FROM p GROUP BY pair
+        |ORDER BY c DESC, pair LIMIT 100""".stripMargin) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(explode(split(col("text"), "[^A-Za-z]+")).as("wrd0"))
+        .select(lower(col("wrd0")).as("wrd"))
+        .filter(length(col("wrd")) >= 2)
+        .groupBy("wrd").agg(count(lit(1)).as("f"))
+      w.select(
+          explode(expr(
+            "transform(sequence(1, length(wrd) - 1), i -> substring(wrd, i, 2))"))
+            .as("pair"),
+          col("f"))
+        .groupBy("pair").agg(sum("f").as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(100)
     }
   )
 }

@@ -1,0 +1,157 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ext.Embeddings: Lloyd's k-means, one-pass covariance, Jacobi eigen,
+  * PCA projection. Planted-structure invariants that no DuckDB oracle can
+  * express (eigendecomposition), plus the covariance cross-check that
+  * ties the treeAggregate scale path to the oracle-paired emb_covariance
+  * query discipline.
+  */
+class ClusterSpec extends SparkSpec {
+
+  private val dim = 8
+
+  private def embDf(rows: Seq[(Long, Array[Float], Int)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2.toSeq, r._3)), 4),
+      schema)
+  }
+
+  /** Three well-separated blobs around axis-aligned centers; vec_ids
+    * 0,1,2 land one in each blob so deterministic seeding starts with one
+    * seed per blob. */
+  private def blobs(nPerBlob: Int): Seq[(Long, Array[Float], Int)] = {
+    val rnd = new scala.util.Random(42)
+    val centers = Seq(
+      Array.tabulate(dim)(i => if (i == 0) 10f else 0f),
+      Array.tabulate(dim)(i => if (i == 1) 10f else 0f),
+      Array.tabulate(dim)(i => if (i == 2) 10f else 0f))
+    (0 until 3 * nPerBlob).map { id =>
+      val b = id % 3 // ids 0,1,2 are blobs 0,1,2
+      val c = centers(b)
+      (id.toLong, Array.tabulate(dim)(i => c(i) + rnd.nextFloat() * 0.5f), b)
+    }
+  }
+
+  test("lloyd recovers well-separated blobs exactly (k=3, 2 sweeps)") {
+    val df = embDf(blobs(40))
+    val out = Embeddings.lloyd(df, k = 3, iters = 2).collect()
+    assert(out.length === 120)
+    // cluster labels must be a bijection of blob labels: every vector in
+    // blob b (vec_id % 3 == b) sits in cell b (seeds 0,1,2 are one per blob)
+    out.foreach { r =>
+      val vecId = r.getLong(0); val cell = r.getInt(1)
+      assert(cell === (vecId % 3).toInt,
+        s"vec $vecId in cell $cell, expected ${vecId % 3}")
+    }
+    // converged: distance to own centroid is small vs blob separation
+    assert(out.map(_.getDouble(2)).max < 2.0)
+  }
+
+  test("lloyd exact and scale update modes agree on assignments; codegen == HOF bit-for-bit") {
+    val df = embDf(blobs(20))
+    val exact = Embeddings.lloyd(df, 3, 2, exact = true).orderBy("vec_id").collect()
+    val fast = Embeddings.lloyd(df, 3, 2, exact = false).orderBy("vec_id").collect()
+    assert(exact.map(r => (r.getLong(0), r.getInt(1))).toSeq
+      === fast.map(r => (r.getLong(0), r.getInt(1))).toSeq)
+    val cg = Embeddings.lloyd(df, 3, 2, exact = true, codegen = true)
+      .orderBy("vec_id").collect()
+    val hof = Embeddings.lloyd(df, 3, 2, exact = true, codegen = false)
+      .orderBy("vec_id").collect()
+    // bit-identical distances, not just equal assignments
+    assert(cg.map(r => (r.getLong(0), r.getInt(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+      === hof.map(r => (r.getLong(0), r.getInt(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq)
+  }
+
+  test("one-pass covariance matches the per-pair definition on real fixture data") {
+    val df = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val (n, mu, cov) = Embeddings.meanAndCovariance(df)
+    assert(n >= 2)
+    // independent definition: collect and compute directly
+    val vecs = df.select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = vecs.head.length
+    val mu2 = Array.tabulate(d)(i => vecs.map(_(i)).sum / vecs.length)
+    var maxErr = 0.0
+    for (i <- 0 until d; j <- i until d) {
+      val c = vecs.map(v => (v(i) - mu2(i)) * (v(j) - mu2(j))).sum / (vecs.length - 1)
+      maxErr = math.max(maxErr, math.abs(cov(i)(j) - c))
+    }
+    assert(mu.zip(mu2).map(p => math.abs(p._1 - p._2)).max < 1e-9)
+    assert(maxErr < 1e-9, s"covariance drift $maxErr")
+  }
+
+  test("jacobiEigen diagonalizes a known symmetric matrix") {
+    // A = Q diag(5, 2, 1) Q^T for a hand-built rotation Q
+    val q = {
+      val theta = 0.3
+      Array(
+        Array(math.cos(theta), -math.sin(theta), 0.0),
+        Array(math.sin(theta), math.cos(theta), 0.0),
+        Array(0.0, 0.0, 1.0))
+    }
+    val lam = Array(5.0, 2.0, 1.0)
+    val a = Array.tabulate(3, 3) { (i, j) =>
+      (0 until 3).map(k => q(i)(k) * lam(k) * q(j)(k)).sum
+    }
+    val (vals, vecs) = Embeddings.jacobiEigen(a)
+    assert(vals.zip(lam).forall(p => math.abs(p._1 - p._2) < 1e-10))
+    // eigenvectors recover Q's columns up to sign; rows are normalized
+    for (k <- 0 until 3) {
+      val expect = Array.tabulate(3)(i => q(i)(k))
+      val got = vecs(k)
+      val dot = math.abs(expect.zip(got).map(p => p._1 * p._2).sum)
+      assert(math.abs(dot - 1.0) < 1e-10, s"component $k misaligned: $dot")
+    }
+  }
+
+  test("pcaProject finds the planted dominant direction") {
+    // variance 100 along u = e0, variance ~1 along the rest
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { id =>
+      val main = (rnd.nextGaussian() * 10.0).toFloat
+      (id.toLong,
+        Array.tabulate(dim)(i =>
+          if (i == 0) main else rnd.nextGaussian().toFloat * 1f),
+        0)
+    }
+    val (proj, explained) = Embeddings.pcaProject(embDf(rows), k = 2)
+    val out = proj.collect()
+    assert(out.length === 300)
+    // pc1 must carry far more variance than pc2, and most of the total
+    val pc1 = out.map(_.getSeq[Double](2).head)
+    val pc2 = out.map(_.getSeq[Double](2)(1))
+    def variance(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    assert(variance(pc1) > 20 * variance(pc2),
+      s"pc1 var ${variance(pc1)} not dominant over ${variance(pc2)}")
+    assert(explained > 0.85, s"explained=$explained")
+    // pc1 coordinate tracks the planted main component (|corr| > 0.99)
+    val main = out.map(r => r.getLong(0)).map(id => rowsMain(rows, id))
+    val corr = correlation(pc1, main)
+    assert(math.abs(corr) > 0.99, s"corr=$corr")
+  }
+
+  private def rowsMain(rows: Seq[(Long, Array[Float], Int)], id: Long): Double =
+    rows(id.toInt)._2(0).toDouble
+
+  private def correlation(a: Array[Double], b: Array[Double]): Double = {
+    val n = a.length
+    val ma = a.sum / n; val mb = b.sum / n
+    val cov = a.zip(b).map(p => (p._1 - ma) * (p._2 - mb)).sum
+    val sa = math.sqrt(a.map(x => (x - ma) * (x - ma)).sum)
+    val sb = math.sqrt(b.map(x => (x - mb) * (x - mb)).sum)
+    cov / (sa * sb)
+  }
+}
