@@ -76,7 +76,11 @@ object ScaleStress {
     "doc_lm_perplexity",
     // r9: semantic decontamination — the eval side is fixed-size, so
     // cost must track the corpus side's bucket-join volume (~linear)
-    "emb_decontaminate")
+    "emb_decontaminate",
+    // r9: BPE pair counts — expected flat-ish (the pair explosion is
+    // vocabulary-sized; replicas shuffle tokens, not characters, so the
+    // distinct-word set is constant as the corpus replicates)
+    "doc_bpe_pairs")
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
     * within-replica cosine structure are preserved; distinct reps are
@@ -175,7 +179,7 @@ object ScaleStress {
     // pseudo-names select extra gate blocks below without timing the
     // corresponding full-batch registry row; anything else unrecognized
     // is a typo — fail fast rather than silently drop the timing row
-    val pseudoNames = Set("ivf_recall")
+    val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale")
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
       s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")
@@ -305,6 +309,43 @@ object ScaleStress {
       timings("emb_dedup_lsh_tuned") = best
       System.err.println(
         f"[scale] emb_dedup_lsh_tuned (auto hashesPerTable=${graft.ext.Similarity.autoHashesPerTable(embS.count())}): $best%.2f s")
+    }
+
+    // k-means / PCA at scale: the registry rows (emb_kmeans,
+    // emb_covariance) run the sorted-fold ORACLE discipline, whose
+    // collect_list is cluster-sized — deliberately fixture-only. These
+    // pseudo-names time the production paths instead: plain-mean Lloyd
+    // (map-side-combinable update, codegen assign) and the one-pass
+    // treeAggregate covariance + Jacobi + broadcast projection.
+    if (names.contains("emb_kmeans_scale")) {
+      val embS = spark.read.parquet(s"$out/embeddings.parquet")
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 2) {
+        val t0 = System.nanoTime()
+        graft.ext.Embeddings.lloyd(embS, k = 8, iters = 2)
+          .write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        rep += 1
+      }
+      timings("emb_kmeans_scale") = best
+      System.err.println(f"[scale] emb_kmeans_scale (k=8, 2 sweeps, plain-mean): $best%.2f s")
+    }
+    if (names.contains("emb_pca_scale")) {
+      val embS = spark.read.parquet(s"$out/embeddings.parquet")
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 2) {
+        val t0 = System.nanoTime()
+        val (proj, _) = graft.ext.Embeddings.pcaProject(embS, k = 2)
+        proj.write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        rep += 1
+      }
+      timings("emb_pca_scale") = best
+      System.err.println(f"[scale] emb_pca_scale (one-pass cov + project): $best%.2f s")
     }
 
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

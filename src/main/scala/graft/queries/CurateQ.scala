@@ -376,6 +376,46 @@ object CurateQ {
           |GROUP BY o_orderpriority""".stripMargin)
     },
 
+    // TPC-H Q3 shape (shipping-priority): 3-table join with date
+    // predicates on BOTH join sides, aggregate, global top-10. The SQL
+    // surface proof for multi-join analytics: Catalyst broadcasts the
+    // filtered customer dim, both filters push to the parquet scans,
+    // and AQE picks the join order — nothing hand-scheduled. Total
+    // order (revenue DESC, l_orderkey) makes the LIMIT deterministic;
+    // revenue is decimal-exact so the boundary compare is too.
+    // (Fixture orders has no o_shippriority column — projected out.)
+    QueryDef(
+      "sql_tpch_q3",
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |       o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_orderkey,
+          |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+          |       o_orderdate
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 10""".stripMargin)
+    },
+
     // Null-preserving explode (explode_outer): rows with NULL or empty
     // arrays survive as one NULL-element row — the join-back-safe
     // flatten a pipeline needs when the array is optional. Oracle is

@@ -139,6 +139,33 @@ object ExtraQ {
         round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
     },
 
+    // Exact distinct counting via the Spark 4 bitmap function family:
+    // bucketed bitmaps (bitmap_bucket_number / bitmap_bit_position /
+    // bitmap_construct_agg) OR-folded per group. Unlike COUNT(DISTINCT)
+    // — whose expand/shuffle carries every raw value — both levels are
+    // map-side-combinable aggs over fixed-width 4 KB bitmap buffers, the
+    // shape that survives a 100 TB high-cardinality scan. The result is
+    // EXACT (bitmaps, not sketches), so it hash-matches the oracle's
+    // COUNT(DISTINCT) directly — no error-contract REQUIRE needed.
+    QueryDef(
+      "agg_bitmap_distinct",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part
+        |FROM lineitem WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+        |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_suppkey").isNotNull && col("l_partkey").isNotNull)
+      def bitmapDistinct(key: String, out: String) =
+        li.groupBy(col("l_returnflag"),
+            bitmap_bucket_number(col(key)).as("bkt"))
+          .agg(bitmap_construct_agg(bitmap_bit_position(col(key))).as("bm"))
+          .groupBy("l_returnflag")
+          .agg(sum(bitmap_count(col("bm"))).cast("long").as(out))
+      bitmapDistinct("l_suppkey", "n_supp")
+        .join(bitmapDistinct("l_partkey", "n_part"), Seq("l_returnflag"))
+    },
+
     // HyperLogLog SKETCH aggregate (Apache DataSketches, Spark 4
     // built-in): unlike approx_count_distinct, the sketch itself is a
     // first-class mergeable value — partial sketches union across
@@ -166,6 +193,41 @@ object ExtraQ {
           s"hll_sketch estimate out of bound for ${r.get(0)}: est=$est exact=$exact")
       }
       both.select(col("l_returnflag"), col("exact_nd"))
+    },
+
+    // approx_percentile twin (r9): the QUANTILE sketch (KLL-style
+    // bounded-memory rank estimation — the 100 TB path where exact
+    // percentile's per-group value buffer cannot fit). Same anchoring
+    // pattern as agg_hll_sketch: the approx value is implementation-
+    // defined, so the query REQUIREs the rank-error contract in-run —
+    // at accuracy 10000 the estimate's rank error is <= 1/10000, so the
+    // estimate must land inside the exact [q-0.01, q+0.01] quantile
+    // value band (100x slack) — and emits the EXACT interpolated
+    // percentiles, which the oracle hash-verifies on the round-6 grid.
+    QueryDef(
+      "agg_approx_pctl_twin",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.50) , 6) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.95) , 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val both = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("a95"),
+          expr("percentile(l_extendedprice, 0.49)").as("lo50"),
+          expr("percentile(l_extendedprice, 0.51)").as("hi50"),
+          expr("percentile(l_extendedprice, 0.94)").as("lo95"),
+          expr("percentile(l_extendedprice, 0.96)").as("hi95"))
+      both.collect().foreach { r =>
+        def d(c: String) = r.getAs[Number](c).doubleValue()
+        require(d("a50") >= d("lo50") && d("a50") <= d("hi50"),
+          s"approx p50 out of rank band for ${r.get(0)}: ${d("a50")} not in [${d("lo50")}, ${d("hi50")}]")
+        require(d("a95") >= d("lo95") && d("a95") <= d("hi95"),
+          s"approx p95 out of rank band for ${r.get(0)}: ${d("a95")} not in [${d("lo95")}, ${d("hi95")}]")
+      }
+      both.select(col("l_returnflag"), col("p50"), col("p95"))
     },
 
     // Count–min sketch (r9): the mergeable FREQUENCY sketch — bounded-

@@ -233,6 +233,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("k-means assign: broadcast centroids, min_by partial agg, no Window") {
+    // the assign stage runs n*k rows per sweep at corpus scale: the
+    // k-row centroid frame must broadcast (BroadcastNestedLoopJoin —
+    // it's a cross join by construction), the argmin must be the
+    // map-side-combinable min_by aggregate (each row's k candidates are
+    // adjacent, so the partial collapses them before any shuffle), and
+    // no Window/SinglePartition may appear anywhere
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf())
+    val df = graft.ext.Embeddings.lloyd(emb, k = 4, iters = 1)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast:\n${p.take(1500)}")
+    assert(p.contains("partial_min_by"),
+      s"argmin must partial-aggregate map-side:\n${p.take(1500)}")
+    assert(!p.contains("Window"), s"assign plans a Window:\n${p.take(1500)}")
+    assert(!p.contains("SinglePartition"),
+      s"assign plans a single-partition exchange:\n${p.take(1500)}")
+  }
+
+  test("bitmap distinct: both levels two-phase, no expand of raw values") {
+    // the bitmap shape exists to avoid COUNT(DISTINCT)'s Expand +
+    // value-bearing shuffle: both aggregation levels must plan partial
+    // ObjectHashAggregate/HashAggregate (fixed-width bitmap buffers
+    // combine map-side), and no Expand node may appear
+    val p = plan("agg_bitmap_distinct")
+    assert(!p.contains("Expand"),
+      s"bitmap path must not plan COUNT(DISTINCT)'s Expand:\n${p.take(1500)}")
+    assert(p.contains("partial_bitmap_construct_agg") ||
+      p.linesIterator.exists(l => l.contains("Aggregate") && l.contains("partial")),
+      s"expected map-side partial bitmap aggregate:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
