@@ -99,6 +99,60 @@ object Embeddings {
     lloydAssign(e, cents, codegen).select(col("vec_id"), col("cell"), col("d"))
   }
 
+  /** Product quantization (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split each vector into `m`
+    * contiguous subspaces, k-means each subspace independently (ksub
+    * centroids), encode every vector as m small codes. The compression
+    * that makes billion-vector ANN feasible — with m=8, ksub=16 a 64-dim
+    * float vector (256 B) becomes 8 nibbles.
+    *
+    * Scale shape: all m subspace k-means run in ONE frame keyed by
+    * (subspace, cell) — assign is a broadcast hash join on the m*ksub-row
+    * codebook + min_by partial agg per (vec_id, s); update is an
+    * (s, cell, dim)-key aggregation. Same no-Window, map-side-combinable
+    * discipline as `lloyd`. Returns (vec_id, codes array<int> ordered by
+    * subspace, recon_sq_err = total squared quantization error).
+    */
+  def pqEncode(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    require(m > 0 && ksub > 0 && iters >= 1)
+    val e = withV(emb)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val sv = e.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sub + 1, $sub))"))
+      .as(Seq("s", "sv")))
+    // deterministic seeds: the ksub lowest vec_ids seed every subspace
+    var cents = sv.filter(col("vec_id") < ksub)
+      .select(col("s"), col("vec_id").cast("int").as("cell"), col("sv").as("cv"))
+    def assign(c: DataFrame): DataFrame =
+      sv.join(broadcast(c), "s")
+        .withColumn("dd", expr("squared_l2(sv, cv)"))
+        .groupBy("vec_id", "s")
+        .agg(min_by(struct(col("cell"), col("dd"), col("sv")),
+          struct(col("dd"), col("cell"))).as("mm"))
+        .select(col("vec_id"), col("s"), col("mm.cell").as("cell"),
+          col("mm.dd").as("dd"), col("mm.sv").as("sv"))
+    var it = 0
+    while (it < iters) {
+      cents = assign(cents)
+        .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("dimi", "x")))
+        .groupBy("s", "cell", "dimi")
+        .agg((sum("x") / count(lit(1))).as("cm"))
+        .groupBy("s", "cell")
+        .agg(transform(array_sort(collect_list(struct(col("dimi"), col("cm")))),
+          p => p.getField("cm")).as("cv"))
+      it += 1
+    }
+    assign(cents).groupBy("vec_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("s"), col("cell")))),
+          p => p.getField("cell")).as("codes"),
+        sum("dd").as("recon_sq_err"))
+  }
+
   /** One-pass mean + covariance: treeAggregate of (n, sum_i, sum_ij upper
     * triangle) — d(d+1)/2 + d + 1 doubles per partition, no shuffle of
     * rows. Returns (n, mu[d], cov[d][d]) with the unbiased (n-1)

@@ -127,6 +127,19 @@ object ClusterQ {
           col("pc").getItem(0).as("pc1"), col("pc").getItem(1).as("pc2"),
           lit(explained).as("var_explained_2"))
         .orderBy("vec_id")
+    },
+
+    // Product quantization encode (m=8 subspaces, 16 centroids each, 2
+    // Lloyd sweeps): the vector-compression half of an IVF-PQ ANN index —
+    // 64 float dims become 8 nibble codes. No DuckDB oracle (the codebook
+    // is iteratively trained); monotone-distortion, determinism and
+    // planted-codebook recovery are REQUIREd in ClusterSpec. Codes are
+    // JSON-wrapped (driver comparator contract for array outputs).
+    QueryDef.noOracle("emb_pq_encode") { (s, d) =>
+      graft.ext.Embeddings.pqEncode(Tables.embeddings(s, d))
+        .select(col("vec_id"), to_json(col("codes")).as("codes_json"),
+          col("recon_sq_err"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -210,16 +210,18 @@ object ExtraQ {
         |       round(quantile_cont(l_extendedprice, 0.50) , 6) AS p50,
         |       round(quantile_cont(l_extendedprice, 0.95) , 6) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      // ONE buffering exact-percentile aggregate (array form) and ONE
+      // approx sketch pass — not 8 separate value-buffering aggs
       val both = Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
-          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("a95"),
-          expr("percentile(l_extendedprice, 0.49)").as("lo50"),
-          expr("percentile(l_extendedprice, 0.51)").as("hi50"),
-          expr("percentile(l_extendedprice, 0.94)").as("lo95"),
-          expr("percentile(l_extendedprice, 0.96)").as("hi95"))
+          expr("percentile(l_extendedprice, array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))").as("ex"),
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ap"))
+        .select(col("l_returnflag"),
+          round(col("ex").getItem(1), 6).as("p50"),
+          round(col("ex").getItem(4), 6).as("p95"),
+          col("ap").getItem(0).as("a50"), col("ap").getItem(1).as("a95"),
+          col("ex").getItem(0).as("lo50"), col("ex").getItem(2).as("hi50"),
+          col("ex").getItem(3).as("lo95"), col("ex").getItem(5).as("hi95"))
       both.collect().foreach { r =>
         def d(c: String) = r.getAs[Number](c).doubleValue()
         require(d("a50") >= d("lo50") && d("a50") <= d("hi50"),

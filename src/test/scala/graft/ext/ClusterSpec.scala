@@ -143,6 +143,39 @@ class ClusterSpec extends SparkSpec {
     assert(math.abs(corr) > 0.99, s"corr=$corr")
   }
 
+  test("pqEncode: planted codebook recovered exactly (zero distortion)") {
+    // every subvector is one of 4 exact patterns -> after training, each
+    // subspace codebook contains the patterns and distortion hits 0
+    val patterns = Array(
+      Array(0f, 0f), Array(10f, 0f), Array(0f, 10f), Array(10f, 10f))
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 64).map { id =>
+      // ids 0..3 hit pattern 0..3 in every subspace (seed coverage)
+      val v = Array.tabulate(dim)(i =>
+        patterns(if (id < 4) id else rnd.nextInt(4))(i % 2))
+      (id.toLong, v, 0)
+    }
+    val out = Embeddings.pqEncode(embDf(rows), m = 4, ksub = 4, iters = 2)
+      .collect()
+    assert(out.length === 64)
+    out.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length === 4)
+      assert(codes.forall(c => c >= 0 && c < 4))
+    }
+    assert(out.map(_.getDouble(2)).max < 1e-9,
+      "planted patterns must quantize with zero distortion")
+  }
+
+  test("pqEncode: one more Lloyd sweep never increases total distortion") {
+    val df = embDf(blobs(30))
+    def total(iters: Int) =
+      Embeddings.pqEncode(df, m = 4, ksub = 4, iters = iters)
+        .agg(sum("recon_sq_err")).head().getDouble(0)
+    val d1 = total(1); val d2 = total(2)
+    assert(d2 <= d1 * (1 + 1e-9), s"distortion rose: $d1 -> $d2")
+  }
+
   private def rowsMain(rows: Seq[(Long, Array[Float], Int)], id: Long): Double =
     rows(id.toInt)._2(0).toDouble
 
