@@ -179,7 +179,7 @@ object ScaleStress {
     // pseudo-names select extra gate blocks below without timing the
     // corresponding full-batch registry row; anything else unrecognized
     // is a typo — fail fast rather than silently drop the timing row
-    val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale")
+    val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale", "emb_pq_scale")
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
       s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")
@@ -331,6 +331,21 @@ object ScaleStress {
       }
       timings("emb_kmeans_scale") = best
       System.err.println(f"[scale] emb_kmeans_scale (k=8, 2 sweeps, plain-mean): $best%.2f s")
+    }
+    if (names.contains("emb_pq_scale")) {
+      val embS = spark.read.parquet(s"$out/embeddings.parquet")
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 2) {
+        val t0 = System.nanoTime()
+        graft.ext.Embeddings.pqEncode(embS)
+          .write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        rep += 1
+      }
+      timings("emb_pq_scale") = best
+      System.err.println(f"[scale] emb_pq_scale (m=8 ksub=16, 2 sweeps): $best%.2f s")
     }
     if (names.contains("emb_pca_scale")) {
       val embS = spark.read.parquet(s"$out/embeddings.parquet")
