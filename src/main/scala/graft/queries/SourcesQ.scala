@@ -84,6 +84,35 @@ object SourcesQ {
       graft.io.Sources.orc(s, path).filter(col("c_acctbal") > 1000)
     },
 
+    // binaryFile source (SURVEY §2.3 multimodal: "Parquet binaryFile
+    // source"): raw files scanned as (path, modificationTime, length,
+    // content) rows — the ingest path for image/audio payloads that
+    // don't arrive in parquet. Five fixture documents are materialized
+    // as .bin files and scanned back; the oracle recomputes length and
+    // md5 from the documents table, so content fidelity through the
+    // file round-trip is hash-verified.
+    QueryDef(
+      "src_binaryfile",
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len,
+        |       md5(text) AS payload_md5
+        |FROM documents WHERE doc_id < 5""".stripMargin) { (s, d) =>
+      val dir = new java.io.File(scratch(d, "docs_bin"))
+      if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
+      Tables.documents(s, d).filter(col("doc_id") < 5)
+        .select(col("doc_id"), col("text")).collect() // 5 rows, bounded
+        .foreach { r =>
+          java.nio.file.Files.write(
+            new java.io.File(dir, s"${r.getLong(0)}.bin").toPath,
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      s.read.format("binaryFile").load(dir.getAbsolutePath)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("payload_len"),
+          md5(col("content")).as("payload_md5"))
+    },
+
     // Partitioned parquet write + partition-pruned read: the layout that
     // carries 100 TB (pruning skips whole directories at the scan).
     QueryDef(
