@@ -115,29 +115,45 @@ object Embeddings {
     */
   def pqEncode(emb: DataFrame, m: Int = 8, ksub: Int = 16,
       iters: Int = 2): DataFrame = {
+    val (codebook, subLen) = pqTrain(emb, m, ksub, iters)
+    pqEncodeWith(emb, codebook, m, subLen)
+  }
+
+  /** Per-vector m subspace slices: (vec_id, s, sv). */
+  private def subVectors(e: DataFrame, m: Int, sub: Int): DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sub + 1, $sub))"))
+      .as(Seq("s", "sv")))
+
+  /** One subspace-k-means assignment round: nearest codebook entry per
+    * (vec_id, subspace) — broadcast hash join on the m*ksub-row codebook
+    * + min_by partial agg, same no-Window shape as [[lloydAssign]]. */
+  private def pqAssign(sv: DataFrame, c: DataFrame): DataFrame =
+    sv.join(broadcast(c), "s")
+      .withColumn("dd", expr("squared_l2(sv, cv)"))
+      .groupBy("vec_id", "s")
+      .agg(min_by(struct(col("cell"), col("dd"), col("sv")),
+        struct(col("dd"), col("cell"))).as("mm"))
+      .select(col("vec_id"), col("s"), col("mm.cell").as("cell"),
+        col("mm.dd").as("dd"), col("mm.sv").as("sv"))
+
+  /** Train the m-subspace PQ codebooks. Returns ((s, cell, cv) frame,
+    * subspace length). Deterministic seeds: the ksub lowest vec_ids seed
+    * every subspace. */
+  def pqTrain(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): (DataFrame, Int) = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     require(m > 0 && ksub > 0 && iters >= 1)
     val e = withV(emb)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val sv = e.select(col("vec_id"), posexplode(expr(
-      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sub + 1, $sub))"))
-      .as(Seq("s", "sv")))
-    // deterministic seeds: the ksub lowest vec_ids seed every subspace
+    val sv = subVectors(e, m, sub)
     var cents = sv.filter(col("vec_id") < ksub)
       .select(col("s"), col("vec_id").cast("int").as("cell"), col("sv").as("cv"))
-    def assign(c: DataFrame): DataFrame =
-      sv.join(broadcast(c), "s")
-        .withColumn("dd", expr("squared_l2(sv, cv)"))
-        .groupBy("vec_id", "s")
-        .agg(min_by(struct(col("cell"), col("dd"), col("sv")),
-          struct(col("dd"), col("cell"))).as("mm"))
-        .select(col("vec_id"), col("s"), col("mm.cell").as("cell"),
-          col("mm.dd").as("dd"), col("mm.sv").as("sv"))
     var it = 0
     while (it < iters) {
-      cents = assign(cents)
+      cents = pqAssign(sv, cents)
         .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("dimi", "x")))
         .groupBy("s", "cell", "dimi")
         .agg((sum("x") / count(lit(1))).as("cm"))
@@ -146,11 +162,125 @@ object Embeddings {
           p => p.getField("cm")).as("cv"))
       it += 1
     }
-    assign(cents).groupBy("vec_id")
+    (cents, sub)
+  }
+
+  /** Encode every vector against a trained codebook: (vec_id, codes
+    * ordered by subspace, recon_sq_err). */
+  def pqEncodeWith(emb: DataFrame, codebook: DataFrame, m: Int,
+      subLen: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    pqAssign(subVectors(withV(emb), m, subLen), codebook)
+      .groupBy("vec_id")
       .agg(
         transform(array_sort(collect_list(struct(col("s"), col("cell")))),
           p => p.getField("cell")).as("codes"),
         sum("dd").as("recon_sq_err"))
+  }
+
+  /** IVF-PQ approximate nearest neighbor (the billion-scale ANN index
+    * layout, Jégou et al. 2011): a coarse k-means quantizer routes each
+    * query to its nProbe nearest cells, and within those cells distances
+    * are computed over the PQ CODES via an asymmetric-distance lookup
+    * table (ADC) — O(m) adds per candidate instead of O(d) multiplies,
+    * with the corpus held as m small codes per vector (16-32x memory
+    * reduction; the property that lets the index live in RAM at 10^9
+    * vectors). This is the flat-codebook variant (codes quantize raw
+    * vectors); production IVF-PQ quantizes per-cell RESIDUALS for a
+    * tighter codebook — same plan shape, one more broadcast.
+    *
+    * Scale shape: centroids and codebook are driver/broadcast-bounded
+    * (nCells*d + m*ksub*subLen doubles); the corpus is touched by ONE
+    * codes scan filtered to probed cells via a broadcast hash join; the
+    * per-query LUT (m*ksub doubles) rides the same join row; top-k is
+    * the bounded-heap topk_by_score aggregate. No shuffle carries raw
+    * vectors. On structureless random fixtures PQ recall is information-
+    * theoretically capped (same analysis as the BRP note in SCALE.md);
+    * planted-cluster recall >= 0.9 is REQUIREd in ClusterSpec.
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, nCells: Int = 0, nProbe: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val n = emb.count()
+    val nc = math.min(if (nCells > 0) nCells else Similarity.autoNCells(n),
+      math.max(1, (n / 2).toInt))
+    val np = math.min(if (nProbe > 0) nProbe else Similarity.autoNProbe(nc), nc)
+    val e = withV(emb)
+
+    // coarse quantizer: one Lloyd sweep from deterministic seeds; the
+    // (cellId, centroid) pairs collect driver-side (nCells-bounded)
+    val seeds = e.filter(col("vec_id") < nc)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val coarse = lloydUpdate(lloydAssign(e, seeds), exact = false)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cellIds = coarse.map(_._1)
+    val cellVecs = coarse.map(_._2)
+    val sc = spark.sparkContext
+    val bcCells = sc.broadcast((cellIds, cellVecs))
+
+    def nearestCells(v: Seq[Double], howMany: Int): Array[Int] = {
+      val (ids, cs) = bcCells.value
+      val ds = Array.tabulate(cs.length) { c =>
+        var acc = 0.0; var i = 0
+        val ct = cs(c)
+        while (i < ct.length) { val t = v(i) - ct(i); acc += t * t; i += 1 }
+        (acc, ids(c))
+      }
+      ds.sortBy(p => (p._1, p._2)).take(howMany).map(_._2)
+    }
+    val assignU = udf { (v: Seq[Double]) => nearestCells(v, 1)(0) }
+    val probeU = udf { (v: Seq[Double]) => nearestCells(v, np) }
+
+    // corpus index: cell route + PQ codes (global codebook)
+    val (codebook, subLen) = pqTrain(emb, m, ksub, iters = 2)
+    val cbRows = codebook.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val bcCb = sc.broadcast(cbRows)
+    val indexed = e.select(col("vec_id").as("cid"), assignU(col("v")).as("cell"))
+      .join(pqEncodeWith(emb, codebook, m, subLen)
+        .select(col("vec_id").as("cid"), col("codes")), "cid")
+
+    // query side: probed cells + the ADC lookup table (m*ksub doubles),
+    // lut[s*ksub + c] = ||q_sub(s) - codebook(s)(c)||^2
+    val lutU = udf { (v: Seq[Double]) =>
+      val cb = bcCb.value
+      val lut = Array.fill(m * ksub)(Double.MaxValue)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ksub) {
+          cb.get((s, c)).foreach { ct =>
+            var acc = 0.0; var i = 0
+            while (i < ct.length) {
+              val t = v(s * subLen + i) - ct(i); acc += t * t; i += 1
+            }
+            lut(s * ksub + c) = acc
+          }
+          c += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    val adcU = udf { (codes: Seq[Int], lut: Seq[Double]) =>
+      var acc = 0.0; var s = 0
+      while (s < codes.length) { acc += lut(s * ksub + codes(s)); s += 1 }
+      acc
+    }
+    val qside = e.join(broadcast(queries.select(col("vec_id"))), "vec_id")
+      .select(col("vec_id").as("qid"),
+        explode(probeU(col("v"))).as("cell"), lutU(col("v")).as("lut"))
+
+    indexed.join(broadcast(qside), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adist", adcU(col("codes"), col("lut")))
+      .groupBy("qid")
+      .agg(expr(s"topk_by_score(-adist, cid, $k)").as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("cid"), (-col("t.score")).as("adist"))
   }
 
   /** One-pass mean + covariance: treeAggregate of (n, sum_i, sum_ij upper

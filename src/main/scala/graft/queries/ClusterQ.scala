@@ -140,6 +140,21 @@ object ClusterQ {
         .select(col("vec_id"), to_json(col("codes")).as("codes_json"),
           col("recon_sq_err"))
         .orderBy("vec_id")
+    },
+
+    // IVF-PQ approximate top-k (the billion-scale ANN index layout):
+    // coarse cells route each query, ADC over PQ codes scores the
+    // candidates — O(m) adds per candidate, corpus held as codes. No
+    // oracle (trained index); planted-cluster recall >= 0.9 and the
+    // brute-force cross-check live in ClusterSpec. On this random
+    // fixture PQ distances are information-theoretically coarse (see
+    // the SCALE.md un-prunable-regime note) — the row proves the
+    // plan shape, the spec proves the recall on clusterable data.
+    QueryDef.noOracle("ext_ivfpq_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Embeddings.ivfPqTopK(
+          emb, emb.filter(col("vec_id") < 5).select("vec_id"), k = 10)
+        .orderBy("qid", "adist", "cid")
     }
   )
 }

@@ -176,6 +176,38 @@ class ClusterSpec extends SparkSpec {
     assert(d2 <= d1 * (1 + 1e-9), s"distortion rose: $d1 -> $d2")
   }
 
+  test("ivfPqTopK: planted-cluster recall@10 >= 0.9 vs exact brute force") {
+    // 12 well-separated 64-dim blobs: cluster structure is what IVF
+    // routes on and what makes PQ codes informative
+    val d64 = 64
+    val rnd = new scala.util.Random(11)
+    val centers = Array.tabulate(12)(b =>
+      Array.tabulate(d64)(i => if (i % 12 == b) 20f else 0f))
+    val rows = (0 until 480).map { id =>
+      val c = centers(id % 12)
+      (id.toLong, Array.tabulate(d64)(i => c(i) + rnd.nextFloat()), id % 12)
+    }
+    val df = embDf(rows)
+    val queries = df.filter(col("vec_id") < 8).select("vec_id")
+    val approx = Embeddings.ivfPqTopK(df, queries, k = 10,
+        nCells = 12, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact squared-L2 top-10 per query, brute force on the driver
+    val all = rows.map { case (id, v, _) => (id, v.map(_.toDouble)) }
+    val exact = (0L until 8L).flatMap { q =>
+      val qv = all(q.toInt)._2
+      all.filter(_._1 != q)
+        .map { case (id, v) =>
+          var acc = 0.0; var i = 0
+          while (i < d64) { val t = qv(i) - v(i); acc += t * t; i += 1 }
+          (id, acc)
+        }
+        .sortBy(p => (p._2, p._1)).take(10).map(p => (q, p._1))
+    }.toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-PQ recall@10 = $recall on planted clusters")
+  }
+
   private def rowsMain(rows: Seq[(Long, Array[Float], Int)], id: Long): Double =
     rows(id.toInt)._2(0).toDouble
 
