@@ -143,9 +143,17 @@ object Embeddings {
   def pqTrain(emb: DataFrame, m: Int = 8, ksub: Int = 16,
       iters: Int = 2): (DataFrame, Int) = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    require(m > 0 && ksub > 0 && iters >= 1)
-    val e = withV(emb)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    pqTrainV(withV(emb), dim, m, ksub, iters)
+  }
+
+  /** [[pqTrain]] over a pre-projected (vec_id, v: array<double>) frame —
+    * the entry point that lets IVF-PQ train its codebook on per-cell
+    * RESIDUALS rather than raw vectors. */
+  private def pqTrainV(e: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int): (DataFrame, Int) = {
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    require(m > 0 && ksub > 0 && iters >= 1)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val sv = subVectors(e, m, sub)
@@ -168,9 +176,14 @@ object Embeddings {
   /** Encode every vector against a trained codebook: (vec_id, codes
     * ordered by subspace, recon_sq_err). */
   def pqEncodeWith(emb: DataFrame, codebook: DataFrame, m: Int,
+      subLen: Int): DataFrame =
+    pqEncodeWithV(withV(emb), codebook, m, subLen)
+
+  /** [[pqEncodeWith]] over a pre-projected (vec_id, v) frame. */
+  private def pqEncodeWithV(e: DataFrame, codebook: DataFrame, m: Int,
       subLen: Int): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    pqAssign(subVectors(withV(emb), m, subLen), codebook)
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    pqAssign(subVectors(e, m, subLen), codebook)
       .groupBy("vec_id")
       .agg(
         transform(array_sort(collect_list(struct(col("s"), col("cell")))),
@@ -185,21 +198,30 @@ object Embeddings {
     * table (ADC) — O(m) adds per candidate instead of O(d) multiplies,
     * with the corpus held as m small codes per vector (16-32x memory
     * reduction; the property that lets the index live in RAM at 10^9
-    * vectors). This is the flat-codebook variant (codes quantize raw
-    * vectors); production IVF-PQ quantizes per-cell RESIDUALS for a
-    * tighter codebook — same plan shape, one more broadcast.
+    * vectors). This is the RESIDUAL variant (IVFADC proper): codes
+    * quantize v - centroid(cell), so the codebook spends its bits on the
+    * within-cell geometry instead of re-describing the coarse centroids —
+    * the form every production IVF-PQ index uses. The price is that the
+    * ADC lookup table becomes per-(query, probed cell) instead of
+    * per-query: lut[s*ksub+c] = ||(q - centroid)_sub(s) - cb(s)(c)||^2.
+    *
+    * A final REFINE stage (the FAISS IndexRefineFlat pattern) re-ranks
+    * the ADC top (refine*k) shortlist with exact distances over the raw
+    * vectors: the shortlist (nQueries * refine * k ids) broadcasts, so
+    * the corpus contributes one more map-side scan and no shuffle of raw
+    * vectors. refine <= 0 disables it (pure ADC distances out).
     *
     * Scale shape: centroids and codebook are driver/broadcast-bounded
-    * (nCells*d + m*ksub*subLen doubles); the corpus is touched by ONE
-    * codes scan filtered to probed cells via a broadcast hash join; the
-    * per-query LUT (m*ksub doubles) rides the same join row; top-k is
-    * the bounded-heap topk_by_score aggregate. No shuffle carries raw
-    * vectors. On structureless random fixtures PQ recall is information-
-    * theoretically capped (same analysis as the BRP note in SCALE.md);
-    * planted-cluster recall >= 0.9 is REQUIREd in ClusterSpec.
+    * (nCells*d + m*ksub*subLen doubles); the corpus is touched by one
+    * codes scan filtered to probed cells via a broadcast hash join plus
+    * one refine scan; the per-(query,cell) LUT (m*ksub doubles) rides the
+    * probe join row; both top-k passes are the bounded-heap topk_by_score
+    * aggregate. No shuffle carries raw vectors. Planted-cluster
+    * recall@10 >= 0.9 vs brute force is REQUIREd in ClusterSpec.
     */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, nCells: Int = 0, nProbe: Int = 0): DataFrame = {
+      m: Int = 8, ksub: Int = 16, nCells: Int = 0, nProbe: Int = 0,
+      refine: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val n = emb.count()
@@ -207,6 +229,7 @@ object Embeddings {
       math.max(1, (n / 2).toInt))
     val np = math.min(if (nProbe > 0) nProbe else Similarity.autoNProbe(nc), nc)
     val e = withV(emb)
+    val dim = e.select(size(col("v"))).head().getInt(0)
 
     // coarse quantizer: one Lloyd sweep from deterministic seeds; the
     // (cellId, centroid) pairs collect driver-side (nCells-bounded)
@@ -219,6 +242,7 @@ object Embeddings {
     val cellVecs = coarse.map(_._2)
     val sc = spark.sparkContext
     val bcCells = sc.broadcast((cellIds, cellVecs))
+    val bcCent = sc.broadcast(coarse.toMap)
 
     def nearestCells(v: Seq[Double], howMany: Int): Array[Int] = {
       val (ids, cs) = bcCells.value
@@ -233,29 +257,41 @@ object Embeddings {
     val assignU = udf { (v: Seq[Double]) => nearestCells(v, 1)(0) }
     val probeU = udf { (v: Seq[Double]) => nearestCells(v, np) }
 
-    // corpus index: cell route + PQ codes (global codebook)
-    val (codebook, subLen) = pqTrain(emb, m, ksub, iters = 2)
+    // corpus route + per-cell residuals (broadcast join on the nc-row
+    // centroid frame — zip_with stays codegen-friendly, no udf here)
+    val centDf = spark.createDataFrame(
+      coarse.toSeq.map { case (id, arr) => (id, arr.toSeq) }).toDF("cell", "cv")
+    val routed = e.select(col("vec_id"), col("v"), assignU(col("v")).as("cell"))
+    val resid = routed.join(broadcast(centDf), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
+
+    // residual PQ codebook + codes (IVFADC: bits spent within-cell)
+    val (codebook, subLen) =
+      pqTrainV(resid.select("vec_id", "v"), dim, m, ksub, iters = 2)
     val cbRows = codebook.collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       .toMap
     val bcCb = sc.broadcast(cbRows)
-    val indexed = e.select(col("vec_id").as("cid"), assignU(col("v")).as("cell"))
-      .join(pqEncodeWith(emb, codebook, m, subLen)
+    val indexed = resid.select(col("vec_id").as("cid"), col("cell"))
+      .join(pqEncodeWithV(resid.select("vec_id", "v"), codebook, m, subLen)
         .select(col("vec_id").as("cid"), col("codes")), "cid")
 
-    // query side: probed cells + the ADC lookup table (m*ksub doubles),
-    // lut[s*ksub + c] = ||q_sub(s) - codebook(s)(c)||^2
-    val lutU = udf { (v: Seq[Double]) =>
+    // query side: one row per (query, probed cell) carrying the residual
+    // ADC lookup table for THAT cell (m*ksub doubles)
+    val lutU = udf { (v: Seq[Double], cell: Int) =>
       val cb = bcCb.value
+      val ct = bcCent.value(cell)
       val lut = Array.fill(m * ksub)(Double.MaxValue)
       var s = 0
       while (s < m) {
         var c = 0
         while (c < ksub) {
-          cb.get((s, c)).foreach { ct =>
+          cb.get((s, c)).foreach { cw =>
             var acc = 0.0; var i = 0
-            while (i < ct.length) {
-              val t = v(s * subLen + i) - ct(i); acc += t * t; i += 1
+            while (i < cw.length) {
+              val j = s * subLen + i
+              val t = (v(j) - ct(j)) - cw(i); acc += t * t; i += 1
             }
             lut(s * ksub + c) = acc
           }
@@ -270,17 +306,34 @@ object Embeddings {
       while (s < codes.length) { acc += lut(s * ksub + codes(s)); s += 1 }
       acc
     }
-    val qside = e.join(broadcast(queries.select(col("vec_id"))), "vec_id")
-      .select(col("vec_id").as("qid"),
-        explode(probeU(col("v"))).as("cell"), lutU(col("v")).as("lut"))
+    val qraw = e.join(broadcast(queries.select(col("vec_id"))), "vec_id")
+    val qside = qraw
+      .select(col("vec_id").as("qid"), col("v"),
+        explode(probeU(col("v"))).as("cell"))
+      .select(col("qid"), col("cell"), lutU(col("v"), col("cell")).as("lut"))
 
-    indexed.join(broadcast(qside), "cell")
+    val rTake = if (refine > 0) refine * k else k
+    val shortlist = indexed.join(broadcast(qside), "cell")
       .filter(col("qid") =!= col("cid"))
       .withColumn("adist", adcU(col("codes"), col("lut")))
       .groupBy("qid")
-      .agg(expr(s"topk_by_score(-adist, cid, $k)").as("top"))
+      .agg(expr(s"topk_by_score(-adist, cid, $rTake)").as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.id").as("cid"), (-col("t.score")).as("adist"))
+    if (refine <= 0) shortlist
+    else {
+      // exact re-rank of the bounded shortlist: raw vectors touched only
+      // for shortlist ids, via broadcast joins — one map-side corpus scan
+      val qv = qraw.select(col("vec_id").as("qid"), col("v").as("qv"))
+      e.select(col("vec_id").as("cid"), col("v").as("cv2"))
+        .join(broadcast(shortlist.select("qid", "cid")), "cid")
+        .join(broadcast(qv), "qid")
+        .withColumn("adist", expr("squared_l2(qv, cv2)"))
+        .groupBy("qid")
+        .agg(expr(s"topk_by_score(-adist, cid, $k)").as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("cid"), (-col("t.score")).as("adist"))
+    }
   }
 
   /** One-pass mean + covariance: treeAggregate of (n, sum_i, sum_ij upper

@@ -142,14 +142,13 @@ object ClusterQ {
         .orderBy("vec_id")
     },
 
-    // IVF-PQ approximate top-k (the billion-scale ANN index layout):
-    // coarse cells route each query, ADC over PQ codes scores the
-    // candidates — O(m) adds per candidate, corpus held as codes. No
-    // oracle (trained index); planted-cluster recall >= 0.9 and the
-    // brute-force cross-check live in ClusterSpec. On this random
-    // fixture PQ distances are information-theoretically coarse (see
-    // the SCALE.md un-prunable-regime note) — the row proves the
-    // plan shape, the spec proves the recall on clusterable data.
+    // IVF-PQ approximate top-k (the billion-scale ANN index layout,
+    // IVFADC form): coarse cells route each query, ADC over RESIDUAL PQ
+    // codes scores candidates — O(m) adds per candidate, corpus held as
+    // codes — then an exact re-rank of the broadcast-bounded shortlist
+    // (refine*k ids/query, FAISS IndexRefineFlat pattern) emits true
+    // distances. No oracle (trained index); planted-cluster recall@10
+    // >= 0.9 vs brute force is REQUIREd in ClusterSpec.
     QueryDef.noOracle("ext_ivfpq_topk") { (s, d) =>
       val emb = Tables.embeddings(s, d)
       graft.ext.Embeddings.ivfPqTopK(
