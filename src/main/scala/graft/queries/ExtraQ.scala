@@ -702,6 +702,34 @@ object ExtraQ {
           feats.filter(col("width") === 16 && col("height") === 16)
             .select("doc_id", "phash"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Equi-width histogram (data profiling): data-driven [min, max]
+    // bounds, 20 buckets, top bucket closed. Bounds ride a broadcast
+    // cross join (1-row frame — no driver collect); bucketing is a
+    // map-only floor; counts/sums are one map-side-combinable agg. The
+    // bucket expression is pointwise IEEE so both engines bin
+    // identically; sums on the decimal grid (Det.dsum2 discipline).
+    QueryDef(
+      "agg_histogram_equi",
+      """WITH b AS (SELECT o_totalprice AS x FROM orders),
+        |bounds AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM b),
+        |bk AS (SELECT LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / CAST(20 AS DOUBLE))) AS BIGINT), 19) AS bucket, x
+        |       FROM b, bounds)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sum_x
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      import graft.Det
+      val b = Tables.orders(s, d).select(col("o_totalprice").as("x"))
+      val bounds = b.agg(min("x").as("lo"), max("x").as("hi"))
+      b.crossJoin(broadcast(bounds))
+        .select(least(
+            floor((col("x") - col("lo")) /
+              ((col("hi") - col("lo")) / lit(20.0))).cast("bigint"),
+            lit(19L)).as("bucket"), col("x"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), Det.dsum2(col("x")).as("sum_x"))
+        .orderBy("bucket")
     }
   )
 }

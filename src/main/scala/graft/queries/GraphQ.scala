@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graph-shaped curation operators: link centrality (the web-corpus
+  * quality prior) and blocked fuzzy entity linkage (the record-dedup
+  * step upstream of every entity table a pipeline joins against).
+  * Both oracle-paired: PageRank via unrolled decimal-exact iterations,
+  * linkage via DuckDB's levenshtein (cross-engine identical — proven by
+  * fn_levenshtein since r8).
+  */
+object GraphQ {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // PageRank over the customer-supplier trade graph (distinct pairs
+    // from orders |><| lineitem, both directions, so no dangling mass).
+    // 3 damped sweeps, each: edges equi-join node-sized ranks + one
+    // map-side-combinable dst aggregation. Contributions quantize to
+    // integer 1e-15 units (floor) before the exact decimal sum —
+    // bit-stable across engines and partition counts (see Graph.pageRank
+    // scaladoc). The oracle unrolls the 3 iterations as CTEs. Node ids:
+    // customer 2c, supplier 2s+1.
+    QueryDef(
+      "ext_pagerank",
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (
+        |  SELECT 2*c AS src, 2*s+1 AS dst FROM pairs
+        |  UNION ALL SELECT 2*s+1 AS src, 2*c AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS r FROM deg),
+        |i1 AS (SELECT e.dst AS id,
+        |         CAST(0.15 AS DOUBLE)/(SELECT n FROM nn)
+        |           + CAST(0.85 AS DOUBLE) * (CAST(SUM(CAST(FLOOR((r.r/d.outdeg) * 1e15) AS DECIMAL(38,0))) AS DOUBLE) / 1e15) AS r
+        |       FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |i2 AS (SELECT e.dst AS id,
+        |         CAST(0.15 AS DOUBLE)/(SELECT n FROM nn)
+        |           + CAST(0.85 AS DOUBLE) * (CAST(SUM(CAST(FLOOR((r.r/d.outdeg) * 1e15) AS DECIMAL(38,0))) AS DOUBLE) / 1e15) AS r
+        |       FROM edges e JOIN i1 r ON r.id = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst),
+        |i3 AS (SELECT e.dst AS id,
+        |         CAST(0.15 AS DOUBLE)/(SELECT n FROM nn)
+        |           + CAST(0.85 AS DOUBLE) * (CAST(SUM(CAST(FLOOR((r.r/d.outdeg) * 1e15) AS DECIMAL(38,0))) AS DOUBLE) / 1e15) AS r
+        |       FROM edges e JOIN i2 r ON r.id = e.src JOIN deg d ON d.src = e.src
+        |       GROUP BY e.dst)
+        |SELECT id AS node_id, r AS pr FROM i3 ORDER BY node_id""".stripMargin) { (s, d) =>
+      val pairs = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val edges = pairs
+        .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+        .unionAll(pairs
+          .select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      graft.ext.Graph.pageRank(edges, iters = 3)
+        .select(col("id").as("node_id"), col("r").as("pr"))
+        .orderBy("node_id")
+    },
+
+    // Blocked fuzzy entity linkage (record dedup): candidate pairs only
+    // within a blocking key (p_brand) plus a length band — the standard
+    // ER trick that keeps the pair space at sum(block^2), never n^2 —
+    // then levenshtein <= 3 match and single-hop min-id canonicalization
+    // (the full transitive closure is the CC machinery the LSH-dedup
+    // family already proves; one hop keeps the op oracle-expressible).
+    // At cluster scale the blocking key is the shuffle key; each block's
+    // pair space is generated within its partition.
+    QueryDef(
+      "ext_entity_linkage",
+      """WITH cand AS (
+        |  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand
+        |   AND a.p_partkey < b.p_partkey
+        |   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |   AND levenshtein(a.p_name, b.p_name) <= 3),
+        |links AS (
+        |  SELECT pa AS p, pb AS q FROM cand
+        |  UNION ALL SELECT pb AS p, pa AS q FROM cand
+        |  UNION ALL SELECT p_partkey AS p, p_partkey AS q FROM part),
+        |grp AS (SELECT p, MIN(q) AS canon_id,
+        |               CAST(COUNT(*) - 1 AS BIGINT) AS n_links
+        |        FROM links GROUP BY p)
+        |SELECT p AS p_partkey, canon_id, n_links
+        |FROM grp ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      val a = part.select(col("p_partkey").as("pa"),
+        col("p_brand").as("ba"), col("p_name").as("na"))
+      val b = part.select(col("p_partkey").as("pb"),
+        col("p_brand").as("bb"), col("p_name").as("nb"))
+      val cand = a.join(b,
+        col("ba") === col("bb") && col("pa") < col("pb") &&
+          abs(length(col("na")) - length(col("nb"))) <= 2 &&
+          levenshtein(col("na"), col("nb")) <= 3)
+        .select("pa", "pb")
+      val links = cand.select(col("pa").as("p"), col("pb").as("q"))
+        .unionAll(cand.select(col("pb").as("p"), col("pa").as("q")))
+        .unionAll(part.select(col("p_partkey").as("p"),
+          col("p_partkey").as("q")))
+      links.groupBy("p")
+        .agg(min("q").as("canon_id"),
+          (count(lit(1)) - 1).cast("bigint").as("n_links"))
+        .select(col("p").as("p_partkey"), col("canon_id"), col("n_links"))
+        .orderBy("p_partkey")
+    }
+  )
+}

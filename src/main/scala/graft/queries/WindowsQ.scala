@@ -293,6 +293,88 @@ object WindowsQ {
       Tables.events(s, d).select(
         col("user_id"), col("event_id"),
         sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("run_value"))
+    },
+
+    // EWMA (alpha = 0.3, seeded at the first observation) — the classic
+    // time-series smoothing feature. A sequential recurrence, so it
+    // cannot ride a plain SQL window; both engines run the IDENTICAL
+    // IEEE op sequence: sort the per-key series once, then fold
+    // 0.3*x + 0.7*acc left-to-right. Spark side is a compiled O(n) scan
+    // per key (one groupBy shuffle, series bounded per key — same
+    // per-key-list contract as agg_listagg); the oracle re-derives each
+    // prefix with DuckDB's list_reduce (same fold order => bit-equal).
+    QueryDef(
+      "win_ewma",
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |            FROM events WHERE value IS NOT NULL),
+        |rn AS (SELECT user_id, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |       FROM ev),
+        |ls AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        |       FROM ev GROUP BY user_id)
+        |SELECT r.user_id AS user_id, r.event_id AS event_id,
+        |       list_reduce(l.vals[1:r.rn],
+        |         (acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc) AS ewma
+        |FROM rn r JOIN ls l ON l.user_id = r.user_id
+        |ORDER BY r.user_id, r.event_id""".stripMargin) { (s, d) =>
+      val scan = udf { (vals: Seq[Double]) =>
+        val out = new Array[Double](vals.length)
+        var acc = 0.0
+        var i = 0
+        while (i < vals.length) {
+          acc = if (i == 0) vals(0) else 0.3 * vals(i) + 0.7 * acc
+          out(i) = acc
+          i += 1
+        }
+        out
+      }
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("xs"))
+        .select(col("user_id"),
+          expr("transform(xs, e -> e.event_id)").as("ids"),
+          scan(expr("transform(xs, e -> e.value)")).as("ew"))
+        .select(col("user_id"),
+          posexplode(arrays_zip(col("ids"), col("ew"))).as(Seq("i", "z")))
+        .select(col("user_id"), col("z.ids").as("event_id"),
+          col("z.ew").as("ewma"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // SCD2 interval build from a change stream: compress consecutive
+    // same-value runs per key (the lag != current filter), then validity
+    // intervals [valid_from, valid_to) via lead; open interval = current
+    // row. The standard CDC -> dimension-table recipe; two windows on
+    // the SAME (user_id | ts, event_id) partitioning, so one shuffle
+    // serves both.
+    QueryDef(
+      "win_scd2_intervals",
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |              CAST(ts AS TIMESTAMP) AS ts,
+        |              LAG(event_type) OVER (PARTITION BY user_id
+        |                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |            FROM events),
+        |chg AS (SELECT user_id, event_id, event_type, ts FROM ev
+        |        WHERE prev_type IS NULL OR prev_type <> event_type),
+        |iv AS (SELECT user_id, event_id, event_type, ts AS valid_from,
+        |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |       FROM chg)
+        |SELECT user_id, event_id, event_type, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM iv ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val chg = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      chg.select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w2).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "valid_from", "event_id")
     }
   )
 }
