@@ -179,7 +179,8 @@ object ScaleStress {
     // pseudo-names select extra gate blocks below without timing the
     // corresponding full-batch registry row; anything else unrecognized
     // is a typo — fail fast rather than silently drop the timing row
-    val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale", "emb_pq_scale")
+    val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale",
+      "emb_pq_scale", "emb_ivfpq_scale", "graph_pagerank_scale")
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
       s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")
@@ -361,6 +362,79 @@ object ScaleStress {
       }
       timings("emb_pca_scale") = best
       System.err.println(f"[scale] emb_pca_scale (one-pass cov + project): $best%.2f s")
+    }
+
+    // IVF-PQ (r10): cost of the full residual-code + ADC + refine path
+    // on a 50-query batch at auto coarse knobs, PLUS the recall gate vs
+    // exact brute force — the refine re-rank must hold recall@10 even
+    // as the corpus densifies (shortlist covers more near-ties).
+    if (names.contains("emb_ivfpq_scale")) {
+      val embS = spark.read.parquet(s"$out/embeddings.parquet")
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val qids = embS.select("vec_id").orderBy("vec_id").limit(50)
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 2) {
+        val t0 = System.nanoTime()
+        graft.ext.Embeddings.ivfPqTopK(embS, qids, k = 10)
+          .write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        rep += 1
+      }
+      timings("emb_ivfpq_scale") = best
+      // recall vs exact squared-L2 top-10 over the same 50 queries
+      val qside = embS.join(broadcast(qids), "vec_id")
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => x.cast("double")).as("qe"))
+      val corpus = embS.select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+      val exact = broadcast(qside).join(corpus, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), expr("squared_l2(qe, ce)").as("dd"))
+        .groupBy("qid").agg(expr("topk_by_score(-dd, cid, 10)").as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = graft.ext.Embeddings.ivfPqTopK(embS, qids, k = 10)
+        .select("qid", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+      val recall = (approx & exact).size.toDouble / math.max(exact.size, 1)
+      timings("emb_ivfpq_scale_recall") = recall
+      System.err.println(
+        f"[scale] emb_ivfpq_scale: $best%.2f s, recall@10 vs exact: $recall%.3f")
+    }
+
+    // PageRank (r10): the fixture has no link tables, so synthesize a
+    // hash-derived edge list ∝ factor (n = 20k·factor nodes, 6 directed
+    // edges per node incl. a back-edge so no dangling mass) and time 3
+    // sweeps of the production loop. Pure cost curve — correctness is
+    // the oracle row + GraphSpec.
+    if (names.contains("graph_pagerank_scale")) {
+      val n = 20000L * factor
+      val base = spark.range(n).select(col("id"))
+      val edges = base.select(explode(array(
+          struct(col("id").as("src"), pmod(xxhash64(col("id"), lit(1)), lit(n)).as("dst")),
+          struct(col("id").as("src"), pmod(xxhash64(col("id"), lit(2)), lit(n)).as("dst")),
+          struct(col("id").as("src"), ((col("id") + 1) % n).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val sym = edges.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 2) {
+        val t0 = System.nanoTime()
+        graft.ext.Graph.pageRank(sym, iters = 3)
+          .write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        rep += 1
+      }
+      timings("graph_pagerank_scale") = best
+      System.err.println(
+        f"[scale] graph_pagerank_scale (${n * 6} directed edges, 3 sweeps): $best%.2f s")
     }
 
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -35,7 +35,12 @@ object Graph {
     // IEEE 1.0 - 0.85 = 0.15000000000000002 != the double literal 0.15
     // the oracle SQL carries, and the hash gate sees every ulp.
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // The edge list is scanned iters+1 times; materialize it once
+    // (upstream joins/distincts would otherwise re-execute per sweep).
+    // At cluster scale this is persist-to-memory-and-disk of the edge
+    // relation — the standard iterative-graph discipline.
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val n = deg.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     var ranks = deg.select(col("src").as("id"),
@@ -48,7 +53,7 @@ object Graph {
       // engines disagree on at the last decimal digit), and the decimal
       // sum is exact and order-independent. Per-dst mass <= 1, so the
       // unit sum stays < 2^53 and converts back to double exactly.
-      ranks = edges
+      ranks = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
         .select(col("dst"),
@@ -59,6 +64,9 @@ object Graph {
           (lit(teleport / n) +
             lit(damping) * (col("su") / lit(1.0e15))).as("r"))
       it += 1
+      // bound lineage/plan depth on long runs (analyzed-tree growth is
+      // multiplicative per sweep — same lesson as CorpusBuild r9)
+      if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

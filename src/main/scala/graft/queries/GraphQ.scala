@@ -107,6 +107,50 @@ object GraphQ {
           (count(lit(1)) - 1).cast("bigint").as("n_links"))
         .select(col("p").as("p_partkey"), col("canon_id"), col("n_links"))
         .orderBy("p_partkey")
+    },
+
+    // Full entity RESOLUTION: transitive closure of the fuzzy-match
+    // graph via the battle-tested min-label-propagation CC (the same
+    // operator every LSH-dedup row rides, ext/Dedup.scala:170 — here
+    // exposed as its own oracle row for the first time: DuckDB's
+    // recursive CTE computes the true closure, so the iterate-to-
+    // convergence Spark loop is hash-checked against an exact fixpoint,
+    // not just spec fixtures). Non-matched parts are their own
+    // singleton component.
+    QueryDef(
+      "ext_entity_components",
+      """WITH RECURSIVE cand AS (
+        |  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand
+        |   AND a.p_partkey < b.p_partkey
+        |   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |   AND levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS (SELECT pa AS a, pb AS b FROM cand
+        |          UNION ALL SELECT pb AS a, pa AS b FROM cand),
+        |reach AS (
+        |  SELECT p_partkey AS node, p_partkey AS lab FROM part
+        |  UNION
+        |  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node)
+        |SELECT node AS p_partkey, MIN(lab) AS component
+        |FROM reach GROUP BY node ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      val a = part.select(col("p_partkey").as("pa"),
+        col("p_brand").as("ba"), col("p_name").as("na"))
+      val b = part.select(col("p_partkey").as("pb"),
+        col("p_brand").as("bb"), col("p_name").as("nb"))
+      val edges = a.join(b,
+        col("ba") === col("bb") && col("pa") < col("pb") &&
+          abs(length(col("na")) - length(col("nb"))) <= 2 &&
+          levenshtein(col("na"), col("nb")) <= 3)
+        .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
+      val comp = graft.ext.Dedup.connectedComponents(edges)
+        .withColumnRenamed("node", "p_partkey")
+      part.select(col("p_partkey"))
+        .join(comp, Seq("p_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("component"), col("p_partkey")).as("component"))
+        .orderBy("p_partkey")
     }
   )
 }
