@@ -25,7 +25,8 @@ object SparkEntry {
       _root_.graft.queries.ExtraQ.all ++
       _root_.graft.queries.CurateQ.all ++
       _root_.graft.queries.ClusterQ.all ++
-      _root_.graft.queries.GraphQ.all
+      _root_.graft.queries.GraphQ.all ++
+      _root_.graft.queries.ProfileQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-join + agg — exercises scan, broadcast join, partial agg. */

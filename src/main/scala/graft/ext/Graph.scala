@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -69,5 +70,45 @@ object Graph {
       if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint()
     }
     ranks
+  }
+
+  /** `iters` SYNCHRONOUS label-propagation sweeps (community detection —
+    * the cluster-the-near-dup-groups / topic-blocking step, Raghavan et
+    * al. 2007 in deterministic form): each sweep every node adopts the
+    * most frequent label among its in-neighbors, ties broken by the
+    * SMALLEST label, nodes with no neighbors keep their label. Fixed
+    * sweep count + deterministic tie-break makes the result well-defined
+    * (plain LPA is run-order-dependent; sync + min-tiebreak is the
+    * reproducible variant, at the cost of possible 2-cycles on bipartite
+    * cores — callers pick small `iters`).
+    *
+    * Inputs: `nodes` (node: bigint) — every vertex, isolated ones
+    * included; `edges` (a, b) directed — undirected callers emit both
+    * directions. One sweep = one map-side-combinable (dst,label) count
+    * + a window over node-sized vote groups + a node-sized left join:
+    * all shuffles keyed by node id, edge list scanned once per sweep.
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val e = edges.localCheckpoint()
+    var labs = nodes.select(col("node"), col("node").cast("long").as("lab"))
+    var it = 0
+    while (it < iters) {
+      val votes = e
+        .join(labs.withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("b").orderBy(col("cnt").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select(col("b").as("node"), col("lab").as("wlab"))
+      labs = labs.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("wlab"), col("lab")).as("lab"))
+      it += 1
+      if (it % 4 == 0 && it < iters) labs = labs.localCheckpoint()
+    }
+    labs
   }
 }

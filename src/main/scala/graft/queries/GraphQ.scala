@@ -151,6 +151,66 @@ object GraphQ {
         .select(col("p_partkey"),
           coalesce(col("component"), col("p_partkey")).as("component"))
         .orderBy("p_partkey")
+    },
+
+    // Community detection by deterministic synchronous label propagation
+    // (2 sweeps, majority label among neighbors, min-label tie-break,
+    // isolated nodes keep their own id). Communities are FINER than
+    // ext_entity_components' reachability classes — LPA splits weakly
+    // joined blobs that CC merges, which is the blocking granularity
+    // near-dup clustering actually wants. The oracle unrolls the two
+    // sweeps as CTEs; Spark runs the same sweeps via Graph
+    // .labelPropagation (shuffles keyed by node id only, edge list
+    // scanned once per sweep — see its scaladoc for the 100 TB shape).
+    QueryDef(
+      "ext_label_prop",
+      """WITH cand AS (
+        |  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand
+        |   AND a.p_partkey < b.p_partkey
+        |   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |   AND levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS (SELECT pa AS a, pb AS b FROM cand
+        |          UNION ALL SELECT pb AS a, pa AS b FROM cand),
+        |l0 AS (SELECT p_partkey AS node, p_partkey AS lab FROM part),
+        |v1 AS (SELECT e.b AS node, r.lab, COUNT(*) AS cnt
+        |       FROM edges e JOIN l0 r ON r.node = e.a GROUP BY e.b, r.lab),
+        |w1 AS (SELECT node, lab,
+        |              ROW_NUMBER() OVER (PARTITION BY node
+        |                                 ORDER BY cnt DESC, lab) AS rn
+        |       FROM v1),
+        |l1 AS (SELECT n.node, COALESCE(w.lab, n.lab) AS lab
+        |       FROM l0 n LEFT JOIN (SELECT node, lab FROM w1 WHERE rn = 1) w
+        |         ON w.node = n.node),
+        |v2 AS (SELECT e.b AS node, r.lab, COUNT(*) AS cnt
+        |       FROM edges e JOIN l1 r ON r.node = e.a GROUP BY e.b, r.lab),
+        |w2 AS (SELECT node, lab,
+        |              ROW_NUMBER() OVER (PARTITION BY node
+        |                                 ORDER BY cnt DESC, lab) AS rn
+        |       FROM v2),
+        |l2 AS (SELECT n.node, COALESCE(w.lab, n.lab) AS lab
+        |       FROM l1 n LEFT JOIN (SELECT node, lab FROM w2 WHERE rn = 1) w
+        |         ON w.node = n.node)
+        |SELECT node AS p_partkey, lab AS community
+        |FROM l2 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      val a = part.select(col("p_partkey").as("pa"),
+        col("p_brand").as("ba"), col("p_name").as("na"))
+      val b = part.select(col("p_partkey").as("pb"),
+        col("p_brand").as("bb"), col("p_name").as("nb"))
+      val cand = a.join(b,
+        col("ba") === col("bb") && col("pa") < col("pb") &&
+          abs(length(col("na")) - length(col("nb"))) <= 2 &&
+          levenshtein(col("na"), col("nb")) <= 3)
+        .select("pa", "pb")
+      val edges = cand.select(col("pa").as("a"), col("pb").as("b"))
+        .unionAll(cand.select(col("pb").as("a"), col("pa").as("b")))
+      graft.ext.Graph
+        .labelPropagation(part.select(col("p_partkey").as("node")), edges,
+          iters = 2)
+        .select(col("node").as("p_partkey"), col("lab").as("community"))
+        .orderBy("p_partkey")
     }
   )
 }

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-profiling + robust-statistics operators (round 9).
+  *
+  * A 100 TB ingest pipeline's first job against a new drop is a PROFILE
+  * (per-column null/distinct/range report) and its monitoring loop is
+  * robust outlier detection (median/MAD, not mean/stddev — crawl metrics
+  * are heavy-tailed). Both are declared here as oracle-paired operators:
+  *
+  *   - `profile_columns` derives its aggregate list from the SCHEMA at
+  *     plan time (works on any table) and computes the whole report in
+  *     ONE scan: a single multi-aggregate pass, then a `stack` unpivot
+  *     of the one result row. No per-column scans, no collect.
+  *   - `doc_source_quota` is the per-source token-budget cap (each
+  *     source capped at a token quota, best-first) — the group-local
+  *     sibling of `doc_token_budget_head`'s global budget. A plain
+  *     window partitioned by `source` shuffles once on the natural key;
+  *     at 100 TB the source cardinality grows with the corpus so no
+  *     partition collapses (contrast the GLOBAL budget, which needs the
+  *     GlobalRank two-pass because it has no partition key at all).
+  *   - `evt_anomaly_mad` flags |x − median| > 3·1.4826·MAD per event
+  *     type. Discrete percentiles (`percentile_disc` ↔ `quantile_disc`)
+  *     on BOTH engines return actual data elements — sidestepping the
+  *     interpolated-double hash seam documented at Core.agg_median_
+  *     quantity. Two aggregate passes + one broadcast join of the
+  *     3-row stats table; never a per-row sort.
+  *
+  * Reference precedent: samsa exposes no profiling surface (the callback
+  * owns all computation, samsa/kafka/storage.py:237); these are the
+  * engine-side operators a corpus team needs on day one.
+  */
+object ProfileQ {
+
+  private def toks = split(col("text"), "\\s+")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Schema-driven one-pass table profile. The Spark side enumerates
+    // t.schema at plan time — point it at ANY table and the same code
+    // emits the report; the oracle spells the same aggregates by hand
+    // for the documents table. min/max aggregate in the column's native
+    // type and cast AFTER (numeric order, not lexicographic).
+    QueryDef(
+      "profile_columns",
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |         COUNT(doc_id) AS nn_doc_id, COUNT(DISTINCT doc_id) AS nd_doc_id,
+        |         CAST(MIN(doc_id) AS VARCHAR) AS mn_doc_id, CAST(MAX(doc_id) AS VARCHAR) AS mx_doc_id,
+        |         COUNT(text) AS nn_text, COUNT(DISTINCT text) AS nd_text,
+        |         CAST(MIN(text) AS VARCHAR) AS mn_text, CAST(MAX(text) AS VARCHAR) AS mx_text,
+        |         COUNT(lang) AS nn_lang, COUNT(DISTINCT lang) AS nd_lang,
+        |         CAST(MIN(lang) AS VARCHAR) AS mn_lang, CAST(MAX(lang) AS VARCHAR) AS mx_lang,
+        |         COUNT(source) AS nn_source, COUNT(DISTINCT source) AS nd_source,
+        |         CAST(MIN(source) AS VARCHAR) AS mn_source, CAST(MAX(source) AS VARCHAR) AS mx_source,
+        |         COUNT(n_chars) AS nn_n_chars, COUNT(DISTINCT n_chars) AS nd_n_chars,
+        |         CAST(MIN(n_chars) AS VARCHAR) AS mn_n_chars, CAST(MAX(n_chars) AS VARCHAR) AS mx_n_chars
+        |  FROM documents)
+        |SELECT 'doc_id' AS column_name, n_rows, n_rows - nn_doc_id AS n_nulls,
+        |       nd_doc_id AS n_distinct, mn_doc_id AS min_str, mx_doc_id AS max_str FROM a
+        |UNION ALL
+        |SELECT 'text', n_rows, n_rows - nn_text, nd_text, mn_text, mx_text FROM a
+        |UNION ALL
+        |SELECT 'lang', n_rows, n_rows - nn_lang, nd_lang, mn_lang, mx_lang FROM a
+        |UNION ALL
+        |SELECT 'source', n_rows, n_rows - nn_source, nd_source, mn_source, mx_source FROM a
+        |UNION ALL
+        |SELECT 'n_chars', n_rows, n_rows - nn_n_chars, nd_n_chars, mn_n_chars, mx_n_chars
+        |FROM a""".stripMargin) { (s, d) =>
+      profile(Tables.documents(s, d))
+    },
+
+    // Per-source token quota: within each source, best-first (longest,
+    // doc_id tiebreak), keep while the tokens BEFORE this doc are under
+    // the source's budget — the straddling doc is kept (may truncate
+    // downstream), identical policy to doc_token_budget_head's global
+    // form. One shuffle on `source`.
+    QueryDef(
+      "doc_source_quota",
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (
+        |           PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_before, cum_before < 5000 AS keep
+        |FROM c""".stripMargin) { (s, d) =>
+      val quota = 5000L
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(toks).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"),
+          (col("cum_before") < quota).as("keep"))
+    },
+
+    // Robust per-type outlier report: median + MAD (both DISCRETE
+    // quantiles → actual elements, hash-stable), outliers = values
+    // beyond 3 robust sigmas (MAD·1.4826 ≈ σ for a normal tail).
+    QueryDef(
+      "evt_anomaly_mad",
+      """WITH m AS (
+        |  SELECT event_type, QUANTILE_DISC(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |j AS (
+        |  SELECT e.event_type, e.value, m.med
+        |  FROM events e JOIN m ON e.event_type = m.event_type),
+        |st AS (
+        |  SELECT event_type, med, QUANTILE_DISC(abs(value - med), 0.5) AS mad
+        |  FROM j GROUP BY event_type, med)
+        |SELECT j.event_type, st.med, st.mad,
+        |       CAST(SUM(CASE WHEN abs(j.value - st.med) > 3.0 * 1.4826 * st.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM j JOIN st ON j.event_type = st.event_type
+        |GROUP BY j.event_type, st.med, st.mad""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"), col("value"))
+      val m = e.groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      val j = e.join(broadcast(m), "event_type")
+      val st = j.groupBy("event_type", "med")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))")
+          .as("mad"))
+      j.drop("med").join(broadcast(st), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(sum(when(abs(col("value") - col("med")) >
+          lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+          .cast("long").as("n_outliers"))
+    }
+  )
+
+  /** One-pass, schema-driven profile of any DataFrame: for every column,
+    * (n_rows, n_nulls, n_distinct, min, max as string). Single
+    * multi-aggregate scan (count-distincts plan as one Expand) unpivoted
+    * with `stack` — no per-column jobs, nothing collected.
+    */
+  def profile(t: DataFrame): DataFrame = {
+    val cols = t.schema.fieldNames.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val one = t.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', n_rows, n_rows - nn_$c, nd_$c, mn_$c, mx_$c")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${cols.length}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"))
+  }
+}

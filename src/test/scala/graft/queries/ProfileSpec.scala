@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks for the profiling/robust-stats family. The oracle
+  * hash-match is the primary gate for all three entries; these tests pin
+  * the invariants the oracle can't see (schema-driven generality of the
+  * profiler, plan shape, MAD policy on planted outliers).
+  */
+class ProfileSpec extends SparkSpec {
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  test("profile_columns: one row per schema column, counts consistent") {
+    val docs = Tables.documents(spark, sf())
+    val n = docs.count()
+    val rows = q("profile_columns").collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == docs.schema.fieldNames.toSet)
+    rows.foreach { case (c, (nRows, nNulls, nDistinct)) =>
+      assert(nRows == n, s"$c n_rows")
+      assert(nNulls >= 0 && nNulls <= n, s"$c n_nulls")
+      assert(nDistinct <= n - nNulls, s"$c n_distinct")
+    }
+    // doc_id is a unique non-null key in the fixture
+    assert(rows("doc_id") == ((n, 0L, n)))
+  }
+
+  test("profile: schema-driven — works unchanged on a different table") {
+    val li = Tables.lineitem(spark, sf())
+    val prof = ProfileQ.profile(li.select("l_orderkey", "l_linenumber", "l_returnflag"))
+    val got = prof.collect().map(_.getString(0)).toSet
+    assert(got == Set("l_orderkey", "l_linenumber", "l_returnflag"))
+    // single-scan shape: no per-column jobs — the plan is one aggregate
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("union"), "profile must not union per-column scans")
+  }
+
+  test("doc_source_quota: per-source budget policy (first doc always kept)") {
+    val out = q("doc_source_quota").cache()
+    try {
+      // within every source the best-ranked doc has cum_before = 0 -> kept
+      val firsts = out.filter(col("cum_before") === 0)
+      assert(firsts.filter(!col("keep")).count() == 0)
+      val srcs = Tables.documents(spark, sf()).select("source").distinct().count()
+      assert(firsts.count() == srcs, "exactly one zero-cum row per source")
+      // kept set is a prefix in (n_chars desc, doc_id) order per source:
+      // no kept doc may rank below a dropped one in the same source
+      val joined = out.as("a").join(out.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.cum_before") > col("b.cum_before") &&
+          col("a.keep") && !col("b.keep"))
+      assert(joined.count() == 0, "kept rows must form a per-source prefix")
+    } finally out.unpersist()
+  }
+
+  test("evt_anomaly_mad: clean groups quiet, planted spike flagged") {
+    import spark.implicits._
+    val base = (1 to 400).map(i => ("steady", 100.0 + (i % 21 - 10) * 0.1)) ++
+      (1 to 400).map(i => ("spiky", 50.0 + (i % 21 - 10) * 0.1)) ++
+      Seq.fill(5)(("spiky", 5000.0))
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    base.toDF("event_type", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("ts", current_timestamp())
+      .withColumn("user_id", lit(1L))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("evt_anomaly_mad")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("steady") == 0L, "uniform group must have no outliers")
+    assert(out("spiky") == 5L, "exactly the planted spikes flagged")
+  }
+}
