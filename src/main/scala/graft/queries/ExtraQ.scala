@@ -182,10 +182,14 @@ object ExtraQ {
       "agg_hll_sketch",
       """SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_nd
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      // localCheckpoint materializes the 3-row grouped frame ONCE: the
+      // require-gate collect below and the returned plan both read the
+      // checkpointed rows instead of re-running the full-scan aggregate.
       val both = Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(
           expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("approx_nd"),
           count_distinct(col("l_orderkey")).as("exact_nd"))
+        .localCheckpoint()
       both.collect().foreach { r =>
         val est = r.getAs[Number]("approx_nd").doubleValue()
         val exact = r.getAs[Long]("exact_nd").toDouble
@@ -222,6 +226,7 @@ object ExtraQ {
           col("ap").getItem(0).as("a50"), col("ap").getItem(1).as("a95"),
           col("ex").getItem(0).as("lo50"), col("ex").getItem(2).as("hi50"),
           col("ex").getItem(3).as("lo95"), col("ex").getItem(5).as("hi95"))
+        .localCheckpoint() // materialize once — gate + result share it
       both.collect().foreach { r =>
         def d(c: String) = r.getAs[Number](c).doubleValue()
         require(d("a50") >= d("lo50") && d("a50") <= d("hi50"),
