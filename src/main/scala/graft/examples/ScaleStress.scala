@@ -180,7 +180,8 @@ object ScaleStress {
     // corresponding full-batch registry row; anything else unrecognized
     // is a typo — fail fast rather than silently drop the timing row
     val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale",
-      "emb_pq_scale", "emb_ivfpq_scale", "graph_pagerank_scale")
+      "emb_pq_scale", "emb_ivfpq_scale", "graph_pagerank_scale",
+      "graph_labelprop_scale")
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
       s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")
@@ -435,6 +436,39 @@ object ScaleStress {
       timings("graph_pagerank_scale") = best
       System.err.println(
         f"[scale] graph_pagerank_scale (${n * 6} directed edges, 3 sweeps): $best%.2f s")
+    }
+
+    // Label propagation on the same synthetic graph shape as the
+    // pagerank block (n nodes, 6n directed edges): one sweep = one
+    // (dst,label) map-side-combinable count + node-keyed window + left
+    // join — slope should track pageRank's (both scan edges once per
+    // sweep, all shuffles node-keyed).
+    if (names.contains("graph_labelprop_scale")) {
+      val n = 20000L * factor
+      val base = spark.range(n).select(col("id"))
+      val edges = base.select(explode(array(
+          struct(col("id").as("a"), pmod(xxhash64(col("id"), lit(1)), lit(n)).as("b")),
+          struct(col("id").as("a"), pmod(xxhash64(col("id"), lit(2)), lit(n)).as("b")),
+          struct(col("id").as("a"), ((col("id") + 1) % n).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val sym = edges.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val nodes = base.select(col("id").as("node"))
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 2) {
+        val t0 = System.nanoTime()
+        graft.ext.Graph.labelPropagation(nodes, sym, iters = 3)
+          .write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        rep += 1
+      }
+      timings("graph_labelprop_scale") = best
+      System.err.println(
+        f"[scale] graph_labelprop_scale (${n * 6} directed edges, 3 sweeps): $best%.2f s")
     }
 
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
