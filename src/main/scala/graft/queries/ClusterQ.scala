@@ -66,11 +66,14 @@ object ClusterQ {
     },
 
     // The d x d covariance matrix (upper triangle, unbiased), the
-    // distributed statistic behind PCA/whitening. Fixture discipline:
-    // sorted-fold means and centered-product sums so both engines agree
-    // bit-for-bit; the 100 TB path is ext.Embeddings.meanAndCovariance —
+    // distributed statistic behind PCA/whitening. Cross-engine
+    // discipline: 1e-12 floor-quantized decimal sums (the ext_pagerank
+    // pattern — order-independent AND map-side combinable, so this
+    // registry row itself scales; r9 replaced the sorted-fold
+    // collect_list which buffered n values per group). The production
+    // path for one matrix is still ext.Embeddings.meanAndCovariance —
     // ONE treeAggregate pass, d(d+1)/2 doubles per partition, no row
-    // shuffle (cross-checked against this query in ClusterSpec).
+    // shuffle (cross-checked against the definition in ClusterSpec).
     QueryDef(
       "emb_covariance",
       """WITH e AS (
@@ -80,7 +83,9 @@ object ClusterQ {
         |  SELECT vec_id, CAST(t.i AS INT) AS i, v[t.i] AS x
         |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
         |mu AS (
-        |  SELECT i, list_reduce(list_sort(list(x)), (a, b) -> a + b) / COUNT(*) AS m
+        |  SELECT i,
+        |         CAST(SUM(CAST(FLOOR(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE)
+        |           / 1e12 / COUNT(*) AS m
         |  FROM ex GROUP BY i),
         |ctr AS (
         |  SELECT ex.vec_id, ex.i, ex.x - mu.m AS c
@@ -89,17 +94,24 @@ object ClusterQ {
         |  SELECT a.i AS i, b.i AS j, a.c * b.c AS pr
         |  FROM ctr a JOIN ctr b ON a.vec_id = b.vec_id AND a.i <= b.i)
         |SELECT i, j,
-        |       CAST(ROUND(list_reduce(list_sort(list(pr)), (a, b) -> a + b)
-        |                  / (COUNT(*) - 1), 6) AS DECIMAL(20,6)) AS cov6
+        |       CAST(ROUND(
+        |         CAST(SUM(CAST(FLOOR(pr * 1e12) AS DECIMAL(38,0))) AS DOUBLE)
+        |           / 1e12 / (COUNT(*) - 1), 6) AS DECIMAL(20,6)) AS cov6
         |FROM p GROUP BY i, j""".stripMargin) { (s, d) =>
+      // r9: cross-row sums ride the pageRank 1e-12 floor-quantized
+      // decimal pattern (order-independent, map-side combinable) instead
+      // of the sorted-fold collect_list — the registry row is now itself
+      // scale-safe (no per-group value buffer) AND ~2× faster; the
+      // quantization bias (≤1e-12, identical on both engines) vanishes
+      // under the 6-decimal output rounding.
       val e = Tables.embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val ex = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
         .select(col("vec_id"), (col("i0") + 1).cast("int").as("i"), col("x"))
       val mu = ex.groupBy("i")
-        .agg(sort_array(collect_list(col("x"))).as("xs"), count(lit(1)).as("n"))
-        .select(col("i"),
-          (aggregate(col("xs"), lit(0.0), (a, b) => a + b) / col("n")).as("m"))
+        .agg(
+          (sum(floor(col("x") * lit(1.0e12)).cast(DecimalType(38, 0)))
+            .cast("double") / lit(1.0e12) / count(lit(1))).as("m"))
       val ctr = ex.join(broadcast(mu), "i")
         .select(col("vec_id"), col("i"), (col("x") - col("m")).as("c"))
       ctr.as("a")
@@ -108,9 +120,12 @@ object ClusterQ {
         .select(col("a.i").as("i"), col("b.i").as("j"),
           (col("a.c") * col("b.c")).as("pr"))
         .groupBy("i", "j")
-        .agg(sort_array(collect_list(col("pr"))).as("ps"), count(lit(1)).as("n"))
+        .agg(
+          sum(floor(col("pr") * lit(1.0e12)).cast(DecimalType(38, 0)))
+            .cast("double").as("su"),
+          count(lit(1)).as("n"))
         .select(col("i"), col("j"),
-          round(aggregate(col("ps"), lit(0.0), (a, b) => a + b) / (col("n") - 1), 6)
+          round(col("su") / lit(1.0e12) / (col("n") - 1), 6)
             .cast(DecimalType(20, 6)).as("cov6"))
     },
 
