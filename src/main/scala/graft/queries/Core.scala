@@ -439,15 +439,26 @@ object Core {
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         |       QUANTILE_CONT(l_quantity, 0.5) AS exact_median_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-      val both = li(s, d)
+      // Two separate aggregates, joined on the 3-row group key: mixing
+      // count_distinct with value-BUFFERING aggs in one agg makes the
+      // distinct rewrite's Expand double the input through every exact-
+      // percentile buffer (measured ~50 s at sf0.1); split, the distinct
+      // branch plans the efficient two-phase shape and the percentile
+      // buffer is built once, in array form. localCheckpoint: gate +
+      // result share one execution.
+      val pct = li(s, d)
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
           expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"),
-          count_distinct(col("l_orderkey")).as("exact_orders"),
-          expr("percentile(l_extendedprice, 0.45)").as("p45"),
-          expr("percentile(l_extendedprice, 0.55)").as("p55"),
+          expr("percentile(l_extendedprice, array(0.45D, 0.55D))").as("px"),
           expr("percentile(l_quantity, 0.5)").as("exact_median_qty"))
+        .select(col("l_returnflag"), col("approx_orders"), col("approx_median"),
+          col("px").getItem(0).as("p45"), col("px").getItem(1).as("p55"),
+          col("exact_median_qty"))
+      val cd = li(s, d).groupBy("l_returnflag")
+        .agg(count_distinct(col("l_orderkey")).as("exact_orders"))
+      val both = pct.join(cd, "l_returnflag").localCheckpoint()
       both.collect().foreach { r =>
         val aD = r.getAs[Long]("approx_orders").toDouble
         val eD = r.getAs[Long]("exact_orders").toDouble

@@ -266,6 +266,46 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial bitmap aggregate:\n${p.take(1500)}")
   }
 
+  test("profile_columns: ONE scan, no per-column unions, two-phase aggs") {
+    // the profiler's contract is a single multi-aggregate pass over the
+    // table + a stack unpivot of the one result row — per-column scans
+    // (a Union of 5 aggregates) would read the table N_cols times
+    val p = plan("profile_columns")
+    assert(!p.contains("Union"), s"profile must not union per-column scans:\n${p.take(1500)}")
+    // formatted explain prints each node twice (tree + detail header);
+    // count only the numbered detail headers
+    val scans = p.linesIterator.count(_.matches("^\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, s"expected exactly one table scan, got $scans:\n${p.take(1500)}")
+  }
+
+  test("quantized covariance: map-side partial sums, no object buffers") {
+    // r9 rewrite: the (i,j) product sums must plan partial+final
+    // HashAggregate on fixed-width decimal buffers — the sorted-fold
+    // collect_list shape (ObjectHashAggregate buffering n values per
+    // group) is exactly what the rewrite removed
+    val p = plan("emb_covariance")
+    assert(!p.contains("collect_list"),
+      s"covariance must not buffer value lists:\n${p.take(1500)}")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected two-phase decimal-sum aggregate:\n${p.take(1500)}")
+  }
+
+  test("label propagation sweep: vote agg is two-phase, window only node-sized") {
+    // one sweep = (dst,label) count (must be partial+final HashAggregate
+    // — map-side combinable) + row_number over per-node vote groups; the
+    // window input is node-sized (votes), never the edge list
+    import org.apache.spark.sql.functions._
+    val edges = spark.range(1000).select(col("id").as("a"),
+      ((col("id") * 7 + 3) % 1000).as("b"))
+    val nodes = spark.range(1000).select(col("id").as("node"))
+    val p = graft.ext.Graph.labelPropagation(nodes, edges, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"vote count must be two-phase:\n${p.take(1500)}")
+    assert(!p.contains("SinglePartition"),
+      s"no global window allowed in a sweep:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
