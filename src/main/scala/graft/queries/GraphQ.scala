@@ -96,7 +96,7 @@ object GraphQ {
       val cand = a.join(b,
         col("ba") === col("bb") && col("pa") < col("pb") &&
           abs(length(col("na")) - length(col("nb"))) <= 2 &&
-          levenshtein(col("na"), col("nb")) <= 3)
+          levenshtein(col("na"), col("nb"), 3).between(0, 3))
         .select("pa", "pb")
       val links = cand.select(col("pa").as("p"), col("pb").as("q"))
         .unionAll(cand.select(col("pb").as("p"), col("pa").as("q")))
@@ -142,7 +142,7 @@ object GraphQ {
       val edges = a.join(b,
         col("ba") === col("bb") && col("pa") < col("pb") &&
           abs(length(col("na")) - length(col("nb"))) <= 2 &&
-          levenshtein(col("na"), col("nb")) <= 3)
+          levenshtein(col("na"), col("nb"), 3).between(0, 3))
         .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
       val comp = graft.ext.Dedup.connectedComponents(edges)
         .withColumnRenamed("node", "p_partkey")
@@ -202,7 +202,7 @@ object GraphQ {
       val cand = a.join(b,
         col("ba") === col("bb") && col("pa") < col("pb") &&
           abs(length(col("na")) - length(col("nb"))) <= 2 &&
-          levenshtein(col("na"), col("nb")) <= 3)
+          levenshtein(col("na"), col("nb"), 3).between(0, 3))
         .select("pa", "pb")
       val edges = cand.select(col("pa").as("a"), col("pb").as("b"))
         .unionAll(cand.select(col("pb").as("a"), col("pa").as("b")))
