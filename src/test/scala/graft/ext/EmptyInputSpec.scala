@@ -62,4 +62,40 @@ class EmptyInputSpec extends SparkSpec {
       Multimodal.decodeImages(emptyPayloads).toDF()
         .select("doc_id", "phash")).count() == 0)
   }
+
+  test("graph entry points: empty edges/nodes -> consistent result, no crash") {
+    val emptyEdges = emptyDocs.selectExpr("doc_id AS a", "doc_id AS b")
+    // label propagation: no edges -> everyone keeps their own label
+    val nodes = spark.range(5).selectExpr("id AS node")
+    val labs = Graph.labelPropagation(nodes, emptyEdges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs == (0L until 5L).map(i => i -> i).toMap)
+    // and with zero nodes the result is empty, not a crash
+    assert(Graph.labelPropagation(
+      nodes.limit(0), emptyEdges, iters = 1).count() == 0)
+  }
+
+  test("profiler + event ops: empty tables -> typed results, no crash") {
+    import org.apache.spark.sql.functions._
+    // profiler: one row per column even on an empty table, all stats 0/null
+    val prof = graft.queries.ProfileQ.profile(emptyDocs).collect()
+    assert(prof.length == emptyDocs.schema.fields.length)
+    prof.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+      assert(r.isNullAt(4) && r.isNullAt(5))
+    }
+    // funnel + retention + MAD over an empty events table
+    val dir = java.nio.file.Files.createTempDirectory("empty-evt").toString
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val funnel = graft.SparkEntry.queries("evt_funnel")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(funnel == Map(1 -> 0L, 2 -> 0L, 3 -> 0L))
+    assert(graft.SparkEntry.queries("evt_retention_cohort")(spark, dir).count() == 0)
+    assert(graft.SparkEntry.queries("evt_anomaly_mad")(spark, dir).count() == 0)
+  }
 }
