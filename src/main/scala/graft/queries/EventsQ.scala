@@ -67,6 +67,54 @@ object EventsQ {
         .unionAll(stepRow(3, "purchase", u3))
     },
 
+    // The funnel with a CONVERSION WINDOW: step k counts only within 24h
+    // of the step-k-1 completion (the form product analytics actually
+    // ships — unbounded funnels overcount). Same join shape; the window
+    // bound is exact timestamp arithmetic on both engines.
+    QueryDef(
+      "evt_funnel_windowed",
+      """WITH u1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |u2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN u1 ON e.user_id = u1.user_id
+        |    AND e.ts > u1.t1 AND e.ts <= u1.t1 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |u3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN u2 ON e.user_id = u2.user_id
+        |    AND e.ts > u2.t2 AND e.ts <= u2.t2 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users FROM u1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', CAST(COUNT(*) AS BIGINT) FROM u2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', CAST(COUNT(*) AS BIGINT)
+        |FROM u3""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val win = expr("INTERVAL 24 HOURS")
+      def within(step: String, prev: org.apache.spark.sql.DataFrame,
+          prevT: String, outT: String) =
+        e.filter(col("event_type") === step)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevT) && col("ts") <= col(prevT) + win)
+          .groupBy("user_id").agg(min("ts").as(outT))
+      val u1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val u2 = within("click", u1.select("user_id", "t1"), "t1", "t2")
+      val u3 = within("purchase", u2.select("user_id", "t2"), "t2", "t3")
+      def stepRow(n: Int, name: String,
+          df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).cast("long").as("n_users"))
+          .select(lit(n).cast("int").as("step"),
+            lit(name).as("event_type"), col("n_users"))
+      stepRow(1, "view", u1)
+        .unionAll(stepRow(2, "click", u2))
+        .unionAll(stepRow(3, "purchase", u3))
+    },
+
     // Weekly cohort retention: users grouped by the ISO week of their
     // first event; one cell per (cohort_week, week_offset) counting the
     // distinct users of that cohort active in that week. Week-truncated

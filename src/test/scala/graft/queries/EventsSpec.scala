@@ -35,6 +35,20 @@ class EventsSpec extends SparkSpec {
     assert(out === Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("evt_funnel_windowed: conversions beyond the 24h window don't count") {
+    // u1 clicks 1h after view (inside window); u2 clicks 2 days after
+    // view (outside) — the unbounded funnel would count both at step 2
+    val dir = writeEvents(Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(1, 1)),
+      (2L, "view", ts(1)), (2L, "click", ts(3))))
+    val wq = graft.SparkEntry.queries("evt_funnel_windowed")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(wq === Map(1 -> 2L, 2 -> 1L, 3 -> 0L))
+    val uq = graft.SparkEntry.queries("evt_funnel")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(uq(2) === 2L, "unbounded funnel counts the late click")
+  }
+
   test("evt_retention_cohort: offsets count distinct active users") {
     // two users first-seen in week of Jan 1 (Mon); one returns two weeks
     // later twice in the same week (distinct!), the other never returns.
