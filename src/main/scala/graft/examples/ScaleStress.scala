@@ -80,7 +80,17 @@ object ScaleStress {
     // r9: BPE pair counts — expected flat-ish (the pair explosion is
     // vocabulary-sized; replicas shuffle tokens, not characters, so the
     // distinct-word set is constant as the corpus replicates)
-    "doc_bpe_pairs")
+    "doc_bpe_pairs",
+    // r9: event-analytics family — events.parquet replicates with
+    // user_id shifts, so group counts grow with the factor; funnels are
+    // user_id-keyed joins (expected ~linear), MAD is two aggregate
+    // passes + a 5-row broadcast, the profiler is one scan
+    "evt_funnel",
+    "evt_funnel_windowed",
+    "evt_retention_cohort",
+    "evt_anomaly_mad",
+    "profile_columns",
+    "doc_source_quota")
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
     * within-replica cosine structure are preserved; distinct reps are
@@ -152,6 +162,30 @@ object ScaleStress {
     fs.createNewFile(): Unit
   }
 
+  /** Replicate events.parquet: each replica shifts user_id (fresh users,
+    * so funnel/retention/MAD group counts scale with the factor) and
+    * event_id; timestamps and the event-type mix stay as-is — the same
+    * 30-day window with factor× the users is exactly how a telemetry
+    * stream grows. Separate marker: derived docs/emb fixtures predate
+    * this and stay valid. */
+  private def buildEventsFixture(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val fs = new java.io.File(s"$out/_built_events_x$factor")
+    if (fs.exists()) return
+    new java.io.File(out).mkdirs()
+    val ev = Tables.events(spark, src)
+    val replicated = (0 until factor).map { i =>
+      if (i == 0) ev
+      else ev.select(
+        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+    replicated.write.mode("overwrite").parquet(s"$out/events.parquet")
+    fs.createNewFile(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 10
     val out = if (args.length > 1) args(1) else s"/root/repo/target/sfx$factor"
@@ -170,6 +204,7 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
 
     buildFixture(spark, src, out, factor)
+    buildEventsFixture(spark, src, out, factor)
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
 
