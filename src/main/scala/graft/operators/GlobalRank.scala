@@ -115,6 +115,68 @@ object GlobalRank {
       .drop("_gc_pid", "_gc_v", "_gc_cum")
   }
 
+  /** GROUPED running total of `valueCol` within each `groupCol` value,
+    * ordered by `sortCols` (exclusive of the current row) — the
+    * skew-safe form of `Window.partitionBy(group)` prefix sums when the
+    * group key is LOW-CARDINALITY (per-source/per-domain quotas: 20
+    * sources over 100 TB puts 5 TB in one window task; the r8 verdict's
+    * CorpusBuild critique, same shape). Range-partitions on
+    * (group, sortCols) so a mega-group spans MULTIPLE consecutive
+    * partitions, computes (pid, group)-local cumsums (P-way parallel,
+    * each window partition confined to one range partition), then
+    * driver-prefix-sums the per-(pid, group) totals — bounded by
+    * P + #groups rows, never data size — and broadcast-joins the
+    * offsets back. Bit-identical to the plain grouped window
+    * (GlobalRankSpec asserts it, including on a mega-group).
+    */
+  def withGroupedCumSumBefore(
+      df: DataFrame,
+      groupCol: Column,
+      sortCols: Seq[Column],
+      valueCol: Column,
+      cumCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
+    val vt = df.select(valueCol).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"withGroupedCumSumBefore needs an integral value column (the " +
+        s"driver-side prefix sum must be exact); got $vt")
+    val p = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, (groupCol +: sortCols): _*)
+      .withColumn("_gg_pid", spark_partition_id())
+      .withColumn("_gg_g", groupCol)
+      .withColumn("_gg_v", valueCol.cast("long"))
+    val wLocal = Window.partitionBy("_gg_pid", "_gg_g").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persisted across the two executions (same determinism contract as
+    // withGlobalRowNumber — release via Caches.releaseAll)
+    val local = graft.ext.Caches.track(
+      ranged.withColumn("_gg_cum", sum(col("_gg_v")).over(wLocal)).cache())
+    // ≤ P + #groups rows: every group occupies a CONTIGUOUS pid interval
+    val totals = local.groupBy("_gg_pid", "_gg_g").agg(sum("_gg_v").as("t"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, off) => org.apache.spark.sql.Row(pid, g, off) }
+    }
+    val gType = df.select(groupCol).schema.head.dataType
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets, 1),
+      StructType(Seq(
+        StructField("_gg_pid2", IntegerType),
+        StructField("_gg_g2", gType),
+        StructField("_gg_off", LongType))))
+    local
+      .join(broadcast(offDf),
+        col("_gg_pid") === col("_gg_pid2") && col("_gg_g") <=> col("_gg_g2"))
+      .withColumn(cumCol, col("_gg_cum") - col("_gg_v") + col("_gg_off"))
+      .drop("_gg_pid", "_gg_g", "_gg_v", "_gg_cum",
+        "_gg_pid2", "_gg_g2", "_gg_off")
+  }
+
   /** Global RANGE-frame aggregates over a CONTINUOUS numeric ORDER BY
     * domain — the last global-window shape (VERDICT r7 item 6; the
     * discrete-domain form is `win_range_frame`'s per-value band join).

@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-profiling + robust-statistics operators (round 9).
@@ -78,7 +77,11 @@ object ProfileQ {
     // doc_id tiebreak), keep while the tokens BEFORE this doc are under
     // the source's budget — the straddling doc is kept (may truncate
     // downstream), identical policy to doc_token_budget_head's global
-    // form. One shuffle on `source`.
+    // form. Rides the GROUPED two-pass prefix sum (GlobalRank
+    // .withGroupedCumSumBefore): `source` is LOW-cardinality, so a
+    // plain Window.partitionBy(source) would put a whole source's share
+    // of a 100 TB corpus in ONE task — the range partition over
+    // (source, order) spreads a mega-source across partitions instead.
     QueryDef(
       "doc_source_quota",
       """WITH t AS (
@@ -95,13 +98,13 @@ object ProfileQ {
         |SELECT doc_id, source, n_tokens, cum_before, cum_before < 5000 AS keep
         |FROM c""".stripMargin) { (s, d) =>
       val quota = 5000L
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
+      val t = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"),
           size(toks).cast("long").as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      graft.operators.GlobalRank
+        .withGroupedCumSumBefore(t, col("source"),
+          Seq(col("n_chars").desc, col("doc_id")), col("n_tokens"),
+          "cum_before")
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"),
           (col("cum_before") < quota).as("keep"))
     },

@@ -36,6 +36,33 @@ class GlobalRankSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("withGroupedCumSumBefore equals the plain grouped window, incl. a mega-group") {
+    import org.apache.spark.sql.expressions.Window
+    // documents' real source groups PLUS one synthetic mega-group
+    // holding ~half the corpus — the skew case the operator exists for
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("mega")).otherwise(col("source"))
+          .as("source"),
+        col("n_chars"),
+        size(split(col("text"), "\\s+")).cast("long").as("v"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("cum", coalesce(sum("v").over(w), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    for ((df, p) <- Seq((docs, 0), (docs.repartition(7), 4), (docs, 11))) {
+      val got = GlobalRank.withGroupedCumSumBefore(df, col("source"),
+          Seq(col("n_chars").desc, col("doc_id")), col("v"), "cum",
+          numPartitions = p)
+        .select("doc_id", "cum")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"p=$p")
+      graft.ext.Caches.releaseAll(spark)
+    }
+  }
+
   test("withRangeFrameAgg equals the naive global range window, any input partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
