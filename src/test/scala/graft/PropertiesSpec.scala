@@ -125,4 +125,43 @@ class PropertiesSpec extends SparkSpec {
     emb.select(expr("cosine_sim(embedding, embedding)").as("s")).collect()
       .foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("funnel laws: counts are monotone non-increasing and window-bounded") {
+    // on the real fixture: step counts can only shrink down the funnel,
+    // and the windowed variant can never beat the unbounded one
+    val d = sf("sf0.01")
+    val un = SparkEntry.queries("evt_funnel")(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val wi = SparkEntry.queries("evt_funnel_windowed")(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(un(1) >= un(2) && un(2) >= un(3), un.toString)
+    assert(wi(1) >= wi(2) && wi(2) >= wi(3), wi.toString)
+    (1 to 3).foreach(s => assert(wi(s) <= un(s), s"step $s: $wi vs $un"))
+    // step 1 has no window/order constraint — identical by construction
+    assert(wi(1) == un(1))
+  }
+
+  test("retention laws: offset-0 counts every user exactly once") {
+    val d = sf("sf0.01")
+    val rows = SparkEntry.queries("evt_retention_cohort")(spark, d)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    // every user is active in their own first week -> the offset-0 cells
+    // partition the user set
+    val users = Tables.events(spark, d).select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0).map(_._3).sum == users)
+    assert(rows.forall(_._2 >= 0), "no activity before a user's first week")
+    // no offset cell can exceed its cohort's size
+    val cohort = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (w, _, n) => assert(n <= cohort(w), s"$w: $n > ${cohort(w)}") }
+  }
+
+  test("profiler is projection-consistent: profile(T.select(c)) rows match profile(T)") {
+    val docs = Tables.documents(spark, sf())
+    val full = graft.queries.ProfileQ.profile(docs)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val sub = graft.queries.ProfileQ.profile(docs.select("doc_id", "source"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(sub.keySet == Set("doc_id", "source"))
+    sub.foreach { case (c, stats) => assert(stats == full(c), s"column $c drifted") }
+  }
 }
