@@ -89,13 +89,18 @@ object GraphQ {
         |SELECT p AS p_partkey, canon_id, n_links
         |FROM grp ORDER BY p_partkey""".stripMargin) { (s, d) =>
       val part = Tables.part(s, d)
+      // lengths precomputed on the node-sized sides: the band check on
+      // each of the ~8M candidate pairs is then an int compare, not two
+      // per-pair numChars scans
       val a = part.select(col("p_partkey").as("pa"),
-        col("p_brand").as("ba"), col("p_name").as("na"))
+        col("p_brand").as("ba"), col("p_name").as("na"),
+        length(col("p_name")).as("la"))
       val b = part.select(col("p_partkey").as("pb"),
-        col("p_brand").as("bb"), col("p_name").as("nb"))
+        col("p_brand").as("bb"), col("p_name").as("nb"),
+        length(col("p_name")).as("lb"))
       val cand = a.join(b,
         col("ba") === col("bb") && col("pa") < col("pb") &&
-          abs(length(col("na")) - length(col("nb"))) <= 2 &&
+          abs(col("la") - col("lb")) <= 2 &&
           levenshtein(col("na"), col("nb"), 3).between(0, 3))
         .select("pa", "pb")
       val links = cand.select(col("pa").as("p"), col("pb").as("q"))
@@ -135,13 +140,18 @@ object GraphQ {
         |SELECT node AS p_partkey, MIN(lab) AS component
         |FROM reach GROUP BY node ORDER BY p_partkey""".stripMargin) { (s, d) =>
       val part = Tables.part(s, d)
+      // lengths precomputed on the node-sized sides: the band check on
+      // each of the ~8M candidate pairs is then an int compare, not two
+      // per-pair numChars scans
       val a = part.select(col("p_partkey").as("pa"),
-        col("p_brand").as("ba"), col("p_name").as("na"))
+        col("p_brand").as("ba"), col("p_name").as("na"),
+        length(col("p_name")).as("la"))
       val b = part.select(col("p_partkey").as("pb"),
-        col("p_brand").as("bb"), col("p_name").as("nb"))
+        col("p_brand").as("bb"), col("p_name").as("nb"),
+        length(col("p_name")).as("lb"))
       val edges = a.join(b,
         col("ba") === col("bb") && col("pa") < col("pb") &&
-          abs(length(col("na")) - length(col("nb"))) <= 2 &&
+          abs(col("la") - col("lb")) <= 2 &&
           levenshtein(col("na"), col("nb"), 3).between(0, 3))
         .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
       val comp = graft.ext.Dedup.connectedComponents(edges)
@@ -195,13 +205,18 @@ object GraphQ {
         |SELECT node AS p_partkey, lab AS community
         |FROM l2 ORDER BY p_partkey""".stripMargin) { (s, d) =>
       val part = Tables.part(s, d)
+      // lengths precomputed on the node-sized sides: the band check on
+      // each of the ~8M candidate pairs is then an int compare, not two
+      // per-pair numChars scans
       val a = part.select(col("p_partkey").as("pa"),
-        col("p_brand").as("ba"), col("p_name").as("na"))
+        col("p_brand").as("ba"), col("p_name").as("na"),
+        length(col("p_name")).as("la"))
       val b = part.select(col("p_partkey").as("pb"),
-        col("p_brand").as("bb"), col("p_name").as("nb"))
+        col("p_brand").as("bb"), col("p_name").as("nb"),
+        length(col("p_name")).as("lb"))
       val cand = a.join(b,
         col("ba") === col("bb") && col("pa") < col("pb") &&
-          abs(length(col("na")) - length(col("nb"))) <= 2 &&
+          abs(col("la") - col("lb")) <= 2 &&
           levenshtein(col("na"), col("nb"), 3).between(0, 3))
         .select("pa", "pb")
       val edges = cand.select(col("pa").as("a"), col("pb").as("b"))
