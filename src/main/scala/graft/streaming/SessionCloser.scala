@@ -60,7 +60,7 @@ class SessionCloserProcessor(gapMs: Long)
     count.clear()
     lastTs.clear()
     if (n == 0) Iterator.empty
-    else Iterator.single(SessionSummary(key, n, expiredTimerInfo.getExpiryTimeInMs))
+    else Iterator.single(SessionSummary(key, n, expiredTimerInfo.getExpiryTimeInMs()))
   }
 }
 
