@@ -71,6 +71,59 @@ object JoinsExtQ {
           col("s_nationkey") === col("c_nationkey")
             && col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
         .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+    },
+
+    // INTERVAL OVERLAP join (time-range correlation): pairs of users
+    // whose activity sessions overlap, counted per user pair. The naive
+    // form is a pure theta join (no equi key -> quadratic in sessions);
+    // the Spark side uses the GRID-BUCKET technique: explode each
+    // interval to the hour cells it spans (sessions are gap-bounded, so
+    // the fan-out is small and bounded), equi-join on the cell — two
+    // overlapping intervals ALWAYS share the cell containing
+    // [max(starts), min(ends)], so recall is exact — re-verify the real
+    // overlap predicate, distinct the session pair (it may share many
+    // cells). The shuffle key is the time cell, whose cardinality grows
+    // with the data span: no quadratic blow-up, no skew pile-up. The
+    // oracle runs the honest quadratic theta join. Sessions derive from
+    // the proven session_window <-> lag-gap CTE equivalence
+    // (win_sessionize); strict < on both bounds = half-open windows,
+    // touching sessions do NOT overlap.
+    QueryDef(
+      "join_interval_overlap",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |        CASE WHEN LAG(ts) OVER w IS NULL
+        |             OR ts - LAG(ts) OVER w >= INTERVAL 60 MINUTE THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |iv AS (SELECT user_id, MIN(ts) AS s_start,
+        |              MAX(ts) + INTERVAL 60 MINUTE AS s_end
+        |       FROM y GROUP BY user_id, sid),
+        |p AS (SELECT a.user_id AS user_a, b.user_id AS user_b
+        |      FROM iv a JOIN iv b ON a.user_id < b.user_id
+        |        AND a.s_start < b.s_end AND b.s_start < a.s_end)
+        |SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+        |FROM p GROUP BY user_a, user_b""".stripMargin) { (s, d) =>
+      val iv = Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "60 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("s_start"),
+          col("w.end").as("s_end"))
+      val cells = iv.withColumn("cell", explode(sequence(
+        floor(unix_timestamp(col("s_start")) / 3600).cast("long"),
+        floor(unix_timestamp(col("s_end")) / 3600).cast("long"))))
+      val a = cells.select(col("user_id").as("user_a"),
+        col("s_start").as("sa"), col("s_end").as("ea"), col("cell"))
+      val b = cells.select(col("user_id").as("user_b"),
+        col("s_start").as("sb"), col("s_end").as("eb"), col("cell"))
+      a.join(b, Seq("cell"))
+        .filter(col("user_a") < col("user_b") &&
+          col("sa") < col("eb") && col("sb") < col("ea"))
+        .select("user_a", "user_b", "sa", "sb").distinct()
+        .groupBy("user_a", "user_b")
+        .agg(count(lit(1)).cast("long").as("n_overlaps"))
     }
   )
 }
