@@ -90,7 +90,13 @@ object ScaleStress {
     "evt_retention_cohort",
     "evt_anomaly_mad",
     "profile_columns",
-    "doc_source_quota")
+    "doc_source_quota",
+    // r9: grid-bucketed interval join (day-sliced). Replicas add fresh
+    // users to the SAME time window, so the co-activity pair OUTPUT
+    // grows ~factor² by construction (unsliced form measured 17 s at
+    // 1× -> 290 s at 10× — recorded in SCALE.md as the density
+    // caveat); the day-sliced registry row keeps slices cell-bounded
+    "join_interval_overlap")
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
     * within-replica cosine structure are preserved; distinct reps are

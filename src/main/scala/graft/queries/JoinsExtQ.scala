@@ -88,9 +88,16 @@ object JoinsExtQ {
     // the proven session_window <-> lag-gap CTE equivalence
     // (win_sessionize); strict < on both bounds = half-open windows,
     // touching sessions do NOT overlap.
+    //
+    // SCOPED TO ONE DAY: co-activity pair OUTPUT is inherently
+    // quadratic in concurrently-active users (measured: 17 s -> 290 s
+    // at 10x users on the unsliced form — SCALE.md caveat); the
+    // production shape runs per day/shard exactly like this row, and
+    // the grid join keeps each slice cell-bounded.
     QueryDef(
       "join_interval_overlap",
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE CAST(ts AS DATE) = DATE '2024-01-15'),
         |x AS (SELECT user_id, ts,
         |        CASE WHEN LAG(ts) OVER w IS NULL
         |             OR ts - LAG(ts) OVER w >= INTERVAL 60 MINUTE THEN 1 ELSE 0 END AS new_s
@@ -107,6 +114,7 @@ object JoinsExtQ {
         |SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps
         |FROM p GROUP BY user_a, user_b""".stripMargin) { (s, d) =>
       val iv = Tables.events(s, d)
+        .filter(col("ts").cast("date") === lit("2024-01-15").cast("date"))
         .groupBy(session_window(col("ts"), "60 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"), col("w.start").as("s_start"),
