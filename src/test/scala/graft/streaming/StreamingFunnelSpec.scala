@@ -58,6 +58,48 @@ class StreamingFunnelSpec extends SparkSpec {
     }
   }
 
+  test("funnel stage survives stop + restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("ckpt-funnel-r")
+    val outDir = tmp("out-funnel-r")
+    def sink(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long): Unit =
+      batch.toDF().withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(outDir)
+
+    val firstHalf = Seq(rec("u1", "view", 1000), rec("u2", "view", 1000))
+    // run 1: both users complete step 1, then the query stops
+    val in1 = MemoryStream[KeyedRecord]
+    val q1 = FunnelTracker(in1.toDS()).toDF()
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    in1.addData(firstHalf); q1.processAllAvailable(); q1.stop()
+
+    // run 2: NEW query, SAME checkpoint (MemoryStream offsets are
+    // checkpointed — re-provide batch 0, then the new events)
+    val in2 = MemoryStream[KeyedRecord]
+    in2.addData(firstHalf)
+    val q2 = FunnelTracker(in2.toDS()).toDF()
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    in2.addData(Seq(
+      rec("u1", "click", 2000), rec("u1", "purchase", 3000),
+      rec("u2", "view", 2000),   // already past step 1 -> no advance
+      rec("u3", "view", 2000)))  // fresh key -> step 1
+    q2.processAllAvailable(); q2.stop()
+
+    val out2 = spark.read.parquet(outDir)
+      .filter(col("batch_id") >= 1).drop("batch_id")
+      .as[FunnelAdvance].collect()
+    val byKey = out2.groupBy(_.key).view.mapValues(_.map(_.step).sorted.toSeq).toMap
+    // u1 resumes from restored stage 1: exactly steps 2 and 3, never a
+    // repeated step 1 (that would mean the state store lost the stage)
+    assert(byKey.get("u1").contains(Seq(2, 3)), byKey.toString)
+    // u2's duplicate 'view' cannot re-advance a completed step
+    assert(!byKey.contains("u2"), byKey.toString)
+    assert(byKey.get("u3").contains(Seq(1)), byKey.toString)
+  }
+
   test("strict order: wrong-order and equal-timestamp steps do not advance") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
