@@ -72,6 +72,11 @@ object Bench {
     // samsa/kafka/storage.py:145-148,201-206) — a per-message-latency
     // design. We measure the Spark ChangeDetector slice (keyed state,
     // RocksDB) in rows/sec over the events table for the comparison.
+    // Best-of-3 (VERDICT r9 item 7): the single-shot rate whipsawed
+    // 35.1k -> 13.5k ev/s across driver tails while local minima
+    // improved — one contended run of a ~5 s measurement is noise, so
+    // the streaming row gets the same repeated-minimum discipline as
+    // the query timings (fresh checkpoint per rep; same input files).
     val streamEps: Double =
       try {
         import org.apache.spark.sql.functions._
@@ -85,16 +90,20 @@ object Bench {
         val tmp = java.nio.file.Files.createTempDirectory("bench-stream")
         ev.write.mode("overwrite").parquet(s"$tmp/in")
         import spark.implicits._
-        val src = spark.readStream.schema(ev.schema).parquet(s"$tmp/in")
-          .as[graft.streaming.KeyedRecord]
-        val t0 = System.nanoTime()
-        val q = graft.streaming.ChangeDetector(src).toDF()
-          .writeStream.format("noop")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        n / ((System.nanoTime() - t0) / 1e9)
+        var best = -1.0
+        for (rep <- 0 until 3) {
+          val src = spark.readStream.schema(ev.schema).parquet(s"$tmp/in")
+            .as[graft.streaming.KeyedRecord]
+          val t0 = System.nanoTime()
+          val q = graft.streaming.ChangeDetector(src).toDF()
+            .writeStream.format("noop")
+            .option("checkpointLocation", s"$tmp/ckpt$rep")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          best = math.max(best, n / ((System.nanoTime() - t0) / 1e9))
+        }
+        best
       } catch { case _: Throwable => -1.0 }
 
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

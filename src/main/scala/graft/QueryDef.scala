@@ -45,4 +45,27 @@ object Det {
     * Oracle: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x). */
   def davg2(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double") / count(c)
+
+  /** Half-up round of a raw double onto a 10^digits integer grid,
+    * emitted as BIGINT grid units — built from FLOOR, not ROUND.
+    * FLOOR(x*s + 0.5) is pure IEEE arithmetic, identical across engine
+    * versions (DuckDB's double-ROUND changed digit-boundary behavior
+    * across releases — the r9 emb_kmeans/emb_covariance driver-red
+    * seam), and, unlike a plain FLOOR grid, tolerates a cross-engine
+    * 1-ulp disagreement in x when the true value sits ON a decimal
+    * grid point (percentiles of integer data, libm transcendentals).
+    * Oracle: CAST(FLOOR(x * 10^digits + 0.5) AS BIGINT). */
+  def uN(c: Column, digits: Int): Column =
+    floor(c * lit(math.pow(10, digits)) + lit(0.5)).cast("long")
+
+  /** [[uN]] at the standard 6-digit micro-unit grid. */
+  def u6(c: Column): Column = uN(c, 6)
+
+  /** Half-up FLOOR quantizer emitted as DECIMAL(p,6) — the drop-in
+    * replacement for the old ROUND(x,6)::DECIMAL(p,6) transcendental
+    * grid: the grid value round-trips through an ulp-adjacent double,
+    * so the final decimal cast is unambiguous in any rounding mode.
+    * Oracle: CAST(FLOOR(x * 1e6 + 0.5) / 1e6 AS DECIMAL(p,6)). */
+  def fq6(c: Column, p: Int): Column =
+    (floor(c * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).cast(DecimalType(p, 6))
 }

@@ -139,10 +139,13 @@ object ScaleStress {
       t.mkString(" ")
     }
     val docs = Tables.documents(spark, src)
+    // stride derived from the source (ADVICE r9, same as events/emb)
+    val docStride = math.max(1000000000L,
+      docs.agg(max("doc_id")).head.getLong(0) + 1L)
     val replicated = (0 until factor).map { i =>
       if (i == 0) docs
       else docs.select(
-        (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+        (col("doc_id") + lit(i.toLong * docStride)).as("doc_id"),
         shuffleTokens(col("text"), col("doc_id"), lit(i)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
@@ -157,10 +160,15 @@ object ScaleStress {
     // cosines preserved exactly — same distribution, bigger corpus).
     val mutateVec = udf { (e: Seq[Float], rep: Int) => mutateEmbedding(e, rep) }
     val emb = Tables.embeddings(spark, src)
+    // stride derived from the source (ADVICE r9): a fixed 1e9 shift
+    // silently aliases replica id ranges once source ids reach 1e9
+    // (chained scale-ups), flattening the expected group-count growth
+    val embStride = math.max(1000000000L,
+      emb.agg(max("vec_id")).head.getLong(0) + 1L)
     val replicatedEmb = (0 until factor).map { i =>
       if (i == 0) emb
       else emb.select(
-        (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+        (col("vec_id") + lit(i.toLong * embStride)).as("vec_id"),
         mutateVec(col("embedding"), lit(i)).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
@@ -180,12 +188,18 @@ object ScaleStress {
     if (fs.exists()) return
     new java.io.File(out).mkdirs()
     val ev = Tables.events(spark, src)
+    // stride derived from the source (ADVICE r9): fixed 1e9 would alias
+    // replica ranges — and collapse "fresh users" — once source ids
+    // reach 1e9 on larger or chained fixtures
+    val mx = ev.agg(max("event_id"), max("user_id")).head
+    val stride = math.max(1000000000L,
+      math.max(mx.getLong(0), mx.getLong(1)) + 1L)
     val replicated = (0 until factor).map { i =>
       if (i == 0) ev
       else ev.select(
-        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        (col("event_id") + lit(i.toLong * stride)).as("event_id"),
         col("ts"),
-        (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+        (col("user_id") + lit(i.toLong * stride)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
     replicated.write.mode("overwrite").parquet(s"$out/events.parquet")

@@ -265,10 +265,21 @@ object Similarity {
     * "approximate" path degenerates toward all-pairs). Anchored to the
     * measured SCALE.md curve rather than guessed:
     *
-    *  - IVF cells: constant ~125-vector cells reproduce the measured
-    *    sweet spot exactly (nCells=16 at the 2k sf0.1 fixture, 160 at
-    *    the 20k 10x fixture — 15.2 s → 4.32 s, recall@10 0.95).
-    *  - IVF probes: 4 cells at both measured points; grow ∝ nCells/40
+    *  - IVF cells: nCells ∝ √n (the FAISS rule — total cost =
+    *    assignment O(n·nCells) + search O(n·nProbe/nCells) balances at
+    *    √n), anchored at the measured sf0.1 sweet spot (nCells=16 at
+    *    n=2000, recall@10 0.95). VERDICT r9 item 3: the r9 constant-
+    *    occupancy law (n/125) made centroid count — and with it the
+    *    driver collect, the broadcast, and the per-row assignment work
+    *    — LINEAR in the corpus (8M centroids ≈ 4 GB at 10^9 vectors);
+    *    √n keeps all three sub-linear (√10^9 ≈ 31.6k cells ≈ 16 MB
+    *    broadcast at d=64). When √n centroids outgrow a comfortable
+    *    broadcast (~10^12 vectors → 10^6 cells ≈ 0.5 GB), the next
+    *    level is a second coarse quantizer (IMI, Babenko & Lempitsky
+    *    2012: two √nCells-sized codebooks whose product spans the cell
+    *    grid) — documented as the growth path, not needed at any scale
+    *    this library's fixtures or a 100 TB corpus reach.
+    *  - IVF probes: 4 cells at the measured points; grow ∝ nCells/40
     *    beyond so the probed fraction never falls under 2.5%.
     *  - BRP AND-width m: +2 projections per 10x corpus (6 at 2k, 8 at
     *    20k — re-tightens buckets to ~1.2x growth with zero recall
@@ -279,7 +290,8 @@ object Similarity {
     * Each consumer computes `n` with one cheap count job only when the
     * caller leaves the knob at its ≤0 "auto" sentinel. */
   def autoNCells(n: Long): Int =
-    math.max(1, math.round(n / 125.0).toInt)
+    math.max(1,
+      math.round(16.0 * math.sqrt(math.max(1L, n) / 2000.0)).toInt)
 
   def autoNProbe(nCells: Int): Int =
     math.min(nCells, math.max(4, nCells / 40))
@@ -456,9 +468,12 @@ object Similarity {
     * only shuffle there is an nCells-key reduce; assignment is a
     * narrow broadcast map), then ONE hash exchange on `cell` feeding
     * two Window passes over the same partitioning (count + row_number).
-    * Cell occupancy is held ~constant (~125 rows, [[autoNCells]]) so
-    * per-cell windows stay tiny as the corpus grows — no global sort,
-    * no skew magnet, driver memory nCells-bounded. */
+    * Under the r10 √n cell law ([[autoNCells]]) occupancy grows ~2.8·√n
+    * — per-cell windows stay SUB-LINEAR in the corpus (88k rows per
+    * cell at 10^9 vectors: one comfortable task each), while the
+    * per-row assignment scan and the centroid collect stay √n-bounded
+    * (the r9 constant-occupancy law made assignment O(n²/125) — the
+    * flagged scale killer). No global sort, no skew magnet. */
   def clusterPrune(
       emb: DataFrame,
       pruneFrac: Double = 0.25,
@@ -541,8 +556,7 @@ object Similarity {
       .crossJoin(broadcast(ndocs))
       .select(col("doc_id"), col("t"),
         (col("c").cast(DecimalType(9, 0)) *
-          round(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + 1, 6)
-            .cast(DecimalType(9, 6)))
+          graft.Det.fq6(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + 1, 9))
           .cast(DecimalType(18, 6)).as("w"))
   }
 
@@ -584,7 +598,8 @@ object Similarity {
       |w AS (
       |  SELECT tf.doc_id, tf.t,
       |         CAST(CAST(tf.c AS DECIMAL(9,0)) *
-      |              CAST(ROUND(ln((n + 1.0) / (df + 1.0)) + 1, 6) AS DECIMAL(9,6))
+      |              CAST(FLOOR((ln((n + 1.0) / (df + 1.0)) + 1) * 1e6 + 0.5) / 1e6
+      |                AS DECIMAL(9,6))
       |              AS DECIMAL(18,6)) AS w
       |  FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN ndocs)""".stripMargin
 
@@ -622,13 +637,14 @@ object Similarity {
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
-        round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6)
-          .cast(DecimalType(9, 6)))
+        graft.Det.fq6(
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 9))
       .withColumn("c",
-        round((col("idf").cast("double") * (col("tf").cast("double") * (lit(k1) + lit(1.0)))) /
+        graft.Det.fq6(
+          (col("idf").cast("double") * (col("tf").cast("double") * (lit(k1) + lit(1.0)))) /
           (col("tf").cast("double") +
-            lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))), 6)
-          .cast(DecimalType(18, 6)))
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))),
+          18))
       .groupBy("doc_id")
       .agg(decimalSum6(col("c")).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))

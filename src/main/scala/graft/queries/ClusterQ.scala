@@ -15,7 +15,12 @@ import org.apache.spark.sql.types.DecimalType
   * value list (bit-identical regardless of accumulation order — the
   * emb_centroid_per_label discipline); distances fold (x_i-c_i)^2 in
   * index order on both sides (SquaredL2 ≡ DuckDB list_reduce); outputs
-  * land on the ROUND(..., 6) -> DECIMAL(20,6) grid.
+  * land on the FLOOR(x * 1e6 + 0.5) BIGINT micro-unit grid (Det.u6).
+  * r10: ROUND(raw double, N) is banned from the oracle surface — the
+  * half-up FLOOR form is pure IEEE arithmetic, identical across engine
+  * versions, while DuckDB's double-ROUND changed digit-boundary
+  * behavior across releases (the r9 emb_kmeans/emb_covariance
+  * driver-red seam).
   */
 object ClusterQ {
 
@@ -57,12 +62,12 @@ object ClusterQ {
         |           list_reduce(list_transform(range(1, len(e.v) + 1),
         |             i -> (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i])), (a, b) -> a + b) AS d
         |    FROM e CROSS JOIN c1))
-        |SELECT vec_id, cell, CAST(ROUND(d, 6) AS DECIMAL(20,6)) AS dist6
+        |SELECT vec_id, cell, CAST(FLOOR(d * 1e6 + 0.5) AS BIGINT) AS dist6u
         |FROM a2 WHERE rn = 1""".stripMargin) { (s, d) =>
       graft.ext.Embeddings.lloyd(Tables.embeddings(s, d), k = 8, iters = 1,
           exact = true)
         .select(col("vec_id"), col("cell"),
-          round(col("d"), 6).cast(DecimalType(20, 6)).as("dist6"))
+          graft.Det.u6(col("d")).as("dist6u"))
     },
 
     // The d x d covariance matrix (upper triangle, unbiased), the
@@ -94,16 +99,18 @@ object ClusterQ {
         |  SELECT a.i AS i, b.i AS j, a.c * b.c AS pr
         |  FROM ctr a JOIN ctr b ON a.vec_id = b.vec_id AND a.i <= b.i)
         |SELECT i, j,
-        |       CAST(ROUND(
+        |       CAST(FLOOR(
         |         CAST(SUM(CAST(FLOOR(pr * 1e12) AS DECIMAL(38,0))) AS DOUBLE)
-        |           / 1e12 / (COUNT(*) - 1), 6) AS DECIMAL(20,6)) AS cov6
+        |           / 1e12 / (COUNT(*) - 1) * 1e6 + 0.5) AS BIGINT) AS cov6u
         |FROM p GROUP BY i, j""".stripMargin) { (s, d) =>
       // r9: cross-row sums ride the pageRank 1e-12 floor-quantized
       // decimal pattern (order-independent, map-side combinable) instead
       // of the sorted-fold collect_list — the registry row is now itself
-      // scale-safe (no per-group value buffer) AND ~2× faster; the
-      // quantization bias (≤1e-12, identical on both engines) vanishes
-      // under the 6-decimal output rounding.
+      // scale-safe (no per-group value buffer) AND ~2× faster. r10: the
+      // final value lands on the FLOOR micro-unit grid (not ROUND): both
+      // engines divide the identical quantized sum by the identical 1e12
+      // and (n-1), so the double is bit-identical, and FLOOR of it is
+      // version-independent where ROUND-at-6-decimals was not.
       val e = Tables.embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val ex = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
@@ -125,8 +132,7 @@ object ClusterQ {
             .cast("double").as("su"),
           count(lit(1)).as("n"))
         .select(col("i"), col("j"),
-          round(col("su") / lit(1.0e12) / (col("n") - 1), 6)
-            .cast(DecimalType(20, 6)).as("cov6"))
+          graft.Det.u6(col("su") / lit(1.0e12) / (col("n") - 1)).as("cov6u"))
     },
 
     // PCA projection onto the top-2 principal components: one-pass

@@ -213,14 +213,14 @@ object CurateQ {
         |       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
         |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-        |       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
+        |       CAST(FLOOR(quantile_cont(n_chars, 0.5) * 1e6 + 0.5) AS BIGINT) AS p50_chars_u6
         |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
       Tables.documents(s, d).groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         Det.davg2(col("n_chars")).as("avg_chars"),
         sum(when(col("lang") === "en", 1).otherwise(0)).cast("bigint").as("n_en"),
         countDistinct("lang").as("n_langs"),
-        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"))
+        Det.u6(expr("percentile(n_chars, 0.5)")).as("p50_chars_u6"))
     },
 
     // Corpus-level top-k bigram report (boilerplate detector: the
@@ -552,9 +552,9 @@ object CurateQ {
         |  FROM cnt),
         |lr AS (
         |  SELECT b,
-        |         CAST(ROUND(
-        |           ln((ct + 1.0) / (nt + 512.0)) - ln((cr + 1.0) / (nr + 512.0)),
-        |           6) AS DECIMAL(12,6)) AS lr
+        |         CAST(FLOOR(
+        |           (ln((ct + 1.0) / (nt + 512.0)) - ln((cr + 1.0) / (nr + 512.0)))
+        |           * 1e6 + 0.5) / 1e6 AS DECIMAL(12,6)) AS lr
         |  FROM cnt CROSS JOIN tot)
         |SELECT doc_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -573,10 +573,10 @@ object CurateQ {
       val tot = cnt.agg(sum("cr").as("nr"), sum("ct").as("nt"))
       val lr = cnt.crossJoin(broadcast(tot))
         .select(col("b"),
-          round(
+          graft.Det.fq6(
             log((col("ct") + lit(1.0)) / (col("nt") + lit(512.0))) -
               log((col("cr") + lit(1.0)) / (col("nr") + lit(512.0))),
-            6).cast(DecimalType(12, 6)).as("lr"))
+            12).as("lr"))
       tb.join(broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
@@ -1105,7 +1105,8 @@ object CurateQ {
         |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM cnt),
         |lm AS (
         |  SELECT b,
-        |         CAST(ROUND(-ln((ct + 1.0) / (nt + 512.0)), 6) AS DECIMAL(12,6)) AS nll
+        |         CAST(FLOOR(-ln((ct + 1.0) / (nt + 512.0)) * 1e6 + 0.5) / 1e6
+        |           AS DECIMAL(12,6)) AS nll
         |  FROM cnt CROSS JOIN tot),
         |sc AS (
         |  SELECT doc_id,
@@ -1129,8 +1130,9 @@ object CurateQ {
       val tot = cnt.agg(sum("ct").as("nt"))
       val lm = cnt.crossJoin(broadcast(tot))
         .select(col("b"),
-          round(-log((col("ct") + lit(1.0)) / (col("nt") + lit(512.0))), 6)
-            .cast(DecimalType(12, 6)).as("nll"))
+          graft.Det.fq6(
+            -log((col("ct") + lit(1.0)) / (col("nt") + lit(512.0))), 12)
+            .as("nll"))
       val sc = tb.join(broadcast(lm), "b")
         .groupBy("doc_id")
         .agg(

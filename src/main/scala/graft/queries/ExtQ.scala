@@ -140,10 +140,12 @@ object ExtQ {
         |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
         |c AS (
         |  SELECT tf.doc_id,
-        |         CAST(ROUND(
-        |           (CAST(CAST(ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6) AS DECIMAL(9,6)) AS DOUBLE)
+        |         CAST(FLOOR(
+        |           (CAST(CAST(FLOOR(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5) / 1e6
+        |                  AS DECIMAL(9,6)) AS DOUBLE)
         |             * (tf * (1.2 + 1.0))) /
-        |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6)) AS c
+        |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |           * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS c
         |  FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN stats)
         |SELECT doc_id, CAST(CAST(ROUND(SUM(c), 6) AS DECIMAL(20,6)) AS DOUBLE) AS bm25
         |FROM c GROUP BY doc_id

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{Det, QueryDef, Tables}
 import graft.ext.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -129,14 +129,14 @@ object ExtraQ {
     QueryDef(
       "agg_percentile_exact",
       """SELECT l_returnflag,
-        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
-        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
-        |       round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+        |       CAST(FLOOR(quantile_cont(l_quantity, 0.5) * 1e6 + 0.5) AS BIGINT) AS p50_u6,
+        |       CAST(FLOOR(quantile_cont(l_quantity, 0.9) * 1e6 + 0.5) AS BIGINT) AS p90_u6,
+        |       CAST(FLOOR(quantile_cont(l_extendedprice, 0.99) * 1e6 + 0.5) AS BIGINT) AS price_p99_u6
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag").agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
+        Det.u6(expr("percentile(l_quantity, 0.5)")).as("p50_u6"),
+        Det.u6(expr("percentile(l_quantity, 0.9)")).as("p90_u6"),
+        Det.u6(expr("percentile(l_extendedprice, 0.99)")).as("price_p99_u6"))
     },
 
     // Exact distinct counting via the Spark 4 bitmap function family:
@@ -211,8 +211,8 @@ object ExtraQ {
     QueryDef(
       "agg_approx_pctl_twin",
       """SELECT l_returnflag,
-        |       round(quantile_cont(l_extendedprice, 0.50) , 6) AS p50,
-        |       round(quantile_cont(l_extendedprice, 0.95) , 6) AS p95
+        |       CAST(FLOOR(quantile_cont(l_extendedprice, 0.50) * 1e6 + 0.5) AS BIGINT) AS p50_u6,
+        |       CAST(FLOOR(quantile_cont(l_extendedprice, 0.95) * 1e6 + 0.5) AS BIGINT) AS p95_u6
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
       // ONE buffering exact-percentile aggregate (array form) and ONE
       // approx sketch pass — not 8 separate value-buffering aggs
@@ -221,8 +221,8 @@ object ExtraQ {
           expr("percentile(l_extendedprice, array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))").as("ex"),
           expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ap"))
         .select(col("l_returnflag"),
-          round(col("ex").getItem(1), 6).as("p50"),
-          round(col("ex").getItem(4), 6).as("p95"),
+          Det.u6(col("ex").getItem(1)).as("p50_u6"),
+          Det.u6(col("ex").getItem(4)).as("p95_u6"),
           col("ap").getItem(0).as("a50"), col("ap").getItem(1).as("a95"),
           col("ex").getItem(0).as("lo50"), col("ex").getItem(2).as("hi50"),
           col("ex").getItem(3).as("lo95"), col("ex").getItem(5).as("hi95"))
@@ -234,7 +234,7 @@ object ExtraQ {
         require(d("a95") >= d("lo95") && d("a95") <= d("hi95"),
           s"approx p95 out of rank band for ${r.get(0)}: ${d("a95")} not in [${d("lo95")}, ${d("hi95")}]")
       }
-      both.select(col("l_returnflag"), col("p50"), col("p95"))
+      both.select(col("l_returnflag"), col("p50_u6"), col("p95_u6"))
     },
 
     // Count–min sketch (r9): the mergeable FREQUENCY sketch — bounded-

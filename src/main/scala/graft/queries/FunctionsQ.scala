@@ -1,15 +1,17 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{Det, QueryDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Scalar-function sweep (SURVEY §2.3 families: string, date/time, math,
   * conditional, array, map, JSON). All codegen'd built-ins — no UDFs in
   * the hot path. Oracle SQL casts DuckDB's wider return types (BIGINT
-  * length/year/etc.) down to Spark's (INT) so schemas align, and rounds
-  * transcendentals (exp/ln/pow) to 6 digits since libm implementations
-  * are not bit-identical across engines.
+  * length/year/etc.) down to Spark's (INT) so schemas align, and
+  * half-up FLOOR-quantizes transcendentals (exp/ln/trig, Det.u6) onto a
+  * 1e6 integer grid since libm implementations are not bit-identical
+  * across engines — FLOOR(x*1e6+0.5), never ROUND-on-double, which is
+  * implementation-defined at digit boundaries across DuckDB versions.
   */
 object FunctionsQ {
 
@@ -137,17 +139,17 @@ object FunctionsQ {
       // rounded: the sums-of-products fold order differs across engines.
       "agg_regression",
       """SELECT l_linestatus,
-        |       round(regr_slope(l_extendedprice, l_discount), 4) AS slope,
-        |       round(regr_intercept(l_extendedprice, l_discount), 4) AS icept,
-        |       round(regr_r2(l_extendedprice, l_discount), 6) AS r2,
-        |       round(regr_avgx(l_extendedprice, l_discount), 6) AS avgx,
+        |       CAST(FLOOR(regr_slope(l_extendedprice, l_discount) * 1e4 + 0.5) AS BIGINT) AS slope_u4,
+        |       CAST(FLOOR(regr_intercept(l_extendedprice, l_discount) * 1e4 + 0.5) AS BIGINT) AS icept_u4,
+        |       CAST(FLOOR(regr_r2(l_extendedprice, l_discount) * 1e6 + 0.5) AS BIGINT) AS r2_u6,
+        |       CAST(FLOOR(regr_avgx(l_extendedprice, l_discount) * 1e6 + 0.5) AS BIGINT) AS avgx_u6,
         |       CAST(regr_count(l_extendedprice, l_discount) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).groupBy("l_linestatus").agg(
-        round(regr_slope(col("l_extendedprice"), col("l_discount")), 4).as("slope"),
-        round(regr_intercept(col("l_extendedprice"), col("l_discount")), 4).as("icept"),
-        round(regr_r2(col("l_extendedprice"), col("l_discount")), 6).as("r2"),
-        round(regr_avgx(col("l_extendedprice"), col("l_discount")), 6).as("avgx"),
+        Det.uN(regr_slope(col("l_extendedprice"), col("l_discount")), 4).as("slope_u4"),
+        Det.uN(regr_intercept(col("l_extendedprice"), col("l_discount")), 4).as("icept_u4"),
+        Det.u6(regr_r2(col("l_extendedprice"), col("l_discount"))).as("r2_u6"),
+        Det.u6(regr_avgx(col("l_extendedprice"), col("l_discount"))).as("avgx_u6"),
         regr_count(col("l_extendedprice"), col("l_discount")).as("n"))
     },
 
@@ -267,25 +269,25 @@ object FunctionsQ {
       "fn_math",
       """SELECT l_orderkey, l_linenumber,
         |       abs(l_discount - 0.05) AS abs_d,
-        |       round(l_extendedprice, 0) AS price_r0,
+        |       CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS price_r0,
         |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
         |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         |       sqrt(l_quantity) AS qty_sqrt,
         |       pow(l_quantity, 2) AS qty_sq,
-        |       round(exp(l_discount), 6) AS disc_exp,
-        |       round(ln(l_extendedprice), 6) AS price_ln,
+        |       CAST(FLOOR(exp(l_discount) * 1e6 + 0.5) AS BIGINT) AS disc_exp_u6,
+        |       CAST(FLOOR(ln(l_extendedprice) * 1e6 + 0.5) AS BIGINT) AS price_ln_u6,
         |       CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS key_pmod
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).filter(col("l_orderkey") < 1000).select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - 0.05).as("abs_d"),
-        round(col("l_extendedprice"), 0).as("price_r0"),
+        Det.uN(col("l_extendedprice"), 0).as("price_r0"),
         floor(col("l_extendedprice")).as("price_floor"),
         ceil(col("l_extendedprice")).as("price_ceil"),
         sqrt(col("l_quantity")).as("qty_sqrt"),
         pow(col("l_quantity"), 2).as("qty_sq"),
-        round(exp(col("l_discount")), 6).as("disc_exp"),
-        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        Det.u6(exp(col("l_discount"))).as("disc_exp_u6"),
+        Det.u6(log(col("l_extendedprice"))).as("price_ln_u6"),
         pmod(col("l_orderkey"), lit(7)).cast("bigint").as("key_pmod"))
     },
 
@@ -391,9 +393,9 @@ object FunctionsQ {
       // differ across engines.
       "fn_math_trig",
       """SELECT l_orderkey, l_linenumber,
-        |       round(sin(l_quantity), 6) AS qty_sin,
-        |       round(cos(l_quantity), 6) AS qty_cos,
-        |       round(atan2(l_quantity, 10.0), 6) AS qty_atan2,
+        |       CAST(FLOOR(sin(l_quantity) * 1e6 + 0.5) AS BIGINT) AS qty_sin_u6,
+        |       CAST(FLOOR(cos(l_quantity) * 1e6 + 0.5) AS BIGINT) AS qty_cos_u6,
+        |       CAST(FLOOR(atan2(l_quantity, 10.0) * 1e6 + 0.5) AS BIGINT) AS qty_atan2_u6,
         |       CAST(sign(l_discount - 0.05) AS INT) AS disc_sign,
         |       CAST(l_orderkey & 255 AS BIGINT) AS key_and,
         |       CAST(l_orderkey | 1 AS BIGINT) AS key_or,
@@ -401,9 +403,9 @@ object FunctionsQ {
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).filter(col("l_orderkey") < 1000).select(
         col("l_orderkey"), col("l_linenumber"),
-        round(sin(col("l_quantity")), 6).as("qty_sin"),
-        round(cos(col("l_quantity")), 6).as("qty_cos"),
-        round(atan2(col("l_quantity"), lit(10.0)), 6).as("qty_atan2"),
+        Det.u6(sin(col("l_quantity"))).as("qty_sin_u6"),
+        Det.u6(cos(col("l_quantity"))).as("qty_cos_u6"),
+        Det.u6(atan2(col("l_quantity"), lit(10.0))).as("qty_atan2_u6"),
         signum(col("l_discount") - 0.05).cast("int").as("disc_sign"),
         col("l_orderkey").bitwiseAND(lit(255L)).as("key_and"),
         col("l_orderkey").bitwiseOR(lit(1L)).as("key_or"),

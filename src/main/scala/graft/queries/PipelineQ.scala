@@ -395,8 +395,10 @@ object PipelineQ {
     // (Σ c·ln c)/N) + distinct ratio: the gibberish/boilerplate signal
     // a pretraining quality filter thresholds on (repeated-phrase spam
     // scores low, natural prose high). Explode -> two HashAggregates —
-    // embarrassingly parallel. ln is transcendental -> round(6), the
-    // established cross-engine discipline for libm-backed values.
+    // embarrassingly parallel. ln is transcendental -> half-up
+    // FLOOR-quantized onto the 1e6 grid (Det.u6), the established
+    // cross-engine discipline for libm-backed values (r10: ROUND on a
+    // raw double is banned from the oracle surface).
     QueryDef(
       "doc_token_entropy",
       """WITH tok AS (
@@ -410,8 +412,8 @@ object PipelineQ {
          |         CAST(COUNT(*) AS BIGINT) AS n_distinct
          |  FROM tc GROUP BY doc_id)
          |SELECT doc_id,
-         |       round(ln(n) - clnc / n, 6) AS token_entropy,
-         |       round(n_distinct / n, 6) AS distinct_ratio
+         |       CAST(FLOOR((ln(n) - clnc / n) * 1e6 + 0.5) AS BIGINT) AS token_entropy_u6,
+         |       CAST(FLOOR(n_distinct / n * 1e6 + 0.5) AS BIGINT) AS distinct_ratio_u6
          |FROM agg""".stripMargin) { (s, d) =>
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(toks).as("t"))
@@ -423,8 +425,8 @@ object PipelineQ {
           count(lit(1)).as("n_distinct"))
         .select(
           col("doc_id"),
-          round(log(col("n")) - col("clnc") / col("n"), 6).as("token_entropy"),
-          round(col("n_distinct") / col("n"), 6).as("distinct_ratio"))
+          graft.Det.u6(log(col("n")) - col("clnc") / col("n")).as("token_entropy_u6"),
+          graft.Det.u6(col("n_distinct") / col("n")).as("distinct_ratio_u6"))
     },
 
     // Quality scoring: length, type-token ratio, stopword ratio — the

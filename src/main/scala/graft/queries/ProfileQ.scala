@@ -147,22 +147,32 @@ object ProfileQ {
     * (n_rows, n_nulls, n_distinct, min, max as string). Single
     * multi-aggregate scan (count-distincts plan as one Expand) unpivoted
     * with `stack` — no per-column jobs, nothing collected.
+    *
+    * Identifier-safe (ADVICE r9): source column names reach the plan
+    * only as backtick-escaped Column references and literal labels —
+    * never interpolated into parsed SQL — and the intermediate
+    * aggregate aliases are positional (`nn_0`, ...), so a name with
+    * spaces, dots, quotes, or reserved tokens profiles like any other
+    * (ProfileSpec covers a hostile schema).
     */
   def profile(t: DataFrame): DataFrame = {
-    val cols = t.schema.fieldNames.toSeq
-    val aggs = cols.flatMap { c =>
+    val names = t.schema.fieldNames.toSeq
+    def esc(c: String) = "`" + c.replace("`", "``") + "`"
+    val aggs = names.zipWithIndex.flatMap { case (c, i) =>
+      val f = col(esc(c))
       Seq(
-        count(col(c)).as(s"nn_$c"),
-        count_distinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
+        count(f).as(s"nn_$i"),
+        count_distinct(f).as(s"nd_$i"),
+        min(f).cast("string").as(s"mn_$i"),
+        max(f).cast("string").as(s"mx_$i"))
     }
     val one = t.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', n_rows, n_rows - nn_$c, nd_$c, mn_$c, mx_$c")
-      .mkString(", ")
-    one.select(expr(
-      s"stack(${cols.length}, $stackArgs) AS " +
-        "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"))
+    val stackCols = names.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), col("n_rows"), col("n_rows") - col(s"nn_$i"),
+        col(s"nd_$i"), col(s"mn_$i"), col(s"mx_$i"))
+    }
+    one.select(stack((lit(names.length) +: stackCols): _*)
+      .as(Seq("column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_str", "max_str")))
   }
 }

@@ -16,11 +16,14 @@ final case class FunnelAdvance(
 /** Streaming twin of the batch `evt_funnel` operator (queries/
   * EventsQ.scala): a per-user state machine over an ordered step
   * sequence, advanced by `transformWithState`. A step counts only when
-  * it is the NEXT step for the key and its event time is STRICTLY after
-  * the previous step's completion — byte-identical policy to the batch
-  * query's `MIN(ts) ... AND e.ts > prev.t` cascade, so replaying a
-  * bounded stream yields the exact batch counts
-  * (StreamingFunnelSpec asserts it).
+  * it is the NEXT step for the key, carries a NON-NULL event time, and
+  * that time is STRICTLY after the previous step's completion —
+  * matching the batch query's `MIN(ts) ... AND e.ts > prev.t` cascade,
+  * so replaying a bounded null-free stream yields the exact batch
+  * counts (StreamingFunnelSpec asserts it). Sole divergence, by
+  * policy: a user whose step-1 events are ALL null-ts is counted at
+  * step 1 by the batch query (the MIN group row exists with a NULL
+  * time) but never enters the stream funnel — see handleInputRows.
   *
   * Reference precedent: the samsa README pitches per-user stateful
   * consumption over an event stream (/root/reference/README.md:27-52);
@@ -54,8 +57,17 @@ class FunnelTrackerProcessor(
     var lastTs = st.lastTsMillis
     val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
     ordered.foreach { r =>
-      if (stage < steps.length && r.value == steps(stage)) {
-        val ts = if (r.ts == null) Long.MinValue else r.ts.getTime
+      // Null-ts records are SKIPPED: a funnel advancement needs a real
+      // event time. Known divergence from the batch twin, by policy:
+      // batch evt_funnel counts a user whose step-1 events are ALL
+      // null-ts (MIN over an all-NULL group is NULL, the group row
+      // still exists) but can never advance them past step 1 (ts >
+      // NULL is never true); the stream twin never admits them at all.
+      // On null-free streams — the fixture, and any event source with
+      // a required event-time column — replay parity is exact
+      // (StreamingFunnelSpec asserts both properties).
+      if (stage < steps.length && r.value == steps(stage) && r.ts != null) {
+        val ts = r.ts.getTime
         // strict > : an event sharing the previous completion's
         // timestamp cannot advance (the batch cascade's e.ts > prev.t)
         if (ts > lastTs) {

@@ -20,10 +20,14 @@ object KeyedRecord {
   /** Deterministic within-batch processing order: event time, then
     * non-null values, then tombstones (null value = delete, so a
     * same-timestamp tombstone wins over the value it deletes). The
-    * Boolean term keeps the String term null-safe — sorting on a raw
-    * null value would NPE and kill the streaming query mid-batch. */
+    * Boolean term keeps the String term null-safe, and a null ts sorts
+    * FIRST (Long.MinValue) — sorting on a raw null field would NPE and
+    * kill the streaming query mid-batch (r10: found by the
+    * FunnelTracker null-ts spec; every state processor shares this
+    * sort). */
   def orderKey(r: KeyedRecord): (Long, Boolean, String) =
-    (r.ts.getTime, r.value == null, if (r.value == null) "" else r.value)
+    (if (r.ts == null) Long.MinValue else r.ts.getTime,
+      r.value == null, if (r.value == null) "" else r.value)
 }
 
 /** Output of the change-detection slice — the README's canonical query

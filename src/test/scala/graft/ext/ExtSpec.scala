@@ -116,12 +116,18 @@ class ExtSpec extends SparkSpec {
   test("ANN knob auto-scaling reproduces the measured SCALE.md anchor points") {
     // The formulas are anchored to measured sweet spots, not guessed —
     // pin them so a refactor can't silently detach them from the data:
-    // nCells 16 @ 2k and 160 @ 20k (15.2 s → 4.32 s, recall 0.95);
+    // nCells ∝ √n anchored at the measured 16 @ 2k (VERDICT r9 item 3:
+    // the r9 constant-occupancy law made centroid count linear — √n is
+    // the FAISS assignment/search balance and keeps the driver collect,
+    // broadcast, and per-row scan sub-linear);
     // AND-width 6 @ 2k and 8 @ 20k (zero recall loss);
     // bucketLength 0.15 @ 2k and ≈0.05 @ 20k (measured hand value).
     assert(Similarity.autoNCells(2000) == 16)
-    assert(Similarity.autoNCells(20000) == 160)
-    assert(Similarity.autoNProbe(16) == 4 && Similarity.autoNProbe(160) == 4)
+    assert(Similarity.autoNCells(20000) == 51) // 16·√10
+    // sub-linear growth law: 100× the corpus → 10× the cells
+    assert(Similarity.autoNCells(200000) == 160)
+    assert(Similarity.autoNCells(1000000000L) == 11314) // ~√n, broadcastable
+    assert(Similarity.autoNProbe(16) == 4 && Similarity.autoNProbe(51) == 4)
     assert(Similarity.autoNProbe(1600) == 40) // fraction never below 2.5%
     assert(Similarity.autoHashesPerTable(2000) == 6)
     assert(Similarity.autoHashesPerTable(20000) == 8)

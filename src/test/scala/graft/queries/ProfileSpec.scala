@@ -38,6 +38,24 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("union"), "profile must not union per-column scans")
   }
 
+  test("profile: hostile column names (spaces, dots, quotes, reserved words, backticks)") {
+    // ADVICE r9: names must never be interpolated into parsed SQL —
+    // each of these breaks a string-built stack()/expr() unpivot
+    val hostile = Seq("a b", "a.b", "it's", "select", "tick`mark", "100%")
+    val df = spark.range(3).toDF(hostile.head)
+      .withColumn(hostile(1), col("`a b`") * 2)
+      .withColumn(hostile(2), lit("x"))
+      .withColumn(hostile(3), lit(null: String))
+      .withColumn(hostile(4), lit(1.5))
+      .withColumn(hostile(5), lit(7L))
+    val rows = ProfileQ.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == hostile.toSet)
+    assert(rows("a b") == ((3L, 0L, 3L)))
+    assert(rows("select") == ((3L, 3L, 0L)), "all-null reserved-word column")
+    assert(rows("tick`mark")._2 == 0L)
+  }
+
   test("doc_source_quota: per-source budget policy (first doc always kept)") {
     val out = q("doc_source_quota").cache()
     try {

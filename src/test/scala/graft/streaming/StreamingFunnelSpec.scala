@@ -58,6 +58,43 @@ class StreamingFunnelSpec extends SparkSpec {
     }
   }
 
+  test("replay parity at 4 steps: streamed == batch evt_funnel_4step") {
+    // VERDICT r9 item 8: the builder and the tracker take the same
+    // step list — parity must hold at a step count the old hard-coded
+    // cascade never exercised
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "view", "click", "purchase")
+    val evs = graft.Tables.events(spark, sf()).orderBy("ts", "event_id").limit(800)
+      .localCheckpoint()
+    val dir = tmp("funnel4-fixture")
+    evs.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("evt_funnel_4step")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+
+    val input = MemoryStream[KeyedRecord]
+    val out = FunnelTracker(input.toDS(), steps = steps)
+      .writeStream.format("memory").queryName("funnel4_out")
+      .option("checkpointLocation", tmp("ckpt-funnel4"))
+      .outputMode("append")
+      .start()
+    val recs = evs.select(
+        col("user_id").cast("string").as("key"),
+        col("event_type").as("value"),
+        lit("events").as("topic"), lit(0).as("partition"), col("ts"))
+      .as[KeyedRecord].collect()
+      .sortBy(r => (r.ts.getTime, r.value))
+    recs.grouped(300).foreach { g => input.addData(g.toSeq); out.processAllAvailable() }
+    out.stop()
+
+    val streamed = spark.table("funnel4_out").as[FunnelAdvance].collect()
+    val countsByStep = streamed.groupBy(_.step).view.mapValues(_.length.toLong).toMap
+    (1 to 4).foreach { s =>
+      assert(countsByStep.getOrElse(s, 0L) == batch.getOrElse(s, 0L),
+        s"step $s: streamed=${countsByStep.get(s)} batch=${batch.get(s)}")
+    }
+  }
+
   test("funnel stage survives stop + restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -121,5 +158,37 @@ class StreamingFunnelSpec extends SparkSpec {
     val got = spark.table("funnel_strict").as[FunnelAdvance].collect()
       .groupBy(_.key).view.mapValues(_.map(_.step).max).toMap
     assert(got == Map("u1" -> 3, "u2" -> 2, "u3" -> 1), got.toString)
+  }
+
+  test("null-ts policy: null-ts records are skipped, never corrupt state") {
+    // ADVICE r9: the documented divergence — a user whose only step-1
+    // events carry a null event time never enters the stream funnel
+    // (batch counts them at step 1 with t1 NULL); a null-ts record in
+    // the middle of a real funnel is ignored, not a blocker
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def nullRec(key: String, v: String) =
+      KeyedRecord(key, v, "events", 0, null)
+    val input = MemoryStream[KeyedRecord]
+    val out = FunnelTracker(input.toDS())
+      .writeStream.format("memory").queryName("funnel_nullts")
+      .option("checkpointLocation", tmp("ckpt-funnel-n"))
+      .outputMode("append")
+      .start()
+    input.addData(Seq(
+      // u1: only null-ts views -> never enters
+      nullRec("u1", "view"), nullRec("u1", "view"),
+      // u2: null-ts click between real view and real click -> the null
+      // one is skipped, the real one still advances
+      rec("u2", "view", 1000), nullRec("u2", "click"), rec("u2", "click", 2000),
+      // u3: null-ts view then a real view -> enters on the real one
+      nullRec("u3", "view"), rec("u3", "view", 1000)))
+    out.processAllAvailable()
+    out.stop()
+    val got = spark.table("funnel_nullts").as[FunnelAdvance].collect()
+      .groupBy(_.key).view.mapValues(_.map(_.step).sorted.toSeq).toMap
+    assert(!got.contains("u1"), got.toString)
+    assert(got.get("u2").contains(Seq(1, 2)), got.toString)
+    assert(got.get("u3").contains(Seq(1)), got.toString)
   }
 }

@@ -6,11 +6,72 @@ exactly (floats bit-for-bit, matching a hash compare).
 
 Usage: oracle_check.py <sfDir> <verifyOutDir>
 """
-import sys, json, math, glob
+import sys, json, math, glob, re
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
+
+ROUND_CALL = re.compile(r"(?<![A-Za-z0-9_])round\s*\(", re.IGNORECASE)
+
+def wrap_round_args(sql):
+    """Rewrite every ROUND(<arg>[, n]) so <arg> is wrapped in
+    graft_lint_decimal(...). Paren-aware: finds the first top-level comma
+    (or the closing paren for 1-arg round) of each call, innermost-last
+    via repeated scanning."""
+    while True:
+        out, changed, i = [], False, 0
+        for m in ROUND_CALL.finditer(sql):
+            start = m.end()  # position just after '('
+            # skip calls we already wrapped
+            if sql[start:].lstrip().startswith("graft_lint_decimal("):
+                continue
+            depth, j = 1, start
+            arg_end = None
+            while j < len(sql) and depth > 0:
+                c = sql[j]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        arg_end = j
+                elif c == "," and depth == 1:
+                    arg_end = j
+                    break
+                elif c == "'":  # skip string literal
+                    j += 1
+                    while j < len(sql) and sql[j] != "'":
+                        j += 1
+                j += 1
+            if arg_end is None:
+                continue
+            sql = (sql[:start] + "graft_lint_decimal(" +
+                   sql[start:arg_end] + ")" + sql[arg_end:])
+            changed = True
+            break  # restart scan: offsets shifted
+        if not changed:
+            return sql
+
+def lint_round_on_double(con, sql):
+    """r10 lint (VERDICT r9 item 2): ROUND applied to a non-DECIMAL
+    argument in oracle SQL is the cross-version DuckDB seam that went
+    driver-red on emb_kmeans/emb_covariance — double-ROUND digit-boundary
+    behavior is implementation-defined across releases, while ROUND on a
+    DECIMAL is exact integer arithmetic. Returns an error string or None.
+    Mechanism: rewrite each ROUND's first argument through a macro that
+    raises unless typeof(arg) is DECIMAL, then execute against the real
+    tables so every call site is exercised with its real argument type."""
+    if not ROUND_CALL.search(sql):
+        return None
+    try:
+        con.execute(wrap_round_args(sql)).fetchall()
+        return None
+    except Exception as e:
+        msg = str(e)
+        if "LINT:" in msg:
+            return msg[msg.index("LINT:"):].splitlines()[0]
+        return f"lint rewrite failed to execute: {msg.splitlines()[0]}"
 
 def canon(rows, cols):
     # sort columns by name, then rows lexicographically by repr
@@ -37,11 +98,19 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    con.execute(
+        "CREATE MACRO graft_lint_decimal(x) AS CASE"
+        " WHEN typeof(x) LIKE 'DECIMAL%' THEN x"
+        " ELSE error('LINT: ROUND on non-DECIMAL ' || typeof(x)) END")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     fails = []
     for name in sorted(oracle):
         sql = oracle[name]
+        lint = lint_round_on_double(con, sql)
+        if lint:
+            print(f"LINT     {name}: {lint}")
+            n_fail += 1; fails.append(name); continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"MISSING  {name} (no spark output)"); n_fail += 1; fails.append(name); continue
