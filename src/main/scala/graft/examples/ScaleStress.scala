@@ -236,7 +236,7 @@ object ScaleStress {
     // is a typo — fail fast rather than silently drop the timing row
     val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale",
       "emb_pq_scale", "emb_ivfpq_scale", "graph_pagerank_scale",
-      "graph_labelprop_scale")
+      "graph_labelprop_scale", "er_matches_scale")
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
       s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")
@@ -524,6 +524,48 @@ object ScaleStress {
       timings("graph_labelprop_scale") = best
       System.err.println(
         f"[scale] graph_labelprop_scale (${n * 6} directed edges, 3 sweeps): $best%.2f s")
+    }
+
+    // ER candidate discipline at scale (r10, VERDICT r9 item 4): a
+    // part-like table ∝ factor with PLANTED 1-edit pairs (n/2 true
+    // matches by construction; cross-group names are >= 4 edits apart
+    // because the group id appears 5 times). maxBlock = 500 so the 1×
+    // run exercises the exact path (80-row brand blocks) and 10×/100×
+    // (800/8000-row blocks) trip the LSH fallback — pair count must
+    // stay ~n/2 (recall) and wall ~linear, where the uncapped exact
+    // join's pair space grows ~factor².
+    if (names.contains("er_matches_scale")) {
+      val n = 2000L * factor
+      val g = (col("id") / 2).cast("long")
+      val colorArr = array(Seq("almond", "antique", "aquamarine", "azure",
+        "beige", "bisque", "blanched", "blush").map(lit): _*)
+      val baseName = concat_ws(" ",
+        element_at(colorArr, (pmod(xxhash64(g, lit(1)), lit(8)) + 1).cast("int")),
+        element_at(colorArr, (pmod(xxhash64(g, lit(2)), lit(8)) + 1).cast("int")),
+        concat(g, lit("v"), g, lit("x"), g, lit("y"), g, lit("z"), g))
+      val parts = spark.range(n).select(
+        col("id").as("p_partkey"),
+        concat(lit("Brand#"), pmod(g, lit(25))).as("p_brand"),
+        when(col("id") % 2 === 0, baseName)
+          .otherwise(concat(baseName.substr(lit(1), length(baseName) - 1),
+            lit("q"))).as("p_name"))
+      var best = Double.MaxValue
+      var found = 0L
+      var rep = 0
+      while (rep < 2) {
+        val t0 = System.nanoTime()
+        found = graft.ext.Graph.erMatches(parts, maxBlock = 500).count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        rep += 1
+      }
+      val recall = found.toDouble / (n / 2)
+      timings("er_matches_scale") = best
+      timings("er_matches_scale_pairs") = found.toDouble
+      timings("er_matches_scale_recall") = recall
+      System.err.println(
+        f"[scale] er_matches_scale (n=$n, cap 500): $best%.2f s, " +
+          f"$found pairs of ${n / 2} planted, recall $recall%.3f")
     }
 
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -111,4 +111,89 @@ object Graph {
     }
     labs
   }
+
+  /** Verified fuzzy-match pairs `(pa, pb)` (pa < pb) for the
+    * entity-resolution family — ONE candidate discipline shared by
+    * ext_entity_linkage / ext_entity_components / ext_label_prop:
+    * match = same blocking key (`p_brand`), name-length band <= 2,
+    * levenshtein <= 3 (banded DP, threshold 3).
+    *
+    * VERDICT r9 item 4: the blocking key has FIXED cardinality (25
+    * brands in TPC-H), so pure in-block pair generation is O((n/25)²)
+    * — quadratic as the corpus grows, ~80G candidate pairs at 100×
+    * sf0.1 in 25 shuffle partitions. Discipline here:
+    *
+    *  - blocks up to `maxBlock` rows generate EXACT in-block pairs
+    *    (identical to the r9 behavior; every sf0.01/sf0.1 fixture
+    *    block is far under the default cap, so the three oracle rows
+    *    are pair-identical and stay hash-green);
+    *  - blocks OVER the cap route through character-3-gram MinHash-LSH
+    *    candidates INSIDE the block (16 minhashes, 8 bands × 2 rows:
+    *    P(candidate) ≈ 0.97 at 3-gram Jaccard 0.6, 0.9 at 0.5), then
+    *    the same verify. The oversized tail costs Σ bucket² within
+    *    (block × band-signature) buckets instead of block² — measured
+    *    ~linear candidate growth at 10×/100× (ScaleStress er_candidates
+    *    row) — trading bounded recall on heavy-edit pairs (a 3-edit
+    *    rewrite of a short name can shred most of its 3-grams; exact
+    *    duplicates and 1-edit variants keep high Jaccard and are
+    *    retained — GraphSpec plants both) for sub-quadratic growth.
+    *    Exhaustive generation inside a fixed-key mega-block is the
+    *    thing that cannot scale; the cap makes the exact path's pair
+    *    space <= maxBlock · n, i.e. linear in n at fixed cap.
+    *
+    * Both paths shuffle on the blocking key (+ band signature), never
+    * on the pair space; lengths are precomputed node-side so the band
+    * check on each candidate is an int compare (r9 ccb7195). */
+  def erMatches(parts: DataFrame, maxBlock: Long = 2000L): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val p = parts.select(col("p_partkey"), col("p_brand"), col("p_name"),
+      length(col("p_name")).as("len"))
+    val sizes = p.groupBy("p_brand").agg(count(lit(1)).as("bn"))
+    val tagged = p.join(broadcast(sizes), "p_brand")
+
+    def verified(cand: DataFrame): DataFrame =
+      cand.filter(col("pa") < col("pb") &&
+          abs(col("la") - col("lb")) <= 2 &&
+          levenshtein(col("na"), col("nb"), 3).between(0, 3))
+        .select("pa", "pb")
+
+    val small = tagged.filter(col("bn") <= maxBlock)
+    val exact = verified(small
+      .select(col("p_brand"), col("p_partkey").as("pa"),
+        col("p_name").as("na"), col("len").as("la"))
+      .join(small.select(col("p_brand"), col("p_partkey").as("pb"),
+        col("p_name").as("nb"), col("len").as("lb")), Seq("p_brand")))
+
+    val big = tagged.filter(col("bn") > maxBlock)
+    // per-row 16-minhash over distinct char 3-grams, packed into 8
+    // band signatures (compiled UDF: ~60 grams × 16 hashes per name —
+    // cheaper than exploding grams through a shuffle; runs only on
+    // oversized blocks)
+    val bandU = udf { (name: String) =>
+      val n = if (name == null) "" else name
+      val grams =
+        if (n.length < 3) Seq(n)
+        else (0 to n.length - 3).map(i => n.substring(i, i + 3)).distinct
+      val mh = Array.tabulate(16) { h =>
+        var m = Int.MaxValue
+        grams.foreach { g =>
+          val v = scala.util.hashing.MurmurHash3.stringHash(g, h)
+          if (v < m) m = v
+        }
+        m
+      }
+      Array.tabulate(8)(b => s"$b:${mh(2 * b)}:${mh(2 * b + 1)}")
+    }
+    val sig = big.select(col("p_brand"), col("p_partkey"), col("p_name"),
+      col("len"), explode(bandU(col("p_name"))).as("bsig"))
+    val lsh = verified(sig
+      .select(col("p_brand"), col("bsig"), col("p_partkey").as("pa"),
+        col("p_name").as("na"), col("len").as("la"))
+      .join(sig.select(col("p_brand"), col("bsig"),
+        col("p_partkey").as("pb"), col("p_name").as("nb"),
+        col("len").as("lb")), Seq("p_brand", "bsig")))
+      .distinct() // a pair can collide in several bands
+
+    exact.unionAll(lsh)
+  }
 }

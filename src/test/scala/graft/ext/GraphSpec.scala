@@ -102,4 +102,52 @@ class GraphSpec extends SparkSpec {
     assert(run("2") === run("4"),
       "min-label tie-break must make sweeps partition-count invariant")
   }
+
+  private def partsDf(rows: Seq[(Long, String, String)]) = {
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_brand", StringType),
+      StructField("p_name", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 4),
+      schema)
+  }
+
+  test("erMatches: under the cap == exhaustive brute force, pa < pb") {
+    val rows = Seq(
+      (1L, "B1", "misty rose salmon"), (2L, "B1", "misty rose salmn"),
+      (3L, "B1", "totally different name"), (4L, "B2", "misty rose salmon"),
+      (5L, "B2", "misty rose salmonx"), (6L, "B2", "zzz"))
+    val got = Graph.erMatches(partsDf(rows), maxBlock = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth: same brand, |len diff|<=2, lev<=3
+    assert(got === Set((1L, 2L), (4L, 5L)), got.toString)
+    assert(got.forall { case (a, b) => a < b })
+  }
+
+  test("erMatches: oversized block routes through LSH, keeps near-dup pairs, bounds candidates") {
+    // one brand of 60 rows (> cap 50): 20 base names, each with an
+    // exact duplicate and a 1-edit variant — high 3-gram Jaccard, the
+    // documented retained class for the LSH tail. The index appears 4
+    // times, so any cross-trio pair is >= 4 edits apart (no true
+    // cross-trio matches exist)
+    val base = (0 until 20).map(i => s"pale turquoise ${i}v${i}x${i}y${i}z${i}")
+    val rows = base.zipWithIndex.flatMap { case (n, i) =>
+      Seq((i * 3L, "BIG", n), (i * 3L + 1, "BIG", n),
+        (i * 3L + 2, "BIG", n.dropRight(1) + "x"))
+    }
+    val got = Graph.erMatches(partsDf(rows), maxBlock = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted trio must resolve fully (3 pairs per trio)
+    (0 until 20).foreach { i =>
+      val (a, b, c) = (i * 3L, i * 3L + 1, i * 3L + 2)
+      assert(got((a, b)) && got((a, c)) && got((b, c)),
+        s"trio $i incomplete in $got")
+    }
+    // and no cross-trio false positives (distinct name$i suffixes are
+    // >3 edits apart only for i vs j with different digit counts — so
+    // just assert pairs stay within trios)
+    got.foreach { case (a, b) =>
+      assert(a / 3 == b / 3, s"cross-trio pair ($a,$b)")
+    }
+  }
 }
