@@ -8,11 +8,19 @@ import org.apache.spark.sql.types.DecimalType
   * the equivalent ANSI SQL the driver runs in DuckDB as the oracle.
   * Column names of `run`'s result and the oracle SQL must match exactly
   * (the driver sorts columns by name before hashing values).
+  *
+  * `oracleGen` (r10) is the LAZY oracle form: SQL generated at Verify
+  * time with the session + sf dir in hand, for rows whose oracle embeds
+  * values a driver-side model fit computes (emb_pca_project inlines the
+  * eigenbasis as literals — the per-row projection arithmetic is then
+  * oracle-checked while the eigen step stays test-verified). Generation
+  * must be deterministic for a given (session, sfDir).
   */
 final case class QueryDef(
     name: String,
     oracle: Option[String],
-    run: (SparkSession, String) => DataFrame)
+    run: (SparkSession, String) => DataFrame,
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 object QueryDef {
   def apply(name: String, oracle: String)(
@@ -22,6 +30,10 @@ object QueryDef {
   def noOracle(name: String)(
       run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, None, run)
+
+  def lazyOracle(name: String)(gen: (SparkSession, String) => String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, None, run, Some(gen))
 }
 
 /** Determinism helpers for DuckDB hash-matching.

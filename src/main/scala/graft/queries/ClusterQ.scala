@@ -137,16 +137,47 @@ object ClusterQ {
 
     // PCA projection onto the top-2 principal components: one-pass
     // covariance (treeAggregate, no shuffle) -> driver Jacobi eigen ->
-    // broadcast map-only projection. No DuckDB oracle (eigendecomposition
-    // is not SQL-expressible); planted-structure invariants — component
-    // alignment, variance ordering, covariance cross-check vs the oracle
-    // query — are REQUIREd in ClusterSpec.
-    QueryDef.noOracle("emb_pca_project") { (s, d) =>
+    // broadcast map-only projection. r10 (VERDICT r9 item 5): the
+    // PROJECTION half is oracle-checked via a LAZY oracle — Verify
+    // refits the (deterministic) eigenbasis and inlines mean +
+    // components as exact shortest-round-trip double literals, so
+    // DuckDB recomputes the per-row index-order fold (v[i]-mu[i])*w[i]
+    // bit-identically and the u6 grids hash-match. The eigen step
+    // itself stays test-verified (ClusterSpec planted-structure
+    // invariants: component alignment, variance ordering, covariance
+    // cross-check). Determinism note: the query run and the oracle
+    // generation both fit on the same session/splits, and
+    // treeAggregate's combine order is fixed given the partitioning.
+    QueryDef.lazyOracle("emb_pca_project") { (s, d) =>
+      val (_, mu, cov) =
+        graft.ext.Embeddings.meanAndCovariance(Tables.embeddings(s, d))
+      val (vals, vecs) = graft.ext.Embeddings.jacobiEigen(cov)
+      val total = vals.map(math.max(_, 0.0)).sum
+      val explained =
+        if (total == 0.0) 0.0
+        else vals.take(2).map(math.max(_, 0.0)).sum / total
+      def lst(a: Array[Double]) = a.map(_.toString).mkString("[", ", ", "]")
+      def pc(w: String, alias: String) =
+        s"""CAST(FLOOR(list_reduce(list_transform(range(1, len(v) + 1),
+           |    i -> (v[i] - mu[i]) * $w[i]), (a, b) -> a + b)
+           |    * 1e6 + 0.5) AS BIGINT) AS $alias""".stripMargin
+      s"""WITH consts AS (
+         |  SELECT ${lst(mu)} AS mu, ${lst(vecs(0))} AS w0, ${lst(vecs(1))} AS w1),
+         |e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings)
+         |SELECT vec_id, label,
+         |  ${pc("w0", "pc1_u6")},
+         |  ${pc("w1", "pc2_u6")},
+         |  CAST(${math.floor(explained * 1e6 + 0.5).toLong} AS BIGINT) AS var_explained_u6
+         |FROM e CROSS JOIN consts""".stripMargin
+    } { (s, d) =>
       val (proj, explained) =
         graft.ext.Embeddings.pcaProject(Tables.embeddings(s, d), k = 2)
       proj.select(col("vec_id"), col("label"),
-          col("pc").getItem(0).as("pc1"), col("pc").getItem(1).as("pc2"),
-          lit(explained).as("var_explained_2"))
+          graft.Det.u6(col("pc").getItem(0)).as("pc1_u6"),
+          graft.Det.u6(col("pc").getItem(1)).as("pc2_u6"),
+          lit(math.floor(explained * 1e6 + 0.5).toLong).as("var_explained_u6"))
         .orderBy("vec_id")
     },
 
