@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed linear-algebra primitives over an embedding corpus:
   * Lloyd's k-means and covariance/PCA. Part of the declared extension
@@ -164,7 +165,12 @@ object Embeddings {
       cents = pqAssign(sv, cents)
         .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("dimi", "x")))
         .groupBy("s", "cell", "dimi")
-        .agg((sum("x") / count(lit(1))).as("cm"))
+        // 1e-12 floor-quantized exact-decimal mean (the pageRank /
+        // emb_covariance pattern): order-independent, so the trained
+        // codebook is bit-identical run-to-run — the determinism the
+        // emb_pq_encode lazy oracle relies on to inline it as literals.
+        .agg((sum(floor(col("x") * lit(1.0e12)).cast(DecimalType(38, 0)))
+          .cast("double") / lit(1.0e12) / count(lit(1))).as("cm"))
         .groupBy("s", "cell")
         .agg(transform(array_sort(collect_list(struct(col("dimi"), col("cm")))),
           p => p.getField("cm")).as("cv"))
@@ -188,7 +194,15 @@ object Embeddings {
       .agg(
         transform(array_sort(collect_list(struct(col("s"), col("cell")))),
           p => p.getField("cell")).as("codes"),
-        sum("dd").as("recon_sq_err"))
+        // subspace-ORDERED fold, not sum(): plain double sum accumulates
+        // in partial-agg arrival order (nondeterministic run-to-run and
+        // engine-to-engine); folding the m values in s order is
+        // bit-identical with DuckDB's list_reduce(list(dd ORDER BY s))
+        // — what lets the emb_pq_encode lazy oracle hash-match.
+        aggregate(
+          transform(array_sort(collect_list(struct(col("s"), col("dd")))),
+            p => p.getField("dd")),
+          lit(0.0), (a, b) => a + b).as("recon_sq_err"))
   }
 
   /** IVF-PQ approximate nearest neighbor (the billion-scale ANN index

@@ -435,15 +435,26 @@ object Similarity {
       .collect().map(_.getAs[Vector]("features").toArray)
     val bc = spark.sparkContext.broadcast(seeds)
     // Lloyd sweep: assign is a narrow map (no join needed — the vector is
-    // already on the row); the only shuffle is the nCells-key reduce
+    // already on the row); the only shuffle is the nCells-key reduce.
+    // r10: the centroid mean rides 1e-12 floor-quantized LONG sums (the
+    // pageRank exact-decimal pattern) — long addition is exact and
+    // order-independent, so the trained centroids are bit-identical
+    // run-to-run regardless of reduceByKey combine order. That
+    // determinism is what lets the lazy oracles (emb_semdedup /
+    // emb_cluster_prune) inline these centroids as literals and have
+    // DuckDB reproduce the very assignment the query run used.
+    // Components are unit-normalized (|x| <= 1 -> |q| <= 1e12), so a
+    // cell overflows long only past ~9.2e6 members per dimension-sum —
+    // far beyond the sqrt(n)-cell occupancy (~2.8*sqrt(n)).
     val centroids = vecs.rdd
       .map { r =>
         val v = r.getAs[Vector](1)
-        (nearestCell(bc.value, v), (v.toArray, 1L))
+        (nearestCell(bc.value, v),
+          (v.toArray.map(x => math.floor(x * 1e12).toLong), 1L))
       }
-      .reduceByKey { (l: (Array[Double], Long), r: (Array[Double], Long)) =>
+      .reduceByKey { (l: (Array[Long], Long), r: (Array[Long], Long)) =>
         (l._1.zip(r._1).map { case (x, y) => x + y }, l._2 + r._2) }
-      .mapValues { case (s, n) => s.map(_ / n) }
+      .mapValues { case (s, n) => s.map(q => q.toDouble / 1e12 / n) }
       .collect().sortBy(_._1).map(_._2)
     val bc2 = spark.sparkContext.broadcast(centroids)
     // cell assignment is a narrow map — no join, no shuffle

@@ -183,14 +183,55 @@ object ClusterQ {
 
     // Product quantization encode (m=8 subspaces, 16 centroids each, 2
     // Lloyd sweeps): the vector-compression half of an IVF-PQ ANN index —
-    // 64 float dims become 8 nibble codes. No DuckDB oracle (the codebook
-    // is iteratively trained); monotone-distortion, determinism and
-    // planted-codebook recovery are REQUIREd in ClusterSpec. Codes are
-    // JSON-wrapped (driver comparator contract for array outputs).
-    QueryDef.noOracle("emb_pq_encode") { (s, d) =>
+    // 64 float dims become 8 nibble codes. r10: LAZY oracle — Verify
+    // refits the (since-r10 bit-deterministic: quantized-exact centroid
+    // means, s-ordered recon fold) codebook and inlines all m·ksub
+    // entries; DuckDB reproduces subvector slicing, per-subspace argmin
+    // (ties to the lowest code) and the s-ordered distortion fold
+    // bit-for-bit. The TRAINING stays test-verified: monotone
+    // distortion, determinism and planted-codebook recovery are
+    // REQUIREd in ClusterSpec. Codes are JSON-wrapped (driver
+    // comparator contract for array outputs).
+    QueryDef.lazyOracle("emb_pq_encode") { (s, d) =>
+      val m = 8
+      val (cbDf, subLen) =
+        graft.ext.Embeddings.pqTrain(Tables.embeddings(s, d), m = m)
+      val cb = cbDf.select("s", "cell", "cv").collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          r.getSeq[Double](2).toArray))
+        .sortBy(t => (t._1, t._2))
+      val rows = cb.map { case (ss, cc, cv) =>
+        s"($ss, $cc, ${VecOracle.dlst(cv)})" }.mkString(",\n  ")
+      s"""WITH cb AS (SELECT CAST(s AS INT) AS s, CAST(cell AS INT) AS cell, cv
+         |  FROM (VALUES
+         |  $rows) AS _cb(s, cell, cv)),
+         |e AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |svs AS (
+         |  SELECT vec_id, CAST(t.s AS INT) AS s,
+         |         v[CAST(t.s * $subLen + 1 AS INT):CAST((t.s + 1) * $subLen AS INT)] AS sv
+         |  FROM e, unnest(range(0, $m)) AS t(s)),
+         |dists AS (
+         |  SELECT svs.vec_id, svs.s, cb.cell,
+         |         ${VecOracle.sqL2("svs.sv", "cb.cv")} AS dd
+         |  FROM svs JOIN cb ON cb.s = svs.s),
+         |asg AS (
+         |  SELECT vec_id, s, cell, dd FROM (
+         |    SELECT vec_id, s, cell, dd,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+         |             ORDER BY dd, cell) AS rn
+         |    FROM dists)
+         |  WHERE rn = 1)
+         |SELECT vec_id,
+         |       CAST(to_json(list(cell ORDER BY s)) AS VARCHAR) AS codes_json,
+         |       CAST(FLOOR(list_reduce(list(dd ORDER BY s), (a, b) -> a + b)
+         |         * 1e6 + 0.5) AS BIGINT) AS recon_u6
+         |FROM asg GROUP BY vec_id""".stripMargin
+    } { (s, d) =>
       graft.ext.Embeddings.pqEncode(Tables.embeddings(s, d))
         .select(col("vec_id"), to_json(col("codes")).as("codes_json"),
-          col("recon_sq_err"))
+          graft.Det.u6(col("recon_sq_err")).as("recon_u6"))
         .orderBy("vec_id")
     },
 

@@ -439,14 +439,50 @@ object CurateQ {
         .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
     },
 
-    // SemDeDup (cluster-then-verify semantic dedup). No oracle: the
-    // k-means cell assignment has no DuckDB twin; CurateSpec plants
-    // near-dup embeddings and asserts they collapse (recall), that
-    // precision is exact by construction, and that the pair count is
-    // Σ|cell|² — far under all-pairs. The fixture itself has no
-    // embedding near-dups (max off-diagonal cosine ~0.5), so on raw
-    // testdata every vector is its own canonical — still a valid run.
-    QueryDef.noOracle("emb_semdedup") { (s, d) =>
+    // SemDeDup (cluster-then-verify semantic dedup). r10: LAZY oracle —
+    // Verify refits the deterministic k-means state and inlines the
+    // centroid matrix; DuckDB reproduces the cell assignment, the
+    // within-cell cosine_sim edges (same index-order folds as the
+    // codegen expression) and the connected-components closure
+    // (recursive CTE, the emb_dedup_exact pattern) bit-for-bit. The
+    // clustering itself stays test-verified (CurateSpec plants near-dup
+    // embeddings and asserts they collapse (recall), that precision is
+    // exact by construction, and that the pair count is Σ|cell|² — far
+    // under all-pairs). The fixture has no embedding near-dups (max
+    // off-diagonal cosine ~0.5), so on raw testdata every vector is its
+    // own canonical — the oracle still hash-checks assignment + edge
+    // logic end to end.
+    QueryDef.lazyOracle("emb_semdedup") { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val k = graft.ext.Similarity.autoNCells(emb.count())
+      val (_, centroids) = graft.ext.Similarity.assignCells(emb, k)
+      s"""WITH RECURSIVE ${VecOracle.assignCtes(centroids)},
+         |vv AS (
+         |  SELECT e.vec_id, a.cell, e.ev,
+         |         sqrt(list_reduce(list_transform(e.ev,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |           (p, q) -> p + q)) AS nrm
+         |  FROM e JOIN asg a USING (vec_id)),
+         |pr AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM vv a JOIN vv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_reduce(list_transform(range(1, len(a.ev) + 1),
+         |          i -> CAST(a.ev[i] AS DOUBLE) * CAST(b.ev[i] AS DOUBLE)),
+         |          (x, y) -> x + y)
+         |        / (a.nrm * b.nrm) >= 0.9),
+         |edges AS (SELECT va AS x, vb AS y FROM pr
+         |          UNION ALL SELECT vb, va FROM pr),
+         |reach AS (
+         |  SELECT x AS node, x AS r FROM edges
+         |  UNION
+         |  SELECT e2.x AS node, reach.r AS r
+         |  FROM edges e2 JOIN reach ON e2.y = reach.node),
+         |canon AS (SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node)
+         |SELECT e.vec_id,
+         |       COALESCE(c.canonical_id, e.vec_id) AS canonical_id,
+         |       COALESCE(c.canonical_id, e.vec_id) = e.vec_id AS is_canonical
+         |FROM e LEFT JOIN canon c ON c.node = e.vec_id""".stripMargin
+    } { (s, d) =>
       graft.ext.Dedup.semanticCanonical(
         Tables.embeddings(s, d).select("vec_id", "embedding"),
         threshold = 0.9) // nCells auto ∝ corpus count
@@ -454,15 +490,48 @@ object CurateQ {
 
     // Cluster-density (prototypicality) pruning — Sorscher et al.
     // 2206.14486 data selection: drop the near-centroid `pruneFrac` of
-    // each embedding cluster, keep the hard/rare tail. No oracle: the
-    // k-means cell assignment has no DuckDB twin; CurateSpec plants
-    // dense prototype + sparse outlier vectors and asserts prototypes
-    // are the ones dropped, exact per-cell keep counts, and that every
-    // input row appears exactly once.
-    QueryDef.noOracle("emb_cluster_prune") { (s, d) =>
+    // each embedding cluster, keep the hard/rare tail. r10: LAZY oracle
+    // (the emb_pca_project mechanism) — Verify refits the deterministic
+    // k-means state (assignCells centroid means are exact quantized
+    // sums since r10, so the gen run and the query run see bit-identical
+    // centroids) and inlines both the raw and the unit-normalized
+    // centroid matrices; DuckDB then reproduces assignment, proto score
+    // (index-order dot fold), per-cell rank and the ceil-fraction keep
+    // rule bit-for-bit. The TRAINING stays test-verified (CurateSpec
+    // plants dense prototype + sparse outlier vectors and asserts
+    // prototypes are the ones dropped, exact per-cell keep counts, and
+    // that every input row appears exactly once).
+    QueryDef.lazyOracle("emb_cluster_prune") { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val k = graft.ext.Similarity.autoNCells(emb.count())
+      val (_, centroids) = graft.ext.Similarity.assignCells(emb, k)
+      // clusterPrune's driver-side unit normalization, replicated
+      val unit = centroids.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0.0) c else c.map(_ / n)
+      }
+      s"""WITH ${VecOracle.assignCtes(centroids)},
+         |${VecOracle.cellValues(unit, "uv", "uc")},
+         |sc AS (
+         |  SELECT a.vec_id, a.cell,
+         |         ${VecOracle.dot("uc.uv", "a.u")} AS proto
+         |  FROM asg a JOIN uc USING (cell)),
+         |rk AS (
+         |  SELECT vec_id, cell, proto,
+         |         ROW_NUMBER() OVER (PARTITION BY cell
+         |           ORDER BY proto DESC, vec_id) AS rk,
+         |         COUNT(*) OVER (PARTITION BY cell) AS n_cell
+         |  FROM sc)
+         |SELECT vec_id, cell,
+         |       CAST(FLOOR(proto * 1e6 + 0.5) AS BIGINT) AS proto_u6,
+         |       rk > CAST(CEIL(n_cell * 0.25) AS BIGINT) AS keep
+         |FROM rk""".stripMargin
+    } { (s, d) =>
       graft.ext.Similarity.clusterPrune(
-        Tables.embeddings(s, d).select("vec_id", "embedding"),
-        pruneFrac = 0.25) // nCells auto ∝ corpus count
+          Tables.embeddings(s, d).select("vec_id", "embedding"),
+          pruneFrac = 0.25) // nCells auto ∝ corpus count
+        .select(col("vec_id"), col("cell"),
+          graft.Det.u6(col("proto_score")).as("proto_u6"), col("keep"))
     },
 
     // Benchmark DECONTAMINATION: flag corpus docs whose shingle overlap

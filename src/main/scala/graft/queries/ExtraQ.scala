@@ -74,9 +74,16 @@ object ExtraQ {
         "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)) AS bpe_tokens")
     },
 
-    // IVF ANN (no oracle — probe selection is implementation-defined;
-    // recall vs brute force asserted in ExtSpec).
-    QueryDef.noOracle("ext_ivf_topk") { (s, d) =>
+    // IVF ANN. r10: LAZY oracle — the probe selection is DETERMINISTIC
+    // given the trained coarse centroids (stable sort by squared L2,
+    // ties to the lowest cell; centroid means are exact quantized sums
+    // since r10), so Verify inlines the centroid matrix and DuckDB
+    // reproduces assignment, per-query probe-cell choice, the unit-dot
+    // cosine fold and the (cos DESC, cid) top-k bit-for-bit — the
+    // recall-vs-brute-force behavior stays asserted in ExtSpec.
+    QueryDef.lazyOracle("ext_ivf_topk") { (s, d) =>
+      ivfOracleSql(s, d, "WHERE vec_id < 5")
+    } { (s, d) =>
       graft.ext.Similarity.ivfTopK(
         Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, nCells = 0, nProbe = 0) // 0 = auto ∝ corpus count
@@ -89,7 +96,10 @@ object ExtraQ {
     // (VERDICT r5/r6 task 4): nCells/nProbe derive from the corpus
     // count — the measured constant-cell-occupancy fix that cut the
     // 10x batch 15.2 s → 4.32 s at recall@10 0.95 (SCALE.md).
-    QueryDef.noOracle("ext_ivf_topk_batch") { (s, d) =>
+    // r10: same lazy oracle as ext_ivf_topk, query set = whole corpus.
+    QueryDef.lazyOracle("ext_ivf_topk_batch") { (s, d) =>
+      ivfOracleSql(s, d, "")
+    } { (s, d) =>
       val emb = Tables.embeddings(s, d)
       graft.ext.Similarity.ivfTopK(emb, queries = emb.select("vec_id"), k = 10)
     },
@@ -737,4 +747,40 @@ object ExtraQ {
         .orderBy("bucket")
     }
   )
+
+  /** Shared IVF lazy-oracle SQL (ext_ivf_topk / ext_ivf_topk_batch):
+    * refits the deterministic coarse quantizer (Similarity.assignCells —
+    * quantized-exact centroid means since r10) with the SAME auto knobs
+    * the query run derives, inlines the centroid matrix, and reproduces
+    * probe-cell choice + unit-dot cosine top-k in DuckDB. `qFilter`
+    * restricts the query side ("" = whole corpus). */
+  private def ivfOracleSql(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      qFilter: String): String = {
+    val emb = Tables.embeddings(s, d)
+    val cells = graft.ext.Similarity.autoNCells(emb.count())
+    val probes = graft.ext.Similarity.autoNProbe(cells)
+    val (_, centroids) = graft.ext.Similarity.assignCells(emb, cells)
+    s"""WITH ${VecOracle.assignCtes(centroids)},
+       |q AS (SELECT vec_id AS qid, u AS qu FROM nv $qFilter),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, cent.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |             ${VecOracle.sqL2("qu", "cent.cv")},
+       |             cent.cell) AS rn
+       |    FROM q CROSS JOIN cent)
+       |  WHERE rn <= $probes),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid,
+       |         ${VecOracle.dot("q.qu", "a.u")} AS cos
+       |  FROM probe p JOIN asg a USING (cell) JOIN q ON q.qid = p.qid
+       |  WHERE a.vec_id <> p.qid)
+       |SELECT qid, cid, cos FROM (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, cid) AS rn
+       |  FROM cand)
+       |WHERE rn <= 10""".stripMargin
+  }
 }
