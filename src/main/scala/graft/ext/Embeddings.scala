@@ -73,7 +73,14 @@ object Embeddings {
           .select(col("cell"), col("dim"),
             (aggregate(col("xs"), lit(0.0), (a, b) => a + b) / col("n")).as("cm"))
       else
-        perDim.agg((sum("x") / count(lit(1))).as("cm"))
+        // 1e-12 floor-quantized exact-decimal mean — still map-side
+        // combinable and never materializes a cluster in one task, but
+        // (unlike plain sum) independent of partial-agg arrival order,
+        // so the ivfPqTopK coarse centroids are bit-identical
+        // run-to-run (what the ext_ivfpq_topk lazy oracle inlines).
+        perDim.agg((sum(floor(col("x") * lit(1.0e12))
+            .cast(DecimalType(38, 0))).cast("double")
+            / lit(1.0e12) / count(lit(1))).as("cm"))
           .select(col("cell"), col("dim"), col("cm"))
     cm.groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cm")))),
@@ -238,70 +245,22 @@ object Embeddings {
       refine: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val n = emb.count()
-    // 4× the plain-IVF √n cell count (still √n growth): for IVFADC the
-    // recall bottleneck is RESIDUAL quantization error, not routing —
-    // larger cells mean larger residuals than the m·ksub codebook can
-    // resolve (measured at 10× sf0.1: recall@10 0.39 at 51 cells vs
-    // 0.95 at 204 — plain exact-distance IVF scores 0.99 at 51). The
-    // same reason FAISS sizes IVFPQ nlist several× the IVFFlat
-    // rule-of-thumb.
-    val nc = math.min(
-      if (nCells > 0) nCells else 4 * Similarity.autoNCells(n),
-      math.max(1, (n / 2).toInt))
-    // 2× the plain-IVF probe count and a 16×k refine shortlist: the ADC
-    // ordering over coarse residual codes is noisy, so recall is bought
-    // back in the exact re-rank (refine is NOT the cost driver — the
-    // shortlist is broadcast-bounded). Measured at 10× sf0.1
-    // (structureless mutated replicas, the hard regime): refine 4 → 16
-    // lifts recall@10 0.65 → 0.944 at unchanged wall; nProbe 8 vs 4 is
-    // +0.00-0.07 more. ClusterSpec re-gates ≥ 0.9 on planted clusters.
-    val np = math.min(
-      if (nProbe > 0) nProbe else 2 * Similarity.autoNProbe(nc), nc)
+    val model = ivfPqFit(emb, m, ksub, nCells, nProbe)
+    val np = model.np
+    val subLen = model.subLen
     val e = withV(emb)
-    val dim = e.select(size(col("v"))).head().getInt(0)
-
-    // coarse quantizer: one Lloyd sweep from deterministic seeds; the
-    // (cellId, centroid) pairs collect driver-side (nCells-bounded)
-    val seeds = e.filter(col("vec_id") < nc)
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
-    val coarse = lloydUpdate(lloydAssign(e, seeds), exact = false)
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val cellIds = coarse.map(_._1)
-    val cellVecs = coarse.map(_._2)
+    val coarse = model.coarse
     val sc = spark.sparkContext
-    val bcCells = sc.broadcast((cellIds, cellVecs))
+    val bcCells = sc.broadcast((coarse.map(_._1), coarse.map(_._2)))
     val bcCent = sc.broadcast(coarse.toMap)
+    val probeU = udf { (v: Seq[Double]) =>
+      nearestCellsIn(bcCells.value, v, np) }
 
-    def nearestCells(v: Seq[Double], howMany: Int): Array[Int] = {
-      val (ids, cs) = bcCells.value
-      val ds = Array.tabulate(cs.length) { c =>
-        var acc = 0.0; var i = 0
-        val ct = cs(c)
-        while (i < ct.length) { val t = v(i) - ct(i); acc += t * t; i += 1 }
-        (acc, ids(c))
-      }
-      ds.sortBy(p => (p._1, p._2)).take(howMany).map(_._2)
-    }
-    val assignU = udf { (v: Seq[Double]) => nearestCells(v, 1)(0) }
-    val probeU = udf { (v: Seq[Double]) => nearestCells(v, np) }
-
-    // corpus route + per-cell residuals (broadcast join on the nc-row
-    // centroid frame — zip_with stays codegen-friendly, no udf here)
-    val centDf = spark.createDataFrame(
-      coarse.toSeq.map { case (id, arr) => (id, arr.toSeq) }).toDF("cell", "cv")
-    val routed = e.select(col("vec_id"), col("v"), assignU(col("v")).as("cell"))
-    val resid = routed.join(broadcast(centDf), "cell")
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
-
-    // residual PQ codebook + codes (IVFADC: bits spent within-cell)
-    val (codebook, subLen) =
-      pqTrainV(resid.select("vec_id", "v"), dim, m, ksub, iters = 2)
-    val cbRows = codebook.collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-      .toMap
+    val resid = ivfPqResiduals(e, coarse)
+    val codebook = spark.createDataFrame(
+      model.codebook.toSeq.map { case (s, c, w) => (s, c, w.toSeq) })
+      .toDF("s", "cell", "cv")
+    val cbRows = model.codebook.map { case (s, c, w) => ((s, c), w) }.toMap
     val bcCb = sc.broadcast(cbRows)
     val indexed = resid.select(col("vec_id").as("cid"), col("cell"))
       .join(pqEncodeWithV(resid.select("vec_id", "v"), codebook, m, subLen)
@@ -364,6 +323,86 @@ object Embeddings {
         .select(col("qid"), explode(col("top")).as("t"))
         .select(col("qid"), col("t.id").as("cid"), (-col("t.score")).as("adist"))
     }
+  }
+
+  /** The trained IVFADC state, bit-deterministic given the input
+    * (quantized-exact Lloyd + PQ means): coarse (cell, centroid) pairs
+    * sorted by cell, residual codebook rows (s, cell, cw) sorted by
+    * (s, cell). Shared by [[ivfPqTopK]] and the ext_ivfpq_topk lazy
+    * oracle, which inlines the whole model as literals. */
+  private[graft] final case class IvfPqModel(
+      nc: Int, np: Int, dim: Int, subLen: Int,
+      coarse: Array[(Int, Array[Double])],
+      codebook: Array[(Int, Int, Array[Double])])
+
+  private[graft] def ivfPqFit(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+      nCells: Int = 0, nProbe: Int = 0): IvfPqModel = {
+    val n = emb.count()
+    // 4× the plain-IVF √n cell count (still √n growth): for IVFADC the
+    // recall bottleneck is RESIDUAL quantization error, not routing —
+    // larger cells mean larger residuals than the m·ksub codebook can
+    // resolve (measured at 10× sf0.1: recall@10 0.39 at 51 cells vs
+    // 0.95 at 204 — plain exact-distance IVF scores 0.99 at 51). The
+    // same reason FAISS sizes IVFPQ nlist several× the IVFFlat
+    // rule-of-thumb.
+    val nc = math.min(
+      if (nCells > 0) nCells else 4 * Similarity.autoNCells(n),
+      math.max(1, (n / 2).toInt))
+    // 2× the plain-IVF probe count (the refine shortlist buys recall
+    // back — see ivfPqTopK scaladoc; measured refine 4 → 16 lifts
+    // recall@10 0.65 → 0.944 at unchanged wall).
+    val np = math.min(
+      if (nProbe > 0) nProbe else 2 * Similarity.autoNProbe(nc), nc)
+    val e = withV(emb)
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    // coarse quantizer: one Lloyd sweep from deterministic seeds; the
+    // (cellId, centroid) pairs collect driver-side (nCells-bounded)
+    val seeds = e.filter(col("vec_id") < nc)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val coarse = lloydUpdate(lloydAssign(e, seeds), exact = false)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // residual PQ codebook (IVFADC: bits spent within-cell)
+    val resid = ivfPqResiduals(e, coarse)
+    val (codebook, subLen) =
+      pqTrainV(resid.select("vec_id", "v"), dim, m, ksub, iters = 2)
+    val cbRows = codebook.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2))
+    IvfPqModel(nc, np, dim, subLen, coarse, cbRows)
+  }
+
+  /** Corpus route + per-cell residuals over a trained coarse quantizer
+    * (broadcast join on the nc-row centroid frame — zip_with stays
+    * codegen-friendly; only the argmin assignment is a udf). */
+  private def ivfPqResiduals(e: DataFrame,
+      coarse: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = e.sparkSession
+    val bcCells = spark.sparkContext.broadcast(
+      (coarse.map(_._1), coarse.map(_._2)))
+    val assignU = udf { (v: Seq[Double]) =>
+      nearestCellsIn(bcCells.value, v, 1)(0) }
+    val centDf = spark.createDataFrame(
+      coarse.toSeq.map { case (id, arr) => (id, arr.toSeq) }).toDF("cell", "cv")
+    e.select(col("vec_id"), col("v"), assignU(col("v")).as("cell"))
+      .join(broadcast(centDf), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
+  }
+
+  /** The `howMany` nearest cells by squared L2, ties to the lower cell
+    * id (stable sort) — the probe/assign kernel of the IVF-PQ path. */
+  private[graft] def nearestCellsIn(
+      idsCs: (Array[Int], Array[Array[Double]]),
+      v: Seq[Double], howMany: Int): Array[Int] = {
+    val (ids, cs) = idsCs
+    val ds = Array.tabulate(cs.length) { c =>
+      var acc = 0.0; var i = 0
+      val ct = cs(c)
+      while (i < ct.length) { val t = v(i) - ct(i); acc += t * t; i += 1 }
+      (acc, ids(c))
+    }
+    ds.sortBy(p => (p._1, p._2)).take(howMany).map(_._2)
   }
 
   /** One-pass mean + covariance: treeAggregate of (n, sum_i, sum_ij upper

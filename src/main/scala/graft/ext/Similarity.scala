@@ -163,6 +163,22 @@ object Similarity {
     * long (combining collisions only ADD candidates, and candidates are
     * exact-verified downstream — recall is never lost). None when the
     * corpus is empty (no row to sample the dimension from). */
+  /** The deterministic seed-42 BRP hyperplanes of [[hashedBuckets]]:
+    * unit-normalized gaussian directions, so bucketLength is measured
+    * in the vectors' own scale (matching spark.ml's BRP convention).
+    * Exposed so the ext_ann_topk lazy oracles can inline the SAME
+    * planes the query run hashes with (the generation is a pure
+    * function of (dim, numTables, hashesPerTable)). */
+  private[graft] def lshPlanes(dim: Int, numTables: Int,
+      hashesPerTable: Int): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(42)
+    Array.fill(numTables, hashesPerTable) {
+      val w = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+  }
+
   private[graft] def hashedBuckets(
       emb: DataFrame,
       bucketLength: Double,
@@ -171,17 +187,10 @@ object Similarity {
     val spark = emb.sparkSession
     // deterministic gaussian hyperplanes, broadcast (numTables x m x dim
     // — tiny); normalization folds into the projection
-    val rnd = new java.util.Random(42)
     val dims = emb.select(size(col("embedding")).as("d")).limit(1).collect()
     if (dims.isEmpty) return None
     val dim = dims.head.getInt(0)
-    // unit-normalized gaussian directions, so bucketLength is measured
-    // in the vectors' own scale (matching spark.ml's BRP convention)
-    val planes = Array.fill(numTables, hashesPerTable) {
-      val w = Array.fill(dim)(rnd.nextGaussian())
-      val n = math.sqrt(w.map(x => x * x).sum)
-      w.map(_ / n)
-    }
+    val planes = lshPlanes(dim, numTables, hashesPerTable)
     val bc = spark.sparkContext.broadcast(planes)
     val bl = bucketLength
     val buckets = udf { (e: Seq[Float]) =>

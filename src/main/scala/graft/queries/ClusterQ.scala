@@ -156,7 +156,10 @@ object ClusterQ {
       val explained =
         if (total == 0.0) 0.0
         else vals.take(2).map(math.max(_, 0.0)).sum / total
-      def lst(a: Array[Double]) = a.map(_.toString).mkString("[", ", ", "]")
+      // r10 hardening: E-notation literals parse directly as DOUBLE
+      // (VecOracle.dbl) — the plain-decimal form rode DuckDB's
+      // not-correctly-rounded DECIMAL→DOUBLE cast (1-ulp hazard).
+      def lst(a: Array[Double]) = a.map(VecOracle.dbl).mkString("[", ", ", "]")
       def pc(w: String, alias: String) =
         s"""CAST(FLOOR(list_reduce(list_transform(range(1, len(v) + 1),
            |    i -> (v[i] - mu[i]) * $w[i]), (a, b) -> a + b)
@@ -240,9 +243,95 @@ object ClusterQ {
     // codes scores candidates — O(m) adds per candidate, corpus held as
     // codes — then an exact re-rank of the broadcast-bounded shortlist
     // (refine*k ids/query, FAISS IndexRefineFlat pattern) emits true
-    // distances. No oracle (trained index); planted-cluster recall@10
-    // >= 0.9 vs brute force is REQUIREd in ClusterSpec.
-    QueryDef.noOracle("ext_ivfpq_topk") { (s, d) =>
+    // distances. r10: LAZY oracle — ivfPqFit's state (coarse centroids
+    // + residual codebook) is bit-deterministic since the quantized-
+    // exact Lloyd/PQ means, so Verify inlines the WHOLE model and
+    // DuckDB reproduces routing, residuals, PQ codes, the per-
+    // (query,cell) ADC lookup (s-ordered fold), the refine·k shortlist
+    // and the exact re-rank bit-for-bit. Planted-cluster recall@10
+    // >= 0.9 vs brute force stays REQUIREd in ClusterSpec.
+    QueryDef.lazyOracle("ext_ivfpq_topk") { (s, d) =>
+      val mm = 8; val subq = 16; val k = 10; val refineTake = 16 * k
+      val model = graft.ext.Embeddings.ivfPqFit(
+        Tables.embeddings(s, d), m = mm, ksub = subq)
+      val subLen = model.subLen
+      val np = model.np
+      val centRows = model.coarse.map { case (c, w) =>
+        s"($c, ${VecOracle.dlst(w)})" }.mkString(",\n    ")
+      val cbRows = model.codebook.map { case (s2, c, w) =>
+        s"($s2, $c, ${VecOracle.dlst(w)})" }.mkString(",\n    ")
+      s"""WITH cent AS (SELECT CAST(c AS INT) AS cell, cv FROM (VALUES
+         |    $centRows) AS _c(c, cv)),
+         |cb AS (SELECT CAST(s AS INT) AS s, CAST(c AS INT) AS code, cw
+         |       FROM (VALUES
+         |    $cbRows) AS _cb(s, c, cw)),
+         |e AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |asgc AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, cent.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ${VecOracle.sqL2("v", "cent.cv")},
+         |             cent.cell) AS rn
+         |    FROM e CROSS JOIN cent)
+         |  WHERE rn = 1),
+         |resid AS (
+         |  SELECT a.vec_id, a.cell,
+         |         list_transform(range(1, len(a.v) + 1),
+         |           i -> a.v[i] - cent.cv[i]) AS rv
+         |  FROM asgc a JOIN cent USING (cell)),
+         |rsv AS (
+         |  SELECT vec_id, cell, CAST(t.s AS INT) AS s,
+         |         rv[CAST(t.s * $subLen + 1 AS INT):CAST((t.s + 1) * $subLen AS INT)] AS sv
+         |  FROM resid, unnest(range(0, $mm)) AS t(s)),
+         |codes AS (
+         |  SELECT vec_id, cell, s, code FROM (
+         |    SELECT rsv.vec_id, rsv.cell, rsv.s, cb.code,
+         |           ROW_NUMBER() OVER (PARTITION BY rsv.vec_id, rsv.s
+         |             ORDER BY ${VecOracle.sqL2("sv", "cb.cw")},
+         |             cb.code) AS rn
+         |    FROM rsv JOIN cb ON cb.s = rsv.s)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 5),
+         |probe AS (
+         |  SELECT qid, cell, qrv FROM (
+         |    SELECT q.qid, cent.cell,
+         |           list_transform(range(1, len(q.v) + 1),
+         |             i -> q.v[i] - cent.cv[i]) AS qrv,
+         |           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |             ${VecOracle.sqL2("v", "cent.cv")},
+         |             cent.cell) AS rn
+         |    FROM q CROSS JOIN cent)
+         |  WHERE rn <= $np),
+         |comp AS (
+         |  SELECT p.qid, c2.vec_id AS cid, c2.s,
+         |         list_reduce(list_transform(range(1, $subLen + 1),
+         |           i -> (p.qrv[c2.s * $subLen + i] - cb.cw[i])
+         |              * (p.qrv[c2.s * $subLen + i] - cb.cw[i])),
+         |           (x, y) -> x + y) AS ds
+         |  FROM probe p JOIN codes c2 ON c2.cell = p.cell
+         |       JOIN cb ON cb.s = c2.s AND cb.code = c2.code
+         |  WHERE c2.vec_id <> p.qid),
+         |adc AS (
+         |  SELECT qid, cid,
+         |         list_reduce(list(ds ORDER BY s), (x, y) -> x + y) AS adist
+         |  FROM comp GROUP BY qid, cid),
+         |short AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adist, cid) AS rn FROM adc)
+         |  WHERE rn <= $refineTake),
+         |fin AS (
+         |  SELECT sh.qid, sh.cid,
+         |         ${VecOracle.sqL2("q.v", "e2.v")} AS adist
+         |  FROM short sh JOIN q ON q.qid = sh.qid
+         |       JOIN e e2 ON e2.vec_id = sh.cid)
+         |SELECT qid, cid, adist FROM (
+         |  SELECT qid, cid, adist, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY adist, cid) AS rn FROM fin)
+         |WHERE rn <= $k""".stripMargin
+    } { (s, d) =>
       val emb = Tables.embeddings(s, d)
       graft.ext.Embeddings.ivfPqTopK(
           emb, emb.filter(col("vec_id") < 5).select("vec_id"), k = 10)

@@ -760,17 +760,42 @@ object CurateQ {
     // with small seeded noise (near-dups by construction, the
     // deployment's re-crawl shape); DedupSpec asserts full recall on
     // the planted set and zero matches for a decorrelated batch.
-    QueryDef.noOracle("emb_incremental_neardups") { (s, d) =>
+    // r10: LAZY oracle — the incoming batch is deterministic (per-id
+    // seeded noise), so Verify materializes its 50 vectors and inlines
+    // them as exact literals alongside the seed-42 planes; DuckDB then
+    // reproduces both sides' m-wide wrapped-long bucket keys
+    // (VecOracle.brpBucketCtes), the cross-side candidate join and the
+    // cosine-verified (vec_corpus, vec_new, cos) matches bit-for-bit.
+    QueryDef.lazyOracle("emb_incremental_neardups") { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val noisy = udf { (id: Long, e: Seq[Float]) =>
-        val r = new java.util.Random(id)
-        val scale = 0.05 * math.sqrt(e.map(x => x.toDouble * x).sum / e.length)
-        e.map(x => (x + r.nextGaussian() * scale).toFloat)
-      }
-      val batch = emb.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + lit(5000000L)).as("vec_id"),
-          noisy(col("vec_id"), col("embedding")).as("embedding"))
-      graft.ext.Dedup.incrementalCosineNearDups(emb, batch)
+      val m = graft.ext.Similarity.autoHashesPerTable(emb.count())
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val planes = graft.ext.Similarity.lshPlanes(dim, 12, m)
+      val batchRows = curateNoisyBatch(emb, 10, 5000000L).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+        .sortBy(_._1)
+      s"""WITH ${VecOracle.brpPlanesValues(planes)},
+         |corp AS (SELECT vec_id, embedding AS ev FROM embeddings),
+         |bat AS (SELECT CAST(vid AS BIGINT) AS vec_id, ev FROM (VALUES
+         |    ${VecOracle.vecValues(batchRows)}) AS _b(vid, ev)),
+         |${VecOracle.brpBucketCtes("corp", 0.15, "c")},
+         |${VecOracle.brpBucketCtes("bat", 0.15, "n")},
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id AS vec_corpus, n.vec_id AS vec_new
+         |  FROM cbk c JOIN nbk n ON c.tbl = n.tbl AND c.h = n.h),
+         |${VecOracle.normCte("corp", "cvv")},
+         |${VecOracle.normCte("bat", "nvv")}
+         |SELECT vec_corpus, vec_new, cos FROM (
+         |  SELECT cand.vec_corpus, cand.vec_new,
+         |         ${VecOracle.cosExpr("a2", "b3")} AS cos
+         |  FROM cand JOIN cvv a2 ON a2.vec_id = cand.vec_corpus
+         |            JOIN nvv b3 ON b3.vec_id = cand.vec_new)
+         |WHERE cos >= 0.9""".stripMargin
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      graft.ext.Dedup.incrementalCosineNearDups(
+        emb, curateNoisyBatch(emb, 10, 5000000L))
     },
 
     // SEMANTIC decontamination — the embedding-space twin of
@@ -787,18 +812,54 @@ object CurateQ {
     // the LSH bucket table (broadcasts under AQE); the corpus-sized
     // side streams through the bucket equi-join — candidates only
     // BETWEEN sides, never corpus x corpus.
-    QueryDef.noOracle("emb_decontaminate") { (s, d) =>
+    // r10: LAZY oracle — eval slice and planted noisy replicas are both
+    // deterministic, so Verify inlines the 20 noisy corpus rows + the
+    // seed-42 planes (AND-width rides the EVAL side count, the small
+    // side that owns the buckets) and DuckDB reproduces the eval-vs-
+    // corpus candidate join, cosine verify, per-doc max/argmin and the
+    // contaminated flag bit-for-bit.
+    QueryDef.lazyOracle("emb_decontaminate") { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val evalSet = emb.filter(col("vec_id") % 25 === 0)
-      val noisy = udf { (id: Long, e: Seq[Float]) =>
-        val r = new java.util.Random(id)
-        val scale = 0.05 * math.sqrt(e.map(x => x.toDouble * x).sum / e.length)
-        e.map(x => (x + r.nextGaussian() * scale).toFloat)
-      }
+      val m = graft.ext.Similarity.autoHashesPerTable(evalSet.count())
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val planes = graft.ext.Similarity.lshPlanes(dim, 12, m)
+      val noisyRows = curateNoisy(evalSet.limit(40), 7000000L).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+        .sortBy(_._1)
+      s"""WITH ${VecOracle.brpPlanesValues(planes)},
+         |ev2 AS (SELECT vec_id, embedding AS ev FROM embeddings
+         |        WHERE vec_id % 25 = 0),
+         |corp AS (SELECT vec_id, embedding AS ev FROM embeddings
+         |         WHERE vec_id % 25 <> 0
+         |         UNION ALL
+         |         SELECT CAST(vid AS BIGINT) AS vec_id, ev FROM (VALUES
+         |    ${VecOracle.vecValues(noisyRows)}) AS _n(vid, ev)),
+         |${VecOracle.brpBucketCtes("ev2", 0.15, "c")},
+         |${VecOracle.brpBucketCtes("corp", 0.15, "n")},
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id AS vec_corpus, n.vec_id AS vec_new
+         |  FROM cbk c JOIN nbk n ON c.tbl = n.tbl AND c.h = n.h),
+         |${VecOracle.normCte("ev2", "cvv")},
+         |${VecOracle.normCte("corp", "nvv")},
+         |hits AS (
+         |  SELECT vec_new AS vec_id, MAX(cos) AS max_cos,
+         |         MIN(vec_corpus) AS nearest_eval
+         |  FROM (
+         |    SELECT cand.vec_corpus, cand.vec_new,
+         |           ${VecOracle.cosExpr("a2", "b3")} AS cos
+         |    FROM cand JOIN cvv a2 ON a2.vec_id = cand.vec_corpus
+         |              JOIN nvv b3 ON b3.vec_id = cand.vec_new)
+         |  WHERE cos >= 0.9 GROUP BY vec_new)
+         |SELECT corp.vec_id, hits.max_cos, hits.nearest_eval,
+         |       hits.max_cos IS NOT NULL AS contaminated
+         |FROM corp LEFT JOIN hits ON hits.vec_id = corp.vec_id""".stripMargin
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val evalSet = emb.filter(col("vec_id") % 25 === 0)
       val corpus = emb.filter(col("vec_id") % 25 =!= 0)
-        .union(evalSet.limit(40)
-          .select((col("vec_id") + lit(7000000L)).as("vec_id"),
-            noisy(col("vec_id"), col("embedding")).as("embedding")))
+        .union(curateNoisy(evalSet.limit(40), 7000000L))
       val hits = graft.ext.Dedup
         .incrementalCosineNearDups(evalSet, corpus, threshold = 0.9)
         .groupBy(col("vec_new").as("vec_id"))
@@ -1252,4 +1313,28 @@ object CurateQ {
         .orderBy(col("c").desc, col("pair")).limit(100)
     }
   )
+
+  /** Deterministic per-id noisy replicas of (vec_id, embedding) rows —
+    * the planted "re-crawl / contaminated" fixtures of
+    * emb_incremental_neardups and emb_decontaminate. Seeded by the
+    * ORIGINAL vec_id, so the same row always perturbs identically;
+    * that determinism is what lets the r10 lazy oracles materialize
+    * and inline these vectors as exact literals. */
+  private def curateNoisy(
+      src: org.apache.spark.sql.DataFrame, shift: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val noisy = udf { (id: Long, e: Seq[Float]) =>
+      val r = new java.util.Random(id)
+      val scale = 0.05 * math.sqrt(e.map(x => x.toDouble * x).sum / e.length)
+      e.map(x => (x + r.nextGaussian() * scale).toFloat)
+    }
+    src.select((col("vec_id") + lit(shift)).as("vec_id"),
+      noisy(col("vec_id"), col("embedding")).as("embedding"))
+  }
+
+  /** [[curateNoisy]] over the `vec_id % mod = 0` slice. */
+  private def curateNoisyBatch(
+      emb: org.apache.spark.sql.DataFrame, mod: Int, shift: Long)
+      : org.apache.spark.sql.DataFrame =
+    curateNoisy(emb.filter(col("vec_id") % mod === 0), shift)
 }

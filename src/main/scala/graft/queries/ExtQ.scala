@@ -16,7 +16,17 @@ object ExtQ {
         .orderBy("doc_a", "doc_b")
     },
 
-    QueryDef.noOracle("ext_ann_topk") { (s, d) =>
+    // r10: LAZY oracle — the BRP-LSH planes are a pure function of
+    // (dim, numTables, m) under seed 42 (Similarity.lshPlanes), so
+    // Verify inlines them and DuckDB reproduces the bucket ids
+    // (floor(v̂·w / bucketLength); with m=1 the JVM's folded long key is
+    // an affine map of that floor — identical collision structure), the
+    // candidate join, the exact cosine verify and the (cos DESC, cid)
+    // top-k bit-for-bit. Recall-vs-brute-force stays asserted in ExtSpec.
+    QueryDef.lazyOracle("ext_ann_topk") { (s, d) =>
+      annOracleSql(s, d, numTables = 4, bucketLength = 0.5,
+        qFilter = "AND q.vec_id < 5")
+    } { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L))
     },
 
@@ -26,7 +36,13 @@ object ExtQ {
     // compiled a predicate per id), and it is still ONE bucket join +
     // ONE bounded-heap aggregate, not |Q| jobs. This is the all-pairs
     // ANN shape a near-dup sweep over an embedding corpus runs.
-    QueryDef.noOracle("ext_ann_topk_batch") { (s, d) =>
+    // r10: same lazy oracle as ext_ann_topk (whole-corpus query set,
+    // auto-derived bucket width inlined as an exact literal).
+    QueryDef.lazyOracle("ext_ann_topk_batch") { (s, d) =>
+      val n = Tables.embeddings(s, d).count()
+      annOracleSql(s, d, numTables = 8,
+        bucketLength = Similarity.autoBucketLength(n), qFilter = "")
+    } { (s, d) =>
       // Narrow buckets (vs the 5-query default 0.5): at batch query
       // cardinality the candidate volume is queries x collision-rate x
       // corpus, so bucket width is the knob a real corpus-scale
@@ -170,4 +186,63 @@ object ExtQ {
         .orderBy("doc_id")
     }
   )
+
+  /** Shared BRP-LSH lazy-oracle SQL (ext_ann_topk / ext_ann_topk_batch,
+    * both m=1): regenerates the seed-42 planes (Similarity.lshPlanes —
+    * pure function of (dim, numTables, 1)), inlines them, and
+    * reproduces Similarity.annTopK end to end: per-table bucket id
+    * floor(v̂·w / bucketLength) (the JVM folds it into a long key, an
+    * affine map with identical collision structure at m=1), the
+    * DISTINCT cross-table candidate union, the exact cosine verify and
+    * the (cos DESC, cid) top-10 with dist = sqrt(2 - 2·cos). Every fold
+    * mirrors the JVM accumulation order: norm Σx², inv = 1/sqrt(n),
+    * projection Σ (e[j]·inv)·w[j]. */
+  private def annOracleSql(s: org.apache.spark.sql.SparkSession,
+      d: String, numTables: Int, bucketLength: Double,
+      qFilter: String): String = {
+    val dim = Tables.embeddings(s, d)
+      .select(size(col("embedding"))).head().getInt(0)
+    val planes = Similarity.lshPlanes(dim, numTables, 1)
+    val rows = planes.zipWithIndex.map { case (t, i) =>
+      s"($i, ${VecOracle.dlst(t(0))})" }.mkString(",\n    ")
+    s"""WITH pl AS (SELECT CAST(t AS INT) AS tbl, w FROM (VALUES
+       |    $rows) AS _pl(t, w)),
+       |b AS (
+       |  SELECT vec_id, ev,
+       |         CASE WHEN nn = 0 THEN 0.0 ELSE 1.0 / sqrt(nn) END AS inv
+       |  FROM (SELECT vec_id, embedding AS ev,
+       |          list_reduce(list_transform(embedding,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |            (a, b2) -> a + b2) AS nn
+       |        FROM embeddings)),
+       |bk AS (
+       |  SELECT b.vec_id, pl.tbl,
+       |         CAST(FLOOR(list_reduce(list_transform(range(1, len(b.ev) + 1),
+       |           j -> (CAST(b.ev[j] AS DOUBLE) * b.inv) * pl.w[j]),
+       |           (x, y) -> x + y) / $bucketLength) AS BIGINT) AS h
+       |  FROM b CROSS JOIN pl),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.h = c.h
+       |  WHERE q.vec_id <> c.vec_id $qFilter),
+       |vv AS (
+       |  SELECT vec_id, ev,
+       |         sqrt(list_reduce(list_transform(ev,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |           (a, b2) -> a + b2)) AS nrm
+       |  FROM (SELECT vec_id, embedding AS ev FROM embeddings)),
+       |sc AS (
+       |  SELECT cand.qid, cand.cid,
+       |         list_reduce(list_transform(range(1, len(a.ev) + 1),
+       |           i -> CAST(a.ev[i] AS DOUBLE) * CAST(c2.ev[i] AS DOUBLE)),
+       |           (x, y) -> x + y) / (a.nrm * c2.nrm) AS cos
+       |  FROM cand JOIN vv a ON a.vec_id = cand.qid
+       |            JOIN vv c2 ON c2.vec_id = cand.cid)
+       |SELECT qid, cid, sqrt(greatest(0.0, 2.0 - 2.0 * cos)) AS dist FROM (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, cid) AS rn
+       |  FROM sc WHERE cos >= -1.0)
+       |WHERE rn <= 10""".stripMargin
+  }
 }

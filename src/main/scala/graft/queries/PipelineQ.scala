@@ -552,12 +552,47 @@ object PipelineQ {
     // bucket-collision candidates -> exact cosine verify -> same
     // closure, at the REAL near-dup threshold (0.9 — see
     // Dedup.cosineCanonicalLsh on why lower thresholds are
-    // un-prunable). No oracle (bucket layout is implementation-
-    // defined). The fixture plants no embedding near-dups, so the
-    // correct output here is the identity map; recall-1.0 +
-    // ~1%-candidate-fraction behavior is proven in DedupSpec on a
-    // corpus WITH planted near-dups.
-    QueryDef.noOracle("emb_dedup_lsh") { (s, d) =>
+    // un-prunable). r10: LAZY oracle — the seed-42 planes are pure
+    // functions of (dim, numTables, m), so Verify inlines all 12·m of
+    // them and DuckDB reproduces the m-wide AND-amplified bucket key
+    // EXACTLY, including the JVM's wrapping-long fold
+    // key = key·1000003 + floor(proj/bl): HUGEINT arithmetic with an
+    // explicit signed mod-2^64 at each step. Candidates, cosine verify
+    // and the component closure then hash-match bit-for-bit. The
+    // fixture plants no embedding near-dups, so the output is the
+    // identity map; recall-1.0 + ~1%-candidate-fraction behavior is
+    // proven in DedupSpec on a corpus WITH planted near-dups.
+    QueryDef.lazyOracle("emb_dedup_lsh") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val m = graft.ext.Similarity.autoHashesPerTable(emb.count())
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val planes = graft.ext.Similarity.lshPlanes(dim, 12, m)
+      s"""WITH RECURSIVE ${VecOracle.brpPlanesValues(planes)},
+         |src AS (SELECT vec_id, embedding AS ev FROM embeddings),
+         |${VecOracle.brpBucketCtes("src", 0.15, "c")},
+         |cand AS (
+         |  SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
+         |  FROM cbk l JOIN cbk r
+         |    ON l.tbl = r.tbl AND l.h = r.h AND l.vec_id < r.vec_id),
+         |${VecOracle.normCte("src", "vv")},
+         |pr AS (
+         |  SELECT cand.va, cand.vb
+         |  FROM cand JOIN vv a2 ON a2.vec_id = cand.va
+         |            JOIN vv b3 ON b3.vec_id = cand.vb
+         |  WHERE ${VecOracle.cosExpr("a2", "b3")} >= 0.9),
+         |edges AS (SELECT va AS x, vb AS y FROM pr
+         |          UNION ALL SELECT vb, va FROM pr),
+         |reach AS (
+         |  SELECT x AS node, x AS r FROM edges
+         |  UNION
+         |  SELECT e2.x AS node, reach.r AS r
+         |  FROM edges e2 JOIN reach ON e2.y = reach.node),
+         |canon AS (SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node)
+         |SELECT v.vec_id,
+         |       COALESCE(c.canonical_id, v.vec_id) AS canonical_id,
+         |       COALESCE(c.canonical_id, v.vec_id) = v.vec_id AS is_canonical
+         |FROM embeddings v LEFT JOIN canon c ON c.node = v.vec_id""".stripMargin
+    } { (s, d) =>
       graft.ext.Dedup.cosineCanonicalLsh(Tables.embeddings(s, d))
         .orderBy("vec_id")
     },
