@@ -14,6 +14,25 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 
 ROUND_CALL = re.compile(r"(?<![A-Za-z0-9_])round\s*\(", re.IGNORECASE)
 
+# r10 lint #2: a long plain-decimal literal (>= 15 significant digits, no
+# exponent marker) types as DECIMAL, and DuckDB's DECIMAL->DOUBLE cast is
+# NOT correctly rounded (int128 mantissa and 10^scale each round to
+# double before the divide) -- inlined model state came back 1 ulp off
+# (caught live on emb_incremental_neardups cos). Every generated literal
+# must carry an exponent marker (VecOracle.dbl) so it parses through the
+# correctly-rounded strtod DOUBLE path. Short constants (0.15, 1e6
+# grids) are unaffected -- their decimal->double conversion is exact or
+# sub-ulp-safe at few digits.
+PLAIN_DECIMAL = re.compile(r"\d*\.\d{11,}(?![\deE])")
+
+def lint_plain_decimal_literal(sql):
+    m = PLAIN_DECIMAL.search(sql)
+    if m:
+        return (f"LINT: plain decimal literal {m.group(0)[:24]}... types as "
+                "DECIMAL; DuckDB's DECIMAL->DOUBLE cast is not correctly "
+                "rounded -- add an exponent marker (VecOracle.dbl)")
+    return None
+
 def wrap_round_args(sql):
     """Rewrite every ROUND(<arg>[, n]) so <arg> is wrapped in
     graft_lint_decimal(...). Paren-aware: finds the first top-level comma
@@ -107,7 +126,7 @@ def main():
     fails = []
     for name in sorted(oracle):
         sql = oracle[name]
-        lint = lint_round_on_double(con, sql)
+        lint = lint_round_on_double(con, sql) or lint_plain_decimal_literal(sql)
         if lint:
             print(f"LINT     {name}: {lint}")
             n_fail += 1; fails.append(name); continue
