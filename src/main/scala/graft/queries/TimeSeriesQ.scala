@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series + incremental-ETL operators (round 10): calendar
+  * gap-fill with LOCF / linear interpolation, OHLC downsampling, and
+  * the batch CDC merge that is the batch twin of the streaming
+  * latest-wins upsert store (`streaming/StatefulStore.scala` — samsa's
+  * R4/R17–R22 store semantics, /root/reference/samsa/kafka/storage.py).
+  *
+  * Scale posture shared by all three: the heavy input (raw events) is
+  * reduced FIRST by a map-side-combinable aggregate keyed by the
+  * series/entity key; windows and joins then run on the aggregated,
+  * bounded series — never a data-scale Window. Gap-fill's calendar
+  * explode is bounded by the series span (hours), not the row count.
+  */
+object TimeSeriesQ {
+
+  /** Cutoff splitting the events log into "snapshot" and "changes" for
+    * the CDC merge (fixture events span 2024-01-01..2024-01-30). */
+  private val mergeCutoff = "2024-01-21 00:00:00"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Calendar gap-fill + imputation: densify the hourly per-type value
+    // series to EVERY hour in its span, then fill gaps two ways —
+    // last-observation-carried-forward and linear interpolation between
+    // the bracketing anchors. The gaps-and-islands form (a running
+    // count of non-null anchors names, for every row, the group that
+    // shares its previous/next anchor) is engine-portable — no
+    // IGNORE NULLS, which DuckDB and Spark spell differently. All
+    // arithmetic on the anchors is the same IEEE expression tree on
+    // both engines; outputs land on the u6 half-up grid (graft.Det).
+    // Scale: hourly is a map-side-combinable aggregate over the scan;
+    // everything after runs on |types| × |span hours| rows. For
+    // multi-year spans the per-type sequence() array is the only
+    // span-sized allocation (730 entries/month — chunk by day first if
+    // a series spans decades).
+    QueryDef(
+      "ts_gapfill_interp",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |span AS (
+        |  SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1
+        |  FROM hourly GROUP BY event_type),
+        |cal AS (
+        |  SELECT event_type,
+        |         UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM span),
+        |j AS (
+        |  SELECT c.event_type, c.hr, h.v
+        |  FROM cal c LEFT JOIN hourly h
+        |    ON h.event_type = c.event_type AND h.hr = c.hr),
+        |m AS (
+        |  SELECT event_type, hr, v,
+        |         COUNT(v) OVER (PARTITION BY event_type ORDER BY hr) AS gp,
+        |         COUNT(v) OVER (PARTITION BY event_type ORDER BY hr DESC) AS gn
+        |  FROM j),
+        |a AS (
+        |  SELECT event_type, hr, v,
+        |         MAX(CASE WHEN v IS NOT NULL THEN hr END)
+        |           OVER (PARTITION BY event_type, gp) AS pd,
+        |         MAX(CASE WHEN v IS NOT NULL THEN v END)
+        |           OVER (PARTITION BY event_type, gp) AS pv,
+        |         MIN(CASE WHEN v IS NOT NULL THEN hr END)
+        |           OVER (PARTITION BY event_type, gn) AS nd,
+        |         MAX(CASE WHEN v IS NOT NULL THEN v END)
+        |           OVER (PARTITION BY event_type, gn) AS nv
+        |  FROM m)
+        |SELECT event_type, hr, (v IS NULL) AS is_gap,
+        |       CAST(FLOOR(COALESCE(v, pv) * 1e6 + 0.5) AS BIGINT) AS locf_u6,
+        |       CAST(FLOOR(COALESCE(v,
+        |              pv + (nv - pv) *
+        |                (CAST(date_diff('hour', pd, hr) AS DOUBLE) /
+        |                 CAST(date_diff('hour', pd, nd) AS DOUBLE))) * 1e6 + 0.5)
+        |            AS BIGINT) AS interp_u6
+        |FROM a
+        |ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(col("value").cast(DecimalType(18, 6))).cast("double").as("v"))
+      val cal = hourly.groupBy("event_type")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      val wUp = Window.partitionBy("event_type").orderBy("hr")
+      val wDn = Window.partitionBy("event_type").orderBy(col("hr").desc)
+      val m = cal.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("gp", count("v").over(wUp))
+        .withColumn("gn", count("v").over(wDn))
+      val wp = Window.partitionBy("event_type", "gp")
+      val wn = Window.partitionBy("event_type", "gn")
+      val anchorHr = when(col("v").isNotNull, col("hr"))
+      val anchorV = when(col("v").isNotNull, col("v"))
+      val a = m
+        .withColumn("pd", max(anchorHr).over(wp))
+        .withColumn("pv", max(anchorV).over(wp))
+        .withColumn("nd", min(anchorHr).over(wn))
+        .withColumn("nv", max(anchorV).over(wn))
+      // hour distances as exact integer-valued doubles (timestamps are
+      // whole hours, so the second diff is a multiple of 3600)
+      val dh = (col("hr").cast("long") - col("pd").cast("long")) / lit(3600L)
+      val dn = (col("nd").cast("long") - col("pd").cast("long")) / lit(3600L)
+      a.select(
+        col("event_type"), col("hr"), col("v").isNull.as("is_gap"),
+        floor(coalesce(col("v"), col("pv")) * lit(1.0e6) + lit(0.5))
+          .cast("long").as("locf_u6"),
+        floor(coalesce(col("v"),
+            col("pv") + (col("nv") - col("pv")) * (dh / dn)) * lit(1.0e6) + lit(0.5))
+          .cast("long").as("interp_u6"))
+        .orderBy("event_type", "hr")
+    },
+
+    // OHLC downsampling: collapse the event stream into daily bars per
+    // type — open/close by event time, high/low, volume. Pure full
+    // aggregate (min_by/max_by on the unique-in-group ts — FIXTURES:
+    // (event_type, ts) is unique at every sf), map-side combinable, no
+    // Window over raw data: the shape that survives any scale-up.
+    QueryDef(
+      "ts_resample_ohlc",
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |       ARG_MIN(value, ts) AS open,
+        |       MAX(value) AS high,
+        |       MIN(value) AS low,
+        |       ARG_MAX(value, ts) AS close,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vsum
+        |FROM events
+        |GROUP BY event_type, CAST(ts AS DATE)
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(
+          min_by(col("value"), col("ts")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ts")).as("close"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("vsum"))
+        .orderBy("event_type", "day")
+    },
+
+    // Batch CDC merge — the batch twin of the streaming latest-wins
+    // upsert store (streaming/StatefulStore.scala; samsa R4/R17–R22,
+    // /root/reference/samsa/kafka/storage.py:86-130): compact a
+    // snapshot (latest pre-cutoff event per user) with a changelog
+    // (latest post-cutoff event per user) via ONE full-outer join.
+    // 'error' events are tombstones: a tombstoned key is absent from
+    // the merged state, and a change over a tombstoned base is an
+    // INSERT, not an update — exactly log-compaction semantics, and
+    // merge(snapshot(pre), compact(post)) == snapshot(full log) (the
+    // invariant TimeSeriesSpec asserts). Both aggregates shuffle on
+    // user_id, so the join is co-partitioned — compaction's standard
+    // cluster shape; values are picked (arg_max), never summed, so no
+    // decimal discipline is needed.
+    QueryDef(
+      "etl_merge_upsert",
+      s"""WITH base AS (
+         |  SELECT user_id, ARG_MAX(value, ts) AS bv,
+         |         ARG_MAX(event_type, ts) AS bet, MAX(ts) AS bt
+         |  FROM events WHERE ts < TIMESTAMP '$mergeCutoff'
+         |  GROUP BY user_id),
+         |chg AS (
+         |  SELECT user_id, ARG_MAX(value, ts) AS cv,
+         |         ARG_MAX(event_type, ts) AS cet, MAX(ts) AS ct
+         |  FROM events WHERE ts >= TIMESTAMP '$mergeCutoff'
+         |  GROUP BY user_id),
+         |m AS (
+         |  SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+         |         b.bv, b.bet, b.bt, c.cv, c.cet, c.ct
+         |  FROM base b FULL JOIN chg c ON b.user_id = c.user_id)
+         |SELECT user_id,
+         |       CASE WHEN ct IS NOT NULL THEN cv ELSE bv END AS cur_value,
+         |       CASE WHEN ct IS NOT NULL THEN cet ELSE bet END AS cur_type,
+         |       CASE WHEN ct IS NOT NULL THEN ct ELSE bt END AS cur_ts,
+         |       CASE WHEN ct IS NULL THEN 'keep'
+         |            WHEN bt IS NULL OR bet = 'error' THEN 'insert'
+         |            ELSE 'update' END AS op
+         |FROM m
+         |WHERE (CASE WHEN ct IS NOT NULL THEN cet ELSE bet END) <> 'error'
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def compact(side: org.apache.spark.sql.DataFrame, p: String) =
+        side.groupBy("user_id").agg(
+          max_by(col("value"), col("ts")).as(p + "v"),
+          max_by(col("event_type"), col("ts")).as(p + "et"),
+          max(col("ts")).as(p + "t"))
+      val cut = lit(mergeCutoff).cast("timestamp")
+      val base = compact(ev.filter(col("ts") < cut), "b")
+      val chg = compact(ev.filter(col("ts") >= cut), "c")
+      val isChg = col("ct").isNotNull
+      base.join(chg, Seq("user_id"), "full")
+        .select(col("user_id"),
+          when(isChg, col("cv")).otherwise(col("bv")).as("cur_value"),
+          when(isChg, col("cet")).otherwise(col("bet")).as("cur_type"),
+          when(isChg, col("ct")).otherwise(col("bt")).as("cur_ts"),
+          when(!isChg, lit("keep"))
+            .when(col("bt").isNull || col("bet") === "error", lit("insert"))
+            .otherwise(lit("update")).as("op"))
+        .filter(col("cur_type") =!= "error")
+        .orderBy("user_id")
+    },
+
+    // TPC-H Q5 shape (local-supplier volume): the 6-table snowflake —
+    // region → nation → (customer, supplier) → orders → lineitem with
+    // the c_nationkey = s_nationkey localization predicate — through
+    // the raw spark.sql() surface. Catalyst broadcasts the four dims,
+    // pushes the date/region filters to the scans, AQE orders the two
+    // fact joins; nothing hand-scheduled. Revenue on the exact decimal
+    // grid; (revenue DESC, n_name) is a total order.
+    QueryDef(
+      "sql_tpch_q5",
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+      s.sql(
+        """SELECT n_name,
+          |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin)
+    }
+  )
+}
