@@ -42,7 +42,26 @@ object Similarity {
       .transform(pruned)
   }
 
-  /** Near-dup pairs via ml MinHashLSH (jaccard distance <= maxDistance). */
+  /** The (a, b) MinHash coefficient pairs of the seed-42 model
+    * [[minHashNearDups]] trains — one pair per hash table, reflected
+    * from spark.ml's `private[ml] val randCoefficients` (package-private
+    * compiles to a public accessor). Generation depends only on
+    * (seed, numHashTables) — `new Random(seed)` draws, independent of
+    * the data — so the Verify-time oracle generator and the query run
+    * see identical coefficients. The per-row hash law these feed,
+    *   min over active indices of ((1 + idx) * a + b) mod 2038074743,
+    * is pinned against `model.transform` output in ExtSpec, so a Spark
+    * upgrade that changes the formula fails the suite, not the oracle.
+    */
+  def minHashCoefficients(vecs: DataFrame, numTables: Int = 8): Array[(Int, Int)] = {
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setSeed(42).fit(vecs)
+    model.getClass.getMethod("randCoefficients").invoke(model)
+      .asInstanceOf[Array[(Int, Int)]]
+  }
+
+  /** Near-dup pairs via ml MinHashLSH (jaccard distance < maxDistance —
+    * approxSimilarityJoin's threshold compare is strict). */
   def minHashNearDups(docs: DataFrame, maxDistance: Double = 0.5, numTables: Int = 8): DataFrame = {
     // cache: approxSimilarityJoin evaluates the vector pipeline on BOTH
     // sides of the self-join; without this the shingling runs 2x+

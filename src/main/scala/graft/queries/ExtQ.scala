@@ -11,7 +11,18 @@ import org.apache.spark.sql.functions._
 object ExtQ {
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef.noOracle("ext_minhash_ml_neardups") { (s, d) =>
+    // r10: LAZY oracle — the one LSH row whose hash state lives inside
+    // spark.ml (MinHashLSHModel's seed-42 coefficient pairs) gets the
+    // inlined-model treatment: Verify reflects the (a,b) pairs and the
+    // HashingTF shingle→index vocabulary (murmur3 mod 2^18 — the non-SQL
+    // step) and DuckDB reproduces EVERYTHING downstream bit-for-bit:
+    // per-doc distinct 3-gram shingling, the df<=20 prune, the binary
+    // index sets, the minhash law min((1+idx)*a+b mod 2038074743) per
+    // table, the any-table OR-collision candidate join, the exact
+    // jaccard distance 1 - i/(na+nb-i), the STRICT < 0.5 threshold.
+    QueryDef.lazyOracle("ext_minhash_ml_neardups") { (s, d) =>
+      minhashMlOracleSql(s, d)
+    } { (s, d) =>
       Similarity.minHashNearDups(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b")
     },
@@ -197,6 +208,76 @@ object ExtQ {
     * the (cos DESC, cid) top-10 with dist = sqrt(2 - 2·cos). Every fold
     * mirrors the JVM accumulation order: norm Σx², inv = 1/sqrt(n),
     * projection Σ (e[j]·inv)·w[j]. */
+  /** DuckDB twin of [[Similarity.minHashNearDups]]. Two pieces of
+    * Verify-time model state are inlined (the VecOracle discipline —
+    * training/hashing state inlined, every CONSUMPTION verified):
+    *   - the shingle→index vocabulary (HashingTF murmur3 mod 2^18 is
+    *     the one step SQL can't express; ~16k rows at the sf0.01 gate —
+    *     the collect is generator-only, never on the query path);
+    *   - the 8 (a, b) minhash coefficient pairs (seed-42 draws,
+    *     data-independent — [[Similarity.minHashCoefficients]]).
+    * Everything else recomputes in SQL: per-doc DISTINCT word-3-gram
+    * shingles, document-frequency prune (df <= 20 — sh rows are already
+    * per-doc distinct, so COUNT(*) IS document frequency), per-table
+    * minhash over the index set (BIGINT cast before the multiply:
+    * (1+2^18)*2^31 overflows INT32, which DuckDB makes an error, not a
+    * wrap), the OR-amplified candidate join on (table, hash), and
+    * spark.ml's exact jaccard keyDistance with its strict-< threshold. */
+  private def minhashMlOracleSql(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val docs = Tables.documents(s, d)
+    val shingles = docs
+      .select(explode(graft.functions.TextShingles.shingle3(
+        split(col("text"), "\\s+"))).as("sh"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setNumFeatures(1 << 18)
+    val vocabRows = shingles
+      .map(x => s"('${x.replace("'", "''")}', ${tf.indexOf(x)})")
+      .mkString(",\n    ")
+    val coef = Similarity.minHashCoefficients(
+      Similarity.shingleVectors(docs), numTables = 8)
+    val coefRows = coef.zipWithIndex
+      .map { case ((a, b), t) => s"($t, $a, $b)" }.mkString(", ")
+    s"""WITH vocab AS (SELECT sh, CAST(idx AS BIGINT) AS idx FROM (VALUES
+       |    $vocabRows) AS _v(sh, idx)),
+       |coef AS (SELECT CAST(t AS INT) AS t, CAST(a AS BIGINT) AS a,
+       |                CAST(b AS BIGINT) AS b
+       |         FROM (VALUES $coefRows) AS _c(t, a, b)),
+       |toksrc AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS arr FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
+       |  FROM toksrc, LATERAL (SELECT UNNEST(range(1, len(arr) - 1)) AS i) _r
+       |  WHERE len(arr) >= 3),
+       |dfok AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 20),
+       |feat AS (
+       |  SELECT DISTINCT s.doc_id, v.idx
+       |  FROM sh s JOIN dfok USING (sh) JOIN vocab v USING (sh)),
+       |nsz AS (SELECT doc_id, COUNT(*) AS n FROM feat GROUP BY doc_id),
+       |mh AS (
+       |  SELECT f.doc_id, c.t, MIN(((1 + f.idx) * c.a + c.b) % 2038074743) AS h
+       |  FROM feat f CROSS JOIN coef c GROUP BY f.doc_id, c.t),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM mh x JOIN mh y ON x.t = y.t AND x.h = y.h
+       |  WHERE x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN feat fa ON fa.doc_id = c.doc_a
+       |  JOIN feat fb ON fb.doc_id = c.doc_b AND fb.idx = fa.idx
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |       1 - CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard_dist
+       |FROM inter i
+       |JOIN nsz na ON na.doc_id = i.doc_a
+       |JOIN nsz nb ON nb.doc_id = i.doc_b
+       |WHERE 1 - CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) < 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def annOracleSql(s: org.apache.spark.sql.SparkSession,
       d: String, numTables: Int, bucketLength: Double,
       qFilter: String): String = {

@@ -38,6 +38,33 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.9, s"ml MinHash recall $recall (found ${found.size}, truth ${truth.size})")
   }
 
+  test("minhash hash law matches model.transform (oracle formula pin)") {
+    // The ext_minhash_ml_neardups lazy oracle inlines the reflected
+    // (a,b) pairs and recomputes min((1+idx)*a+b mod 2038074743) per
+    // table in DuckDB. If a Spark upgrade changes MinHashLSH's hash
+    // function or coefficient generation, this fails loudly here.
+    import org.apache.spark.ml.linalg.Vector
+    val vecs = Similarity.shingleVectors(Tables.documents(spark, sf()))
+    val coef = Similarity.minHashCoefficients(vecs, numTables = 8)
+    assert(coef.length === 8 && coef.forall { case (a, b) =>
+      a > 0 && a < 2038074743 && b >= 0 && b < 2038074743 })
+    val model = new org.apache.spark.ml.feature.MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42).fit(vecs)
+    model.transform(vecs).select("features", "hashes").collect().foreach { r =>
+      val idx = r.getAs[Vector](0).toSparse.indices
+      val expected = coef.map { case (a, b) =>
+        idx.map(i => ((1L + i) * a + b) % 2038074743L).min.toDouble }.toSeq
+      val got = r.getSeq[Vector](1).map(_(0))
+      assert(got === expected)
+    }
+    // coefficient generation is data-independent: a second fit on a
+    // different frame yields the same pairs (the oracle-generator run
+    // and the query run must agree)
+    val coef2 = Similarity.minHashCoefficients(vecs.limit(3), numTables = 8)
+    assert(coef2.toSeq === coef.toSeq)
+  }
+
   test("ANN top-k recall vs brute-force cosine top-k") {
     val exact = graft.SparkEntry.queries("emb_cosine_topk")(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
