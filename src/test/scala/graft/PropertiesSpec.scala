@@ -155,6 +155,51 @@ class PropertiesSpec extends SparkSpec {
     rows.foreach { case (w, _, n) => assert(n <= cohort(w), s"$w: $n > ${cohort(w)}") }
   }
 
+  test("gap-fill laws: dense hourly calendar, LOCF carries, anchors agree") {
+    val d = sf("sf0.01")
+    val rows = SparkEntry.queries("ts_gapfill_interp")(spark, d)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getBoolean(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      val s = g.sortBy(_._2)
+      // dense hourly calendar, closed by real observations on both ends
+      assert(s.sliding(2).forall(p => p(1)._2 - p(0)._2 == 3600L * 1000))
+      assert(!s.head._3 && !s.last._3, s"$et: span ends must be anchors")
+      s.sliding(2).foreach { case Array(prev, cur) =>
+        if (cur._3) assert(cur._4 == prev._4, s"$et: LOCF must carry") // gap
+        else assert(cur._4 == cur._5, s"$et: anchor locf == interp")
+      }
+    }
+  }
+
+  test("ohlc laws: low <= open/close <= high, volumes partition the table") {
+    val d = sf("sf0.01")
+    val rows = SparkEntry.queries("ts_resample_ohlc")(spark, d)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getLong(6)))
+    rows.foreach { case (open, high, low, close, _) =>
+      assert(low <= open && open <= high)
+      assert(low <= close && close <= high)
+    }
+    assert(rows.map(_._5).sum == Tables.events(spark, d).count())
+  }
+
+  test("merge laws: ops match the cutoff side, tombstones never surface") {
+    val d = sf("sf0.01")
+    // cur_ts is TIMESTAMP_NTZ (events.ts reads as NTZ and max/max_by
+    // preserve it), so compare in-plan against an NTZ literal instead
+    // of collecting JVM timestamp classes
+    val m = SparkEntry.queries("etl_merge_upsert")(spark, d).cache()
+    val cut = lit("2024-01-21 00:00:00").cast(m.schema("cur_ts").dataType)
+    assert(m.count() == m.select("user_id").distinct().count(), "one row per key")
+    assert(m.filter(col("cur_type") === "error").count() == 0, "tombstone surfaced")
+    assert(m.filter(col("op") === "keep" && col("cur_ts") >= cut).count() == 0,
+      "keep from post-cutoff")
+    assert(m.filter(col("op") =!= "keep" && col("cur_ts") < cut).count() == 0,
+      "update/insert from pre-cutoff")
+    m.unpersist()
+  }
+
   test("profiler is projection-consistent: profile(T.select(c)) rows match profile(T)") {
     val docs = Tables.documents(spark, sf())
     val full = graft.queries.ProfileQ.profile(docs)
