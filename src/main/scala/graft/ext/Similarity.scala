@@ -378,7 +378,10 @@ object Similarity {
                 else autoNCells(if (corpusCount > 0) corpusCount else emb.count())
     val probes = if (nProbe > 0) nProbe else autoNProbe(cells)
     val (assigned, centroids) = assignCells(emb, cells)
-    val bc2 = spark.sparkContext.broadcast(centroids)
+    val probeIdx =
+      if (centroids.length >= twoLevelCellThreshold) Some(buildTwoLevel(centroids))
+      else None
+    val bc2 = spark.sparkContext.broadcast((centroids, probeIdx))
 
     // ONE distributed job for the whole query set (the per-query
     // collect()+job loop this replaces was a driver bottleneck at real
@@ -388,13 +391,17 @@ object Similarity {
     // per query per partition. Empty query sets yield an empty frame.
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val probeCells = udf { (v: Vector) =>
-      val cs = bc2.value
-      cs.indices.sortBy { c =>
-        var d = 0.0; var i = 0
-        val ct = cs(c)
-        while (i < ct.length) { val t = ct(i) - v(i); d += t * t; i += 1 }
-        d
-      }.take(probes)
+      val (cs, ix) = bc2.value
+      ix match {
+        case Some(i) => probeCellsTwoLevel(cs, i, v, probes)
+        case None =>
+          cs.indices.sortBy { c =>
+            var d = 0.0; var i = 0
+            val ct = cs(c)
+            while (i < ct.length) { val t = ct(i) - v(i); d += t * t; i += 1 }
+            d
+          }.take(probes).toArray
+      }
     }
     val qside = assigned
       .join(broadcast(queries.select(col("vec_id"))), Seq("vec_id"), "left_semi")
@@ -446,6 +453,154 @@ object Similarity {
     best
   }
 
+  /** Two-level coarse-quantizer router — the working answer to the r9
+    * scale flag's last mile: `autoNCells ∝ √n` keeps the centroid set
+    * BROADCASTABLE to 10⁹+ vectors, but the flat per-row scan is still
+    * O(√n) dists/row (11.3k at 10⁹, 360k at 10¹²). Level 1 clusters
+    * the nCells centroids into g ≈ √nCells groups (a driver-side Lloyd
+    * over the centroid matrix — O(nCells·g·sweeps) flops, trivial next
+    * to one data pass); a row then scans the g group centroids, keeps
+    * the `wGroups` nearest, and scans only their member cells exactly:
+    * O(√nCells·const) per row (~950 dists instead of 11.3k at 10⁹,
+    * ~5.4k instead of 360k at 10¹²). This is FAISS's
+    * two-level/IMI-coarse practice in its simplest deterministic form.
+    *
+    * Routing is APPROXIMATE (the true nearest cell can sit in an
+    * unprobed group), so the router engages only past
+    * [[twoLevelCellThreshold]] — every fixture-scale oracle row keeps
+    * the exact flat scan bit-for-bit. Determinism: fixed seeds (first
+    * g centroids), strict-< argmin, index-order sweeps, (dist, id)
+    * ordered group probes and member scans — bit-stable run-to-run,
+    * same as the flat path. ClusterSpec gates ≥99% assignment
+    * agreement on clustered data and end-to-end IVF recall with the
+    * router FORCED on at fixture scale. */
+  private[graft] final class TwoLevelIndex(
+      val groups: Array[Array[Double]],
+      val members: Array[Array[Int]]) extends Serializable
+
+  /** Flat-scan cell count above which assign/probe route through the
+    * two-level index. Fixture nCells (16–160 under the √n law) stay
+    * far below it; 10⁹ vectors (11.3k cells) engage it.
+    * `private[graft] var` solely so ClusterSpec can force the router
+    * at fixture scale — production code never writes it. */
+  private[graft] var twoLevelCellThreshold: Int = 4096
+
+  /** Groups probed per lookup. Misses decay geometrically in this; 8
+    * measured ≥99% agreement on clustered fixtures (ClusterSpec). */
+  private[graft] val twoLevelWGroups = 8
+
+  private[graft] def buildTwoLevel(cs: Array[Array[Double]]): TwoLevelIndex = {
+    val n = cs.length
+    val g = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val dim = cs(0).length
+    var gc = Array.tabulate(g)(i => cs(i).clone)
+    val assign = new Array[Int](n)
+    def assignAll(): Unit = {
+      var c = 0
+      while (c < n) {
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < g) {
+          var d = 0.0; var i = 0; val w = gc(j); val v = cs(c)
+          while (i < dim) { val t = w(i) - v(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        assign(c) = best; c += 1
+      }
+    }
+    var sweep = 0
+    while (sweep < 3) {
+      assignAll()
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val cnt = new Array[Long](g)
+      var c = 0
+      while (c < n) {
+        val a = assign(c); val v = cs(c); var i = 0
+        while (i < dim) { sums(a)(i) += v(i); i += 1 }
+        cnt(a) += 1; c += 1
+      }
+      var j = 0
+      while (j < g) {
+        if (cnt(j) > 0) {
+          var i = 0
+          while (i < dim) { sums(j)(i) /= cnt(j); i += 1 }
+          gc(j) = sums(j)
+        } // empty group keeps its centroid (deterministic, harmless)
+        j += 1
+      }
+      sweep += 1
+    }
+    assignAll() // membership must match the FINAL group centroids
+    val mem = Array.fill(g)(new scala.collection.mutable.ArrayBuffer[Int])
+    var c = 0
+    while (c < n) { mem(assign(c)) += c; c += 1 }
+    new TwoLevelIndex(gc, mem.map(_.toArray))
+  }
+
+  /** (dist, group-id)-ordered group indices for `v` — the probe order
+    * both two-level lookups share. */
+  private def groupOrder(idx: TwoLevelIndex, v: Vector): Array[Int] = {
+    val g = idx.groups.length
+    val gd = new Array[Double](g)
+    var j = 0
+    while (j < g) {
+      var d = 0.0; var i = 0; val ct = idx.groups(j)
+      while (i < ct.length) { val t = ct(i) - v(i); d += t * t; i += 1 }
+      gd(j) = d; j += 1
+    }
+    Array.range(0, g).sortBy(j => (gd(j), j))
+  }
+
+  /** Two-level [[nearestCell]]: exact argmin over the member cells of
+    * the `wGroups` nearest groups (ties to the smallest cell id — the
+    * flat scan's first-wins order). Falls back to the flat scan if the
+    * probed groups are all empty (possible only with many empty
+    * level-1 groups — degenerate centroid sets). */
+  private[graft] def nearestCellTwoLevel(cs: Array[Array[Double]],
+      idx: TwoLevelIndex, v: Vector, wGroups: Int = twoLevelWGroups): Int = {
+    val order = groupOrder(idx, v)
+    val w = math.min(wGroups, order.length)
+    var best = -1; var bd = Double.MaxValue
+    var oj = 0
+    while (oj < w) {
+      val ms = idx.members(order(oj))
+      var m = 0
+      while (m < ms.length) {
+        val c = ms(m)
+        var d = 0.0; var i = 0; val ct = cs(c)
+        while (i < ct.length) { val t = ct(i) - v(i); d += t * t; i += 1 }
+        if (d < bd || (d == bd && c < best)) { bd = d; best = c }
+        m += 1
+      }
+      oj += 1
+    }
+    if (best < 0) nearestCell(cs, v) else best
+  }
+
+  /** Two-level probe-cell selection: gather the members of the nearest
+    * `wGroups` groups — expanding further only if those cover fewer
+    * than `probes` candidates — then exact-(dist, id)-sort the gathered
+    * members and keep `probes`. A fixed group budget (not the minimal
+    * cover) keeps boundary cells competitive: at degenerate sizes
+    * (g <= wGroups) this IS the flat scan, and at scale the gathered
+    * set is ~wGroups·√nCells members — the O(√n·const) contract. */
+  private[graft] def probeCellsTwoLevel(cs: Array[Array[Double]],
+      idx: TwoLevelIndex, v: Vector, probes: Int,
+      wGroups: Int = twoLevelWGroups): Array[Int] = {
+    val order = groupOrder(idx, v)
+    val picked = new scala.collection.mutable.ArrayBuffer[Int]
+    var oj = 0
+    while (oj < order.length &&
+        (oj < wGroups || picked.length < probes)) {
+      picked ++= idx.members(order(oj)); oj += 1
+    }
+    picked.toArray.sortBy { c =>
+      var d = 0.0; var i = 0; val ct = cs(c)
+      while (i < ct.length) { val t = ct(i) - v(i); d += t * t; i += 1 }
+      (d, c)
+    }.take(probes)
+  }
+
   /** Deterministic k-means cell assignment over unit-normalized
     * embeddings: seeds = first `nCells` vectors by vec_id, one Lloyd
     * refinement sweep, then a narrow-map assignment. Returns the
@@ -461,7 +616,13 @@ object Similarity {
       .select(col("vec_id"), col("features")).cache())
     val seeds = vecs.orderBy("vec_id").limit(nCells)
       .collect().map(_.getAs[Vector]("features").toArray)
-    val bc = spark.sparkContext.broadcast(seeds)
+    // past the threshold, route assignment through the two-level index
+    // (built driver-side once per centroid set, shipped with the
+    // broadcast) — O(√nCells) dists/row instead of O(nCells)
+    val seedIdx =
+      if (seeds.length >= twoLevelCellThreshold) Some(buildTwoLevel(seeds))
+      else None
+    val bc = spark.sparkContext.broadcast((seeds, seedIdx))
     // Lloyd sweep: assign is a narrow map (no join needed — the vector is
     // already on the row); the only shuffle is the nCells-key reduce.
     // r10: the centroid mean rides 1e-12 floor-quantized LONG sums (the
@@ -477,16 +638,29 @@ object Similarity {
     val centroids = vecs.rdd
       .map { r =>
         val v = r.getAs[Vector](1)
-        (nearestCell(bc.value, v),
-          (v.toArray.map(x => math.floor(x * 1e12).toLong), 1L))
+        val (cs, ix) = bc.value
+        val cell = ix match {
+          case Some(i) => nearestCellTwoLevel(cs, i, v)
+          case None => nearestCell(cs, v)
+        }
+        (cell, (v.toArray.map(x => math.floor(x * 1e12).toLong), 1L))
       }
       .reduceByKey { (l: (Array[Long], Long), r: (Array[Long], Long)) =>
         (l._1.zip(r._1).map { case (x, y) => x + y }, l._2 + r._2) }
       .mapValues { case (s, n) => s.map(q => q.toDouble / 1e12 / n) }
       .collect().sortBy(_._1).map(_._2)
-    val bc2 = spark.sparkContext.broadcast(centroids)
+    val centroidIdx =
+      if (centroids.length >= twoLevelCellThreshold) Some(buildTwoLevel(centroids))
+      else None
+    val bc2 = spark.sparkContext.broadcast((centroids, centroidIdx))
     // cell assignment is a narrow map — no join, no shuffle
-    val assignCell = udf { (v: Vector) => nearestCell(bc2.value, v) }
+    val assignCell = udf { (v: Vector) =>
+      val (cs, ix) = bc2.value
+      ix match {
+        case Some(i) => nearestCellTwoLevel(cs, i, v)
+        case None => nearestCell(cs, v)
+      }
+    }
     (Caches.track(vecs.withColumn("cell", assignCell(col("features"))).cache()), centroids)
   }
 

@@ -208,6 +208,61 @@ class ClusterSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF-PQ recall@10 = $recall on planted clusters")
   }
 
+  test("two-level router: >=99% agreement with the flat scan, deterministic") {
+    // clustered centroid set (the realistic regime: centroids from a
+    // trained quantizer inherit the data's cluster structure) — 5000
+    // cells in 16-dim around 64 planted centers
+    val rnd = new scala.util.Random(42)
+    val d16 = 16
+    val centers = Array.fill(64)(Array.fill(d16)(rnd.nextGaussian()))
+    val cells = Array.fill(5000) {
+      val c = centers(rnd.nextInt(64))
+      c.zip(Array.fill(d16)(rnd.nextGaussian() * 0.15)).map(p => p._1 + p._2)
+    }
+    val idx = Similarity.buildTwoLevel(cells)
+    assert(idx.members.map(_.length).sum === 5000, "members partition the cells")
+    // determinism: a second build is structurally identical
+    val idx2 = Similarity.buildTwoLevel(cells)
+    assert(idx.groups.map(_.toSeq).toSeq === idx2.groups.map(_.toSeq).toSeq)
+    assert(idx.members.map(_.toSeq).toSeq === idx2.members.map(_.toSeq).toSeq)
+    // agreement on query points drawn from the same mixture
+    val queries = Array.fill(2000) {
+      val c = centers(rnd.nextInt(64))
+      org.apache.spark.ml.linalg.Vectors.dense(
+        c.zip(Array.fill(d16)(rnd.nextGaussian() * 0.2)).map(p => p._1 + p._2))
+    }
+    val agree = queries.count(v =>
+      Similarity.nearestCellTwoLevel(cells, idx, v) ==
+        Similarity.nearestCell(cells, v))
+    assert(agree >= 1980, s"two-level agreement $agree/2000 < 99%")
+    // probe selection: the two-level probe set contains the flat
+    // nearest cell for every query (the list the vector itself would
+    // be assigned to is always searched)
+    queries.take(200).foreach { v =>
+      val probes = Similarity.probeCellsTwoLevel(cells, idx, v, 16)
+      assert(probes.length === 16)
+      assert(probes.contains(Similarity.nearestCellTwoLevel(cells, idx, v)))
+    }
+  }
+
+  test("ivfTopK with the two-level router FORCED on matches the flat path") {
+    // fixture nCells sit far under the threshold; force the router and
+    // require the end-to-end IVF result be IDENTICAL to the flat path —
+    // at this scale (8 cells, g=3 <= wGroups) both assignment and probe
+    // gather every group, so any divergence is a router bug, not an
+    // approximation. (The approximation quality itself is gated by the
+    // ≥99%-agreement test above on a 5000-cell index, where w < g.)
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val ids = (0L until 20L)
+    def run() = Similarity.ivfTopK(emb, ids.toSeq, k = 10, nCells = 0, nProbe = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val flat = run()
+    val saved = Similarity.twoLevelCellThreshold
+    Similarity.twoLevelCellThreshold = 2
+    val forced = try run() finally Similarity.twoLevelCellThreshold = saved
+    assert(forced === flat)
+  }
+
   private def rowsMain(rows: Seq[(Long, Array[Float], Int)], id: Long): Double =
     rows(id.toInt)._2(0).toDouble
 
