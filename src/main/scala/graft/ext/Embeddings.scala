@@ -251,10 +251,19 @@ object Embeddings {
     val e = withV(emb)
     val coarse = model.coarse
     val sc = spark.sparkContext
-    val bcCells = sc.broadcast((coarse.map(_._1), coarse.map(_._2)))
+    val pIdx =
+      if (coarse.length >= Similarity.twoLevelCellThreshold)
+        Some(Similarity.buildTwoLevel(coarse.map(_._2)))
+      else None
+    val bcCells = sc.broadcast((coarse.map(_._1), coarse.map(_._2), pIdx))
     val bcCent = sc.broadcast(coarse.toMap)
     val probeU = udf { (v: Seq[Double]) =>
-      nearestCellsIn(bcCells.value, v, np) }
+      val (ids, cs, ix) = bcCells.value
+      ix match {
+        case Some(i) => nearestCellsInTwoLevel((ids, cs), i, v, np)
+        case None => nearestCellsIn((ids, cs), v, np)
+      }
+    }
 
     val resid = ivfPqResiduals(e, coarse)
     val codebook = spark.createDataFrame(
@@ -378,10 +387,19 @@ object Embeddings {
   private def ivfPqResiduals(e: DataFrame,
       coarse: Array[(Int, Array[Double])]): DataFrame = {
     val spark = e.sparkSession
+    val rIdx =
+      if (coarse.length >= Similarity.twoLevelCellThreshold)
+        Some(Similarity.buildTwoLevel(coarse.map(_._2)))
+      else None
     val bcCells = spark.sparkContext.broadcast(
-      (coarse.map(_._1), coarse.map(_._2)))
+      (coarse.map(_._1), coarse.map(_._2), rIdx))
     val assignU = udf { (v: Seq[Double]) =>
-      nearestCellsIn(bcCells.value, v, 1)(0) }
+      val (ids, cs, ix) = bcCells.value
+      ix match {
+        case Some(i) => nearestCellsInTwoLevel((ids, cs), i, v, 1)(0)
+        case None => nearestCellsIn((ids, cs), v, 1)(0)
+      }
+    }
     val centDf = spark.createDataFrame(
       coarse.toSeq.map { case (id, arr) => (id, arr.toSeq) }).toDF("cell", "cv")
     e.select(col("vec_id"), col("v"), assignU(col("v")).as("cell"))
@@ -403,6 +421,40 @@ object Embeddings {
       (acc, ids(c))
     }
     ds.sortBy(p => (p._1, p._2)).take(howMany).map(_._2)
+  }
+
+  /** Two-level twin of [[nearestCellsIn]] (the IVF-PQ coarse quantizer
+    * shares [[Similarity.buildTwoLevel]]'s router past the cell
+    * threshold): gather the members of the nearest wGroups level-1
+    * groups — expanding only if they cover fewer than `howMany` — then
+    * exact-(dist, cell-id)-sort and keep `howMany`. Member positions
+    * index the coarse matrix; ties and ordering match the flat kernel,
+    * so at degenerate sizes (g <= wGroups) the result is identical. */
+  private[graft] def nearestCellsInTwoLevel(
+      idsCs: (Array[Int], Array[Array[Double]]),
+      idx: Similarity.TwoLevelIndex, v: Seq[Double],
+      howMany: Int): Array[Int] = {
+    val (ids, cs) = idsCs
+    val g = idx.groups.length
+    val gd = new Array[Double](g)
+    var j = 0
+    while (j < g) {
+      var d = 0.0; var i = 0; val ct = idx.groups(j)
+      while (i < ct.length) { val t = ct(i) - v(i); d += t * t; i += 1 }
+      gd(j) = d; j += 1
+    }
+    val order = Array.range(0, g).sortBy(j => (gd(j), j))
+    val picked = new scala.collection.mutable.ArrayBuffer[Int]
+    var oj = 0
+    while (oj < order.length &&
+        (oj < Similarity.twoLevelWGroups || picked.length < howMany)) {
+      picked ++= idx.members(order(oj)); oj += 1
+    }
+    picked.toArray.map { c =>
+      var acc = 0.0; var i = 0; val ct = cs(c)
+      while (i < ct.length) { val t = v(i) - ct(i); acc += t * t; i += 1 }
+      (acc, ids(c))
+    }.sortBy(p => (p._1, p._2)).take(howMany).map(_._2)
   }
 
   /** One-pass mean + covariance: treeAggregate of (n, sum_i, sum_ij upper

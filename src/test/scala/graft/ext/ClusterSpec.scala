@@ -263,6 +263,19 @@ class ClusterSpec extends SparkSpec {
     assert(forced === flat)
   }
 
+  test("ivfPqTopK with the two-level router FORCED on matches the flat path") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    import spark.implicits._
+    val q = (0L until 10L).toDF("vec_id")
+    def run() = Embeddings.ivfPqTopK(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val flat = run()
+    val saved = Similarity.twoLevelCellThreshold
+    Similarity.twoLevelCellThreshold = 2
+    val forced = try run() finally Similarity.twoLevelCellThreshold = saved
+    assert(forced === flat)
+  }
+
   private def rowsMain(rows: Seq[(Long, Array[Float], Int)], id: Long): Double =
     rows(id.toInt)._2(0).toDouble
 
