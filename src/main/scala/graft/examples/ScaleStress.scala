@@ -236,7 +236,7 @@ object ScaleStress {
     // is a typo — fail fast rather than silently drop the timing row
     val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale",
       "emb_pq_scale", "emb_ivfpq_scale", "graph_pagerank_scale",
-      "graph_labelprop_scale", "er_matches_scale")
+      "graph_labelprop_scale", "er_matches_scale", "ivf_router_scale")
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
       s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")
@@ -566,6 +566,65 @@ object ScaleStress {
       System.err.println(
         f"[scale] er_matches_scale (n=$n, cap 500): $best%.2f s, " +
           f"$found pairs of ${n / 2} planted, recall $recall%.3f")
+    }
+
+    // Two-level coarse router (r10): measure the assign/probe cost cut
+    // at a cell count past the threshold. nCells=8192 on the replicated
+    // embedding fixture is the regime the router exists for (the flat
+    // per-row scan is 8192 dists; routed ≈ 91 groups + 8·~90 members).
+    // Same query set both ways; we also report result agreement — the
+    // routed result must stay ≥95% identical to the flat one here.
+    if (names.contains("ivf_router_scale")) {
+      import graft.ext.Similarity
+      val emb = spark.read.parquet(s"$out/embeddings.parquet")
+      val queries = emb.select("vec_id").orderBy("vec_id").limit(50)
+      def runOnce(threshold: Int): (Double, Set[(Long, Long)]) = {
+        val saved = Similarity.twoLevelCellThreshold
+        Similarity.twoLevelCellThreshold = threshold
+        try {
+          val t0 = System.nanoTime()
+          val res = Similarity.ivfTopK(emb, queries, k = 10,
+              nCells = 8192, nProbe = 32)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          ((System.nanoTime() - t0) / 1e9, res)
+        } finally {
+          Similarity.twoLevelCellThreshold = saved
+          spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        }
+      }
+      val (flatS, flatRes) = runOnce(Int.MaxValue)
+      val (routedS, routedRes) = runOnce(1)
+      // judge both against the EXACT brute-force truth — flat IVF is
+      // itself an approximation (32 of 8192 lists probed), so mutual
+      // agreement conflates two independent miss sets; what the router
+      // must preserve is recall, not the identical miss pattern
+      val qIds = queries.collect().map(_.getLong(0))
+      val all = emb.select("vec_id", "embedding").collect().map { r =>
+        val a = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(a.map(x => x * x).sum)
+        (r.getLong(0), if (n == 0) a else a.map(_ / n))
+      }
+      val byId = all.toMap
+      val truth = qIds.flatMap { q =>
+        val qv = byId(q)
+        all.iterator.filter(_._1 != q).map { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < qv.length) { s += qv(i) * v(i); i += 1 }
+          (id, s)
+        }.toArray.sortBy(p => (-p._2, p._1)).take(10).map(p => (q, p._1))
+      }.toSet
+      val rFlat = (flatRes & truth).size.toDouble / truth.size
+      val rRouted = (routedRes & truth).size.toDouble / truth.size
+      require(rRouted >= rFlat - 0.05,
+        f"two-level router lost recall: $rRouted%.3f vs flat $rFlat%.3f")
+      timings("ivf_router_scale_flat") = flatS
+      timings("ivf_router_scale_routed") = routedS
+      timings("ivf_router_scale_recall_flat") = rFlat
+      timings("ivf_router_scale_recall_routed") = rRouted
+      System.err.println(
+        f"[scale] ivf_router_scale (nCells=8192): flat $flatS%.2f s " +
+          f"recall $rFlat%.3f, routed $routedS%.2f s recall $rRouted%.3f " +
+          f"(${flatS / routedS}%.1f× wall)")
     }
 
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
