@@ -93,6 +93,90 @@ object EventsQ {
             .as("week_offset"))
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).cast("long").as("n_users"))
+    },
+
+    // Markov transition matrix over per-user event sequences: count
+    // (prev_type -> next_type) steps and the outgoing-probability row
+    // normalization — the path-discovery twin of the fixed-step funnel
+    // (which transitions dominate tells you WHICH funnel to define).
+    // Scale shape: one lag window partitioned by user_id (bounded
+    // per-user groups, the funnel family's shuffle key), then the
+    // count collapses to |event types|² rows — the probability window
+    // runs on ~25 rows regardless of corpus size. p = n/Σn is an
+    // exact-integer double division, identical IEEE on both engines.
+    QueryDef(
+      "evt_transition_matrix",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type)
+        |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+        |       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+        |FROM t ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("prev_type"), col("next_type"),
+          col("cnt").cast("long").as("n"),
+          (col("cnt").cast("double") /
+            sum(col("cnt")).over(Window.partitionBy("prev_type"))).as("p"))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // Per-user session statistics over 30-minute-gap sessions: Spark's
+    // native session_window does the merge (the same operator the
+    // streaming twin uses); the oracle rebuilds sessions with the
+    // classic gaps-and-islands cumulative-sum. Durations compare on
+    // floor-second boundaries on BOTH engines (date_diff('second')
+    // counts boundary crossings == difference of floored epochs — an
+    // exact integer either way, immune to the sub-second seam).
+    // Scale: session_window groups shuffle on user_id; per-user output
+    // is one row.
+    QueryDef(
+      "evt_session_stats",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |ses AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_ev,
+        |         date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+        |  FROM y GROUP BY user_id, sid)
+        |SELECT user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |       CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+        |       CAST(SUM(dur_s) AS BIGINT) AS total_session_seconds
+        |FROM ses GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val tl = col("ts").cast("timestamp").cast("long")
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          (max(tl) - min(tl)).as("dur_s"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("n_ev")).cast("long").as("n_events"),
+          max(col("n_ev")).cast("long").as("max_session_events"),
+          sum(col("dur_s")).cast("long").as("total_session_seconds"))
+        .orderBy("user_id")
     }
   )
 }

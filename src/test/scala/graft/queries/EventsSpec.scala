@@ -20,6 +20,9 @@ class EventsSpec extends SparkSpec {
     dir
   }
 
+  private def tsm(day: Int, hour: Int, min: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:$min%02d:00")
+
   private def ts(day: Int, hour: Int = 0) =
     java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
 
@@ -59,5 +62,36 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2))
       .toMap
     assert(out === Map(("2024-01-01", 0) -> 2L, ("2024-01-01", 2) -> 1L))
+  }
+
+  test("evt_transition_matrix: per-user ordered pairs, rows normalize to 1") {
+    // u1: view->click->view ; u2: view->click — transitions:
+    // view->click ×2, click->view ×1. No cross-user transition.
+    val dir = writeEvents(Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "view", ts(3)),
+      (2L, "view", ts(5)), (2L, "click", ts(6))))
+    val out = graft.SparkEntry.queries("evt_transition_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      ("view", "click") -> ((2L, 1.0)),
+      ("click", "view") -> ((1L, 1.0))))
+    // probabilities per prev_type row sum to 1 on real data too
+    val p = graft.SparkEntry.queries("evt_transition_matrix")(spark, sf())
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(3)).sum)
+    p.foreach { case (prev, s) =>
+      assert(math.abs(s - 1.0) < 1e-9, s"row $prev sums to $s") }
+  }
+
+  test("evt_session_stats: 30-minute gap splits sessions, durations floor-exact") {
+    // u1: events at 10:00, 10:10 (one session, 600 s) then 11:00
+    // (gap 50 min -> new single-event session, 0 s)
+    val dir = writeEvents(Seq(
+      (1L, "view", ts(1, 10)), (1L, "click", tsm(1, 10, 10)),
+      (1L, "view", ts(1, 11))))
+    val out = graft.SparkEntry.queries("evt_session_stats")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((2L, 3L, 2L, 600L)))
   }
 }
