@@ -140,6 +140,77 @@ object ProfileQ {
         .agg(sum(when(abs(col("value") - col("med")) >
           lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
           .cast("long").as("n_outliers"))
+    },
+
+    // Distribution DRIFT between two snapshots (r10 part 3): the
+    // population-stability index per event type over `value`, reference
+    // slice = pre-cutoff events, current = post-cutoff — the monitoring
+    // check a production pipeline runs before trusting a new batch
+    // (PSI > 0.2 is the conventional "investigate" line). 10 equal-width
+    // bins over the type's global [min, max]; Laplace-0.5-smoothed
+    // shares over the PRESENT bins; PSI = Σ (q−p)·ln(q/p). Cross-engine
+    // discipline: ln is transcendental, so each bin's term is
+    // floor-quantized to 1e-12 LONG units BEFORE the cross-bin sum
+    // (exact, order-free — the pageRank pattern) and the final PSI
+    // lands on the u6 half-up grid. Scale: two full aggregates (bounds,
+    // bin counts) + arithmetic on |types|·10 rows — nothing else.
+    QueryDef(
+      "profile_drift_psi",
+      """WITH b AS (
+        |  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+        |  FROM events GROUP BY event_type),
+        |e AS (
+        |  SELECT ev.event_type,
+        |         CASE WHEN b.vmax = b.vmin THEN 0
+        |              ELSE LEAST(CAST(FLOOR((ev.value - b.vmin) /
+        |                     ((b.vmax - b.vmin) / 10.0)) AS INT), 9) END AS bin,
+        |         (ev.ts < TIMESTAMP '2024-01-21 00:00:00') AS is_ref
+        |  FROM events ev JOIN b ON ev.event_type = b.event_type),
+        |c AS (
+        |  SELECT event_type, bin,
+        |         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+        |         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+        |  FROM e GROUP BY event_type, bin),
+        |t AS (
+        |  SELECT event_type, SUM(nr) AS tr, SUM(nc) AS tcur
+        |  FROM c GROUP BY event_type),
+        |terms AS (
+        |  SELECT c.event_type,
+        |         CAST(FLOOR((((c.nc + 0.5) / (t.tcur + 5.0)) -
+        |                     ((c.nr + 0.5) / (t.tr + 5.0))) *
+        |                    ln(((c.nc + 0.5) / (t.tcur + 5.0)) /
+        |                       ((c.nr + 0.5) / (t.tr + 5.0))) * 1e12)
+        |              AS BIGINT) AS u
+        |  FROM c JOIN t ON c.event_type = t.event_type)
+        |SELECT event_type,
+        |       CAST(FLOOR(CAST(SUM(u) AS DOUBLE) / 1e6 + 0.5) AS BIGINT)
+        |         AS psi_u6
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val b = ev.groupBy("event_type")
+        .agg(min("value").as("vmin"), max("value").as("vmax"))
+      val cut = lit("2024-01-21 00:00:00").cast(ev.schema("ts").dataType)
+      val e = ev.join(b, "event_type")
+        .select(col("event_type"),
+          when(col("vmax") === col("vmin"), 0)
+            .otherwise(least(floor((col("value") - col("vmin")) /
+              ((col("vmax") - col("vmin")) / lit(10.0))).cast("int"), lit(9)))
+            .as("bin"),
+          (col("ts") < cut).as("is_ref"))
+      val c = e.groupBy("event_type", "bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+          sum(when(col("is_ref"), 0L).otherwise(1L)).as("nc"))
+      val t = c.groupBy("event_type")
+        .agg(sum("nr").as("tr"), sum("nc").as("tcur"))
+      val q = (col("nc") + lit(0.5)) / (col("tcur") + lit(5.0))
+      val p = (col("nr") + lit(0.5)) / (col("tr") + lit(5.0))
+      c.join(t, "event_type")
+        .select(col("event_type"),
+          floor((q - p) * log(q / p) * lit(1.0e12)).cast("long").as("u"))
+        .groupBy("event_type")
+        .agg(floor(sum("u").cast("double") / lit(1.0e6) + lit(0.5))
+          .cast("long").as("psi_u6"))
+        .orderBy("event_type")
     }
   )
 

@@ -91,4 +91,29 @@ class ProfileSpec extends SparkSpec {
     assert(out("steady") == 0L, "uniform group must have no outliers")
     assert(out("spiky") == 5L, "exactly the planted spikes flagged")
   }
+
+  test("profile_drift_psi: identical slices score ~0, a planted shift scores high") {
+    import spark.implicits._
+    // 'stable': the SAME value multiset on both sides of the cutoff ->
+    // p == q in every bin -> PSI == 0 exactly (smoothing cancels).
+    // 'shifted': low values before, high values after -> large PSI.
+    val pre = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    val rows =
+      (1 to 200).map(i => ("stable", pre, (i % 50).toDouble)) ++
+      (1 to 200).map(i => ("stable", post, (i % 50).toDouble)) ++
+      (1 to 200).map(i => ("shifted", pre, (i % 10).toDouble)) ++
+      (1 to 200).map(i => ("shifted", post, 90.0 + (i % 10).toDouble))
+    val dir = java.nio.file.Files.createTempDirectory("psi").toString
+    rows.toDF("event_type", "ts", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("profile_drift_psi")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("stable") === 0L, s"identical slices drifted: ${out("stable")}")
+    // 0.2 (the conventional investigate line) = 200_000 micro-units
+    assert(out("shifted") > 200000L, s"planted shift not flagged: ${out("shifted")}")
+  }
 }
