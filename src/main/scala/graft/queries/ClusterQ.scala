@@ -336,6 +336,72 @@ object ClusterQ {
       graft.ext.Embeddings.ivfPqTopK(
           emb, emb.filter(col("vec_id") < 5).select("vec_id"), k = 10)
         .orderBy("qid", "adist", "cid")
+    },
+
+    // KNN label prediction (r10 part 3): majority vote over the exact
+    // cosine top-10 neighbors, ties to the smaller label; per-label
+    // accuracy report — the "is the embedding space label-coherent"
+    // diagnostic run before trusting embeddings for curation (a label-
+    // incoherent space makes SemDeDup/cluster-prune decisions noise).
+    // Plan: 500-query broadcast against the corpus scan, codegen
+    // cosine, bounded topk_by_score heap (10 rows/query/partition cross
+    // the shuffle), then label join + voting on 10·|q| rows. At corpus
+    // query-cardinality, ride the ANN machinery instead (ext_ann_topk_
+    // batch's bucket join) — this row pins the EXACT semantics.
+    QueryDef(
+      "emb_knn_label_acc",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+        |           FROM embeddings WHERE vec_id < 500),
+        |c AS (SELECT vec_id AS cid, embedding AS ce, label AS cl FROM embeddings),
+        |p AS (
+        |  SELECT qid, cid, cl,
+        |         list_reduce(list_transform(range(1, len(qe) + 1),
+        |             i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (a, b) -> a + b)
+        |           / (sqrt(list_reduce(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |            * sqrt(list_reduce(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cos_sim
+        |  FROM q, c WHERE qid <> cid),
+        |top AS (
+        |  SELECT qid, cl FROM (
+        |    SELECT qid, cl,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |                              ORDER BY cos_sim DESC, cid) AS rn
+        |    FROM p) WHERE rn <= 10),
+        |vote AS (SELECT qid, cl, COUNT(*) AS nv FROM top GROUP BY qid, cl),
+        |pred AS (
+        |  SELECT qid, cl AS plabel FROM (
+        |    SELECT qid, cl,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |                              ORDER BY nv DESC, cl) AS rn
+        |    FROM vote) WHERE rn = 1)
+        |SELECT CAST(q.ql AS INT) AS label,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN pred.plabel = q.ql THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM q JOIN pred ON pred.qid = q.qid
+        |GROUP BY q.ql ORDER BY label""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("ql"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("cl"))
+      val top = broadcast(q.drop("ql")).join(c, col("qid") =!= col("cid"))
+        .withColumn("cos_sim", expr("cosine_sim(qe, ce)"))
+        .groupBy("qid")
+        .agg(expr("topk_by_score(cos_sim, cid, 10)").as("top"))
+        .select(col("qid"), explode(col("top.id")).as("cid"))
+        .join(c.select("cid", "cl"), "cid")
+      val vote = top.groupBy("qid", "cl").agg(count(lit(1)).as("nv"))
+      val wv = Window.partitionBy("qid").orderBy(col("nv").desc, col("cl"))
+      val pred = vote.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1).select(col("qid"), col("cl").as("plabel"))
+      q.select("qid", "ql").join(pred, "qid")
+        .groupBy(col("ql").cast("int").as("label"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("plabel") === col("ql"), 1L).otherwise(0L))
+            .cast("long").as("n_correct"))
+        .orderBy("label")
     }
   )
 }

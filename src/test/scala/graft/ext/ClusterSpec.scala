@@ -276,6 +276,20 @@ class ClusterSpec extends SparkSpec {
     assert(forced === flat)
   }
 
+  test("emb_knn_label_acc: perfect accuracy on well-separated labeled blobs") {
+    // labels == blob membership; every vector's 10-NN are same-blob, so
+    // the majority vote must be exact for every query
+    val dir = java.nio.file.Files.createTempDirectory("knn").toString
+    embDf(blobs(40)).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("emb_knn_label_acc")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 3)
+    out.foreach { case (label, n, correct) =>
+      assert(n === correct, s"label $label: $correct/$n")
+    }
+    assert(out.map(_._2).sum === 120) // every query vector reported once
+  }
+
   private def rowsMain(rows: Seq[(Long, Array[Float], Int)], id: Long): Double =
     rows(id.toInt)._2(0).toDouble
 
