@@ -98,4 +98,29 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.SparkEntry.queries("evt_retention_cohort")(spark, dir).count() == 0)
     assert(graft.SparkEntry.queries("evt_anomaly_mad")(spark, dir).count() == 0)
   }
+
+  test("r10 part-3 rows: empty tables -> empty results, no crash") {
+    val dir = java.nio.file.Files.createTempDirectory("empty-evt3").toString
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq("ts_gapfill_interp", "ts_resample_ohlc", "etl_merge_upsert",
+        "evt_transition_matrix", "evt_session_stats", "profile_drift_psi")
+      .foreach { q =>
+        assert(graft.SparkEntry.queries(q)(spark, dir).count() == 0,
+          s"$q not empty on empty events")
+      }
+    val edir = java.nio.file.Files.createTempDirectory("empty-emb3").toString
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .write.mode("overwrite").parquet(s"$edir/embeddings.parquet")
+    assert(graft.SparkEntry.queries("emb_knn_label_acc")(spark, edir).count() == 0,
+      "emb_knn_label_acc not empty on empty embeddings")
+  }
 }
