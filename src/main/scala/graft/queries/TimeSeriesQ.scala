@@ -206,6 +206,85 @@ object TimeSeriesQ {
         .orderBy("user_id")
     },
 
+    // Holt's LINEAR (double-exponential) smoothing per type over the
+    // hourly series — level + trend, one step beyond win_ewma's
+    // level-only recursion, closing the classical smoothing family.
+    // The recursion l' = αx + (1−α)(l+b); b' = β(l'−l) + (1−β)b is
+    // inherently ordered, so both engines run the SAME index-order fold
+    // (Spark `aggregate` HOF / DuckDB `list_reduce` over a struct
+    // accumulator carrying (v, l, b, k), k=1 marking the init step:
+    // l₂=v₂, b₂=v₂−v₁) with identical IEEE expression shapes; outputs
+    // land on the u6 grid. Scale: the fold runs per SERIES — |types|
+    // driver-of-nothing rows of span-bounded arrays (720/month) after
+    // the map-side-combinable hourly aggregate; a series long enough to
+    // blow an array (decades of hours) needs chunked re-init, not this
+    // row. Smoothing constants α=0.5, β=0.3.
+    QueryDef(
+      "ts_holt_linear",
+      // Oracle note: a struct-accumulator list_reduce would be the
+      // natural twin of Spark's aggregate() fold, but DuckDB 1.0.0
+      // ALIASES the accumulator in place from the second combine on
+      // (field reads see already-written new values — found live here),
+      // and the behavior is version-dependent. The recursive CTE below
+      // is the lambda-free formulation: one row per (type, t) step,
+      // identical IEEE expression shapes to the Spark fold.
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |idx AS (
+        |  SELECT event_type, v,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS i
+        |  FROM hourly),
+        |nn AS (SELECT event_type, COUNT(*) AS n FROM hourly
+        |       GROUP BY event_type HAVING COUNT(*) >= 2),
+        |it AS (
+        |  SELECT a.event_type, 2 AS t, b2.v AS l, b2.v - b1.v AS b
+        |  FROM nn a
+        |  JOIN idx b1 ON b1.event_type = a.event_type AND b1.i = 1
+        |  JOIN idx b2 ON b2.event_type = a.event_type AND b2.i = 2
+        |  UNION ALL
+        |  SELECT it.event_type, it.t + 1,
+        |         0.5 * x.v + 0.5 * (it.l + it.b),
+        |         0.3 * ((0.5 * x.v + 0.5 * (it.l + it.b)) - it.l)
+        |           + 0.7 * it.b
+        |  FROM it JOIN idx x
+        |    ON x.event_type = it.event_type AND x.i = it.t + 1)
+        |SELECT it.event_type, CAST(nn.n AS BIGINT) AS n_points,
+        |       CAST(FLOOR(it.l * 1e6 + 0.5) AS BIGINT) AS level_u6,
+        |       CAST(FLOOR(it.b * 1e6 + 0.5) AS BIGINT) AS trend_u6,
+        |       CAST(FLOOR((it.l + it.b) * 1e6 + 0.5) AS BIGINT) AS forecast_u6
+        |FROM it JOIN nn ON nn.event_type = it.event_type AND it.t = nn.n
+        |ORDER BY it.event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(col("value").cast(DecimalType(18, 6))).cast("double").as("v"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hr"), col("v")))).as("hv"))
+        .filter(size(col("hv")) >= 2)
+        .select(col("event_type"),
+          expr("transform(hv, p -> p.v)").as("vals"))
+        .select(col("event_type"), size(col("vals")).as("np"),
+          expr("""aggregate(
+            slice(vals, 2, size(vals) - 1),
+            named_struct('v', element_at(vals, 1),
+              'l', cast(0.0 as double), 'b', cast(0.0 as double), 'k', 1),
+            (acc, x) -> IF(acc.k = 1,
+              named_struct('v', x, 'l', x, 'b', x - acc.v, 'k', 2),
+              named_struct('v', x,
+                'l', 0.5D * x + 0.5D * (acc.l + acc.b),
+                'b', 0.3D * ((0.5D * x + 0.5D * (acc.l + acc.b)) - acc.l)
+                     + 0.7D * acc.b,
+                'k', acc.k + 1)))""").as("st"))
+        .select(col("event_type"),
+          col("np").cast("long").as("n_points"),
+          floor(col("st.l") * lit(1.0e6) + lit(0.5)).cast("long").as("level_u6"),
+          floor(col("st.b") * lit(1.0e6) + lit(0.5)).cast("long").as("trend_u6"),
+          floor((col("st.l") + col("st.b")) * lit(1.0e6) + lit(0.5))
+            .cast("long").as("forecast_u6"))
+        .orderBy("event_type")
+    },
+
     // TPC-H Q5 shape (local-supplier volume): the 6-table snowflake —
     // region → nation → (customer, supplier) → orders → lineitem with
     // the c_nationkey = s_nationkey localization predicate — through

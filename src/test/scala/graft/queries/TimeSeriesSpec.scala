@@ -64,6 +64,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("b") === ((42.0, 42.0, 42.0, 42.0, 1L)))
   }
 
+  test("ts_holt_linear: matches the hand-computed recursion on a toy series") {
+    // v = [10, 12, 14, 13]: init l=12, b=2; x=14 -> l=14, b=2;
+    // x=13 -> l=14.5, b=0.3*0.5+0.7*2=1.55; forecast=16.05
+    val dir = writeEvents(Seq(
+      (1L, "a", ts(1, 0), 10.0), (1L, "a", ts(1, 1), 12.0),
+      (1L, "a", ts(1, 2), 14.0), (1L, "a", ts(1, 3), 13.0)))
+    val out = graft.SparkEntry.queries("ts_holt_linear")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((4L, 14500000L, 1550000L, 16050000L)))
+  }
+
   test("etl_merge_upsert: keep / update / insert / tombstone semantics") {
     // cutoff is 2024-01-21: u1 keep, u2 update, u3 insert (new key),
     // u4 deleted (post-cutoff tombstone), u5 insert-over-tombstoned-base,

@@ -33,6 +33,27 @@ def lint_plain_decimal_literal(sql):
                 "rounded -- add an exponent marker (VecOracle.dbl)")
     return None
 
+# r10 part 3: a list_reduce whose lambda builds a STRUCT accumulator is
+# broken in DuckDB 1.0.0 -- from the second combine on, the reduce
+# aliases the accumulator in place, so a later struct field's expression
+# reads fields the earlier assignments ALREADY OVERWROTE (found live on
+# the first ts_holt_linear oracle: acc.l inside the trend expression saw
+# the new level). Later DuckDB versions may fix it, making the construct
+# version-SENSITIVE either way. Scalar-accumulator folds (every sqL2/dot
+# oracle) are unaffected -- the lambda reads acc exactly once.
+def lint_struct_reduce(sql):
+    low = sql.lower()
+    # co-occurrence is the signal: every legitimate oracle reduce is a
+    # scalar fold; struct_pack in the same statement as list_reduce means
+    # a struct is flowing into/around a fold (nested parens defeat a
+    # precise regex, and a false positive just forces the CTE form)
+    if "list_reduce" in low and "struct_pack" in low:
+        return ("LINT: list_reduce over a struct_pack accumulator -- DuckDB "
+                "1.0.0 aliases the accumulator in place across combines "
+                "(version-sensitive); use a recursive CTE for multi-variable "
+                "recursions (the ts_holt_linear form)")
+    return None
+
 def wrap_round_args(sql):
     """Rewrite every ROUND(<arg>[, n]) so <arg> is wrapped in
     graft_lint_decimal(...). Paren-aware: finds the first top-level comma
@@ -126,7 +147,8 @@ def main():
     fails = []
     for name in sorted(oracle):
         sql = oracle[name]
-        lint = lint_round_on_double(con, sql) or lint_plain_decimal_literal(sql)
+        lint = (lint_round_on_double(con, sql) or
+                lint_plain_decimal_literal(sql) or lint_struct_reduce(sql))
         if lint:
             print(f"LINT     {name}: {lint}")
             n_fail += 1; fails.append(name); continue
