@@ -306,6 +306,35 @@ class PlanSpec extends SparkSpec {
       s"no global window allowed in a sweep:\n${p.take(1500)}")
   }
 
+  test("ohlc resample: pure two-phase aggregate — no Window, no sort-based agg of raw rows") {
+    val p = plan("ts_resample_ohlc")
+    assert(!p.toLowerCase.contains("window"),
+      s"OHLC must not window over raw events:\n${p.take(1500)}")
+    assert(p.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("ObjectHashAggregate")) >= 2,
+      s"min_by/max_by aggregate must be two-phase:\n${p.take(1500)}")
+  }
+
+  test("transition matrix: lag window partitioned by user, never global") {
+    val p = plan("evt_transition_matrix")
+    assert(!p.contains("SinglePartition"),
+      s"user-keyed lag must not sink to one partition:\n${p.take(1800)}")
+  }
+
+  test("CDC merge: full-outer join is co-partitioned, not broadcast/nested-loop") {
+    val p = plan("etl_merge_upsert")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected co-partitioned full-outer SMJ:\n${p.take(1800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"merge must never nested-loop:\n${p.take(1500)}")
+  }
+
+  test("gap-fill: every window partitioned (by type or island), none global") {
+    val p = plan("ts_gapfill_interp")
+    assert(!p.contains("SinglePartition"),
+      s"gap-fill windows must stay partitioned:\n${p.take(1800)}")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
