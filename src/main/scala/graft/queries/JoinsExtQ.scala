@@ -56,6 +56,102 @@ object JoinsExtQ {
         .select("user_id", "a_event", "b_event")
     },
 
+    // NEAREST as-of join (r10 part 3): for every error event, the
+    // same-user purchase closest in time within a 1-hour tolerance —
+    // sensor/event alignment semantics that backward-only as-of can't
+    // express. Two passes of the union+ordered-window trick (backward:
+    // running MAX of purchase times; forward: the same on the reversed
+    // order), then the winner by absolute distance, ties to the earlier
+    // (backward) side. MAX/MIN over CASE replaces LAST_VALUE IGNORE
+    // NULLS (engines spell that differently; purchase times are
+    // monotone within the window order, so the extremum IS the nearest
+    // — the gap-fill portability discipline), and distances compare on
+    // floor-second boundaries on both engines. Scale: two windows over
+    // the user-keyed union plus two node-sized joins back to the
+    // deduped purchase frame — every shuffle on user_id.
+    QueryDef(
+      "join_asof_nearest",
+      """WITH b0 AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS bts, MAX(event_id) AS b_event
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |a0 AS (
+        |  SELECT user_id, event_id AS a_event, CAST(ts AS TIMESTAMP) AS ats
+        |  FROM events WHERE event_type = 'error'),
+        |u AS (
+        |  SELECT user_id, ats AS ts, 1 AS is_a, a_event FROM a0
+        |  UNION ALL
+        |  SELECT user_id, bts AS ts, 0 AS is_a, CAST(NULL AS BIGINT) FROM b0),
+        |w AS (
+        |  SELECT user_id, ts, is_a, a_event,
+        |         MAX(CASE WHEN is_a = 0 THEN ts END) OVER wb AS bwd_ts,
+        |         MIN(CASE WHEN is_a = 0 THEN ts END) OVER wf AS fwd_ts
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_a
+        |                ROWS UNBOUNDED PRECEDING),
+        |         wf AS (PARTITION BY user_id ORDER BY ts DESC, is_a
+        |                ROWS UNBOUNDED PRECEDING)),
+        |j AS (
+        |  SELECT s.user_id, s.a_event,
+        |         date_diff('second', s.bwd_ts, s.ts) AS bd,
+        |         date_diff('second', s.ts, s.fwd_ts) AS fd,
+        |         bb.b_event AS bwd_event, fb.b_event AS fwd_event
+        |  FROM (SELECT * FROM w WHERE is_a = 1) s
+        |  LEFT JOIN b0 bb ON bb.user_id = s.user_id AND bb.bts = s.bwd_ts
+        |  LEFT JOIN b0 fb ON fb.user_id = s.user_id AND fb.bts = s.fwd_ts)
+        |SELECT user_id, a_event,
+        |       CASE WHEN bwd_event IS NOT NULL AND bd <= 3600
+        |                 AND (fwd_event IS NULL OR fd > 3600 OR bd <= fd)
+        |            THEN bwd_event
+        |            WHEN fwd_event IS NOT NULL AND fd <= 3600
+        |            THEN fwd_event END AS near_event,
+        |       CASE WHEN bwd_event IS NOT NULL AND bd <= 3600
+        |                 AND (fwd_event IS NULL OR fd > 3600 OR bd <= fd)
+        |            THEN CAST(bd AS BIGINT)
+        |            WHEN fwd_event IS NOT NULL AND fd <= 3600
+        |            THEN CAST(fd AS BIGINT) END AS near_dist_s
+        |FROM j ORDER BY user_id, a_event""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val b0 = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("bts"))
+        .agg(max("event_id").as("b_event"))
+      val a0 = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("a_event"), col("ts").as("ats"))
+      val u = a0.select(col("user_id"), col("ats").as("ts"),
+          lit(1).as("is_a"), col("a_event"))
+        .unionByName(b0.select(col("user_id"), col("bts").as("ts"),
+          lit(0).as("is_a"), lit(null).cast("bigint").as("a_event")))
+      val wb = Window.partitionBy("user_id").orderBy(col("ts"), col("is_a"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy(col("ts").desc, col("is_a"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bOnly = when(col("is_a") === 0, col("ts"))
+      val sel = u
+        .withColumn("bwd_ts", max(bOnly).over(wb))
+        .withColumn("fwd_ts", min(bOnly).over(wf))
+        .filter(col("is_a") === 1)
+      val j = sel
+        .join(b0.select(col("user_id"), col("bts").as("bwd_ts"),
+          col("b_event").as("bwd_event")), Seq("user_id", "bwd_ts"), "left")
+        .join(b0.select(col("user_id"), col("bts").as("fwd_ts"),
+          col("b_event").as("fwd_event")), Seq("user_id", "fwd_ts"), "left")
+        // events.ts is TIMESTAMP_NTZ, which Spark won't cast straight to
+        // BIGINT — hop through LTZ (identity under the UTC session)
+        .withColumn("bd", col("ts").cast("timestamp").cast("long") -
+          col("bwd_ts").cast("timestamp").cast("long"))
+        .withColumn("fd", col("fwd_ts").cast("timestamp").cast("long") -
+          col("ts").cast("timestamp").cast("long"))
+      val pickBwd = col("bwd_event").isNotNull && col("bd") <= 3600 &&
+        (col("fwd_event").isNull || col("fd") > 3600 || col("bd") <= col("fd"))
+      val pickFwd = col("fwd_event").isNotNull && col("fd") <= 3600
+      j.select(col("user_id"), col("a_event"),
+          when(pickBwd, col("bwd_event")).when(pickFwd, col("fwd_event"))
+            .as("near_event"),
+          when(pickBwd, col("bd")).when(pickFwd, col("fd"))
+            .cast("long").as("near_dist_s"))
+        .orderBy("user_id", "a_event")
+    },
+
     // Banded (range) join: suppliers to customers of the same nation whose
     // balances are within 100 of each other. Equi part (nation) carries the
     // shuffle; the band is a post-join filter — Catalyst plans SMJ on the

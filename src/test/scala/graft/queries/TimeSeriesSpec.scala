@@ -111,6 +111,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(full.exceptAll(merged).count() === 0)
   }
 
+  test("join_asof_nearest: nearest side wins, ties go backward, tolerance nulls") {
+    // u1: error 12:00, purchases 11:30 / 12:20 -> forward wins (1200 s)
+    // u2: error 12:00, purchase 14:30 -> outside 1h tolerance -> null
+    // u3: error 12:00, purchases 11:50 / 12:10 -> tie (600 s) -> backward
+    val dir = writeEvents(Seq(
+      (1L, "error", ts(1, 12, 0), 0.0), (1L, "purchase", ts(1, 11, 30), 0.0),
+      (1L, "purchase", ts(1, 12, 20), 0.0),
+      (2L, "error", ts(2, 12, 0), 0.0), (2L, "purchase", ts(2, 14, 30), 0.0),
+      (3L, "error", ts(3, 12, 0), 0.0), (3L, "purchase", ts(3, 11, 50), 0.0),
+      (3L, "purchase", ts(3, 12, 10), 0.0)))
+    val out = graft.SparkEntry.queries("join_asof_nearest")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val ids = spark.read.parquet(s"$dir/events.parquet")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").toString) -> r.getAs[Long]("event_id"))
+      .toMap
+    assert(out(1L)._2 === Some(1200L))
+    assert(out(1L)._1 === Some(ids((1L, ts(1, 12, 20).toString))))
+    assert(out(2L) === ((None, None)))
+    assert(out(3L)._2 === Some(600L))
+    assert(out(3L)._1 === Some(ids((3L, ts(3, 11, 50).toString))),
+      "equal-distance tie must pick the backward (earlier) purchase")
+  }
+
   test("sql_tpch_q5: revenue only from ASIA-local supplier-customer pairs") {
     val out = graft.SparkEntry.queries("sql_tpch_q5")(spark, sf("sf0.01"))
       .collect()
