@@ -95,6 +95,38 @@ object EventsQ {
         .agg(count(lit(1)).cast("long").as("n_users"))
     },
 
+    // Cumulative distinct users ("users to date"): the growth metric
+    // every telemetry dashboard plots. The naive form windows a
+    // COUNT(DISTINCT) over the full stream; the scale-safe identity is
+    // cumulative_distinct(day) = |{users whose FIRST event <= day}| —
+    // one min-aggregate per user, a per-day count, and a running sum
+    // over the DAY SERIES (30 rows here, span-bounded always). Also
+    // emits per-day new-user counts. No window ever touches raw data.
+    QueryDef(
+      "evt_cumulative_users",
+      """WITH firstseen AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY user_id),
+        |daily AS (
+        |  SELECT day, COUNT(*) AS new_users FROM firstseen GROUP BY day)
+        |SELECT day, CAST(new_users AS BIGINT) AS new_users,
+        |       CAST(SUM(new_users) OVER (ORDER BY day
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS users_to_date
+        |FROM daily ORDER BY day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy("user_id").agg(min(col("ts").cast("date")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      // the running sum's window is over the aggregated day series —
+      // |span days| rows — so the single partition is by construction
+      // tiny, not a data-scale sink
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("day"), col("new_users").cast("long").as("new_users"),
+          sum("new_users").over(w).cast("long").as("users_to_date"))
+        .orderBy("day")
+    },
+
     // Markov transition matrix over per-user event sequences: count
     // (prev_type -> next_type) steps and the outgoing-probability row
     // normalization — the path-discovery twin of the fixed-step funnel

@@ -64,6 +64,19 @@ class EventsSpec extends SparkSpec {
     assert(out === Map(("2024-01-01", 0) -> 2L, ("2024-01-01", 2) -> 1L))
   }
 
+  test("evt_cumulative_users: counts first-seen days, monotone to-date total") {
+    // u1 first on day 1 (re-appears day 5 — must not recount),
+    // u2 on day 2, u3 on day 2, u4 on day 7
+    val dir = writeEvents(Seq(
+      (1L, "view", ts(1)), (1L, "view", ts(5)),
+      (2L, "view", ts(2)), (3L, "click", ts(2)),
+      (4L, "view", ts(7))))
+    val out = graft.SparkEntry.queries("evt_cumulative_users")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 1L, 1L), ("2024-01-02", 2L, 3L), ("2024-01-07", 1L, 4L)))
+  }
+
   test("evt_transition_matrix: per-user ordered pairs, rows normalize to 1") {
     // u1: view->click->view ; u2: view->click — transitions:
     // view->click ×2, click->view ×1. No cross-user transition.
