@@ -72,6 +72,51 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
+    * (uniformly), so rank measures authority RELATIVE to the seed
+    * topic — the topic-conditioned quality prior (seed = known-good
+    * hosts/documents, rank = closeness to that trusted set; TrustRank
+    * in the web-spam literature). Same contract, same exact-decimal
+    * contribution sums, and the same per-sweep shape as [[pageRank]]
+    * (edge scan + node-sized joins); the only additions are the
+    * node-sized seed join each sweep and a LEFT join on contributions
+    * (a node receiving no mass must still keep its teleport term —
+    * plain PR's uniform teleport made that impossible to observe).
+    * Init r0 = the teleport distribution itself. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val sd = seeds.select(col("id")).distinct().localCheckpoint()
+    val nS = sd.count()
+    require(nS > 0, "personalized PageRank needs a non-empty seed set")
+    val tv = sd.select(col("id"), lit(teleport / nS).as("tp"))
+    val nodes = deg.select(col("src").as("id"))
+    var ranks = nodes.join(tv, Seq("id"), "left")
+      .select(col("id"), coalesce(col("tp"), lit(0.0)).as("r"))
+    var it = 0
+    while (it < iters) {
+      val mass = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"),
+          floor((col("r") / col("outdeg")) * lit(1.0e15)).as("cu"))
+        .groupBy("dst")
+        .agg((sum(col("cu").cast(DecimalType(38, 0))).cast("double") /
+          lit(1.0e15)).as("mass"))
+      ranks = nodes
+        .join(mass.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .join(tv, Seq("id"), "left")
+        .select(col("id"),
+          (coalesce(col("tp"), lit(0.0)) +
+            lit(damping) * coalesce(col("mass"), lit(0.0))).as("r"))
+      it += 1
+      if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** `iters` SYNCHRONOUS label-propagation sweeps (community detection —
     * the cluster-the-near-dup-groups / topic-blocking step, Raghavan et
     * al. 2007 in deterministic form): each sweep every node adopts the

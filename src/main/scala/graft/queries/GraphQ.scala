@@ -62,6 +62,83 @@ object GraphQ {
         .orderBy("node_id")
     },
 
+    // Personalized PageRank (r10 part 3): teleport mass restricted to a
+    // SEED set (BUILDING-segment customers) — rank becomes closeness to
+    // the trusted set (TrustRank), the topic-conditioned quality prior
+    // a curation pipeline uses when "authority" must mean "authority
+    // near known-good sources", not global centrality. Same bipartite
+    // customer/supplier graph and exact-decimal contribution sums as
+    // ext_pagerank; the oracle unrolls the three sweeps with the
+    // seed-term LEFT joins spelled out.
+    QueryDef(
+      "ext_pagerank_personalized",
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (
+        |  SELECT 2*c AS src, 2*s+1 AS dst FROM pairs
+        |  UNION ALL SELECT 2*s+1 AS src, 2*c AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |seeds AS (
+        |  SELECT DISTINCT 2*p.c AS id FROM pairs p
+        |  JOIN customer cu ON cu.c_custkey = p.c
+        |  WHERE cu.c_mktsegment = 'BUILDING'),
+        |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+        |stp AS (SELECT id, CAST(0.15 AS DOUBLE)/(SELECT n FROM ns) AS tp FROM seeds),
+        |r0 AS (
+        |  SELECT d.src AS id, COALESCE(s.tp, CAST(0 AS DOUBLE)) AS r
+        |  FROM deg d LEFT JOIN stp s ON s.id = d.src),
+        |i1 AS (
+        |  SELECT d.src AS id,
+        |         COALESCE(s.tp, CAST(0 AS DOUBLE)) + CAST(0.85 AS DOUBLE) *
+        |           COALESCE(m.mass, CAST(0 AS DOUBLE)) AS r
+        |  FROM deg d
+        |  LEFT JOIN (SELECT e.dst,
+        |               CAST(SUM(CAST(FLOOR((r.r/dd.outdeg) * 1e15) AS DECIMAL(38,0))) AS DOUBLE) / 1e15 AS mass
+        |             FROM edges e JOIN r0 r ON r.id = e.src
+        |                          JOIN deg dd ON dd.src = e.src
+        |             GROUP BY e.dst) m ON m.dst = d.src
+        |  LEFT JOIN stp s ON s.id = d.src),
+        |i2 AS (
+        |  SELECT d.src AS id,
+        |         COALESCE(s.tp, CAST(0 AS DOUBLE)) + CAST(0.85 AS DOUBLE) *
+        |           COALESCE(m.mass, CAST(0 AS DOUBLE)) AS r
+        |  FROM deg d
+        |  LEFT JOIN (SELECT e.dst,
+        |               CAST(SUM(CAST(FLOOR((r.r/dd.outdeg) * 1e15) AS DECIMAL(38,0))) AS DOUBLE) / 1e15 AS mass
+        |             FROM edges e JOIN i1 r ON r.id = e.src
+        |                          JOIN deg dd ON dd.src = e.src
+        |             GROUP BY e.dst) m ON m.dst = d.src
+        |  LEFT JOIN stp s ON s.id = d.src),
+        |i3 AS (
+        |  SELECT d.src AS id,
+        |         COALESCE(s.tp, CAST(0 AS DOUBLE)) + CAST(0.85 AS DOUBLE) *
+        |           COALESCE(m.mass, CAST(0 AS DOUBLE)) AS r
+        |  FROM deg d
+        |  LEFT JOIN (SELECT e.dst,
+        |               CAST(SUM(CAST(FLOOR((r.r/dd.outdeg) * 1e15) AS DECIMAL(38,0))) AS DOUBLE) / 1e15 AS mass
+        |             FROM edges e JOIN i2 r ON r.id = e.src
+        |                          JOIN deg dd ON dd.src = e.src
+        |             GROUP BY e.dst) m ON m.dst = d.src
+        |  LEFT JOIN stp s ON s.id = d.src)
+        |SELECT id AS node_id, r AS ppr FROM i3 ORDER BY node_id""".stripMargin) { (s, d) =>
+      val pairs = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val edges = pairs
+        .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+        .unionAll(pairs
+          .select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      val seeds = pairs
+        .join(Tables.customer(s, d), col("c_custkey") === col("c"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c") * 2).as("id")).distinct()
+      graft.ext.Graph.personalizedPageRank(edges, seeds, iters = 3)
+        .select(col("id").as("node_id"), col("r").as("ppr"))
+        .orderBy("node_id")
+    },
+
     // Blocked fuzzy entity linkage (record dedup): candidate pairs only
     // within a blocking key (p_brand) plus a length band — the standard
     // ER trick that keeps the pair space at sum(block^2), never n^2 —

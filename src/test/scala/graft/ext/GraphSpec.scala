@@ -41,6 +41,21 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-6, s"rank mass drifted: $mass")
   }
 
+  test("personalizedPageRank: mass stays in the seed component, seeds rank highest") {
+    import org.apache.spark.sql.functions.col
+    // two disjoint symmetric pairs; seeds = {1}. The {3,4} component can
+    // receive neither teleport nor propagated mass -> rank exactly 0.
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+    val seeds = spark.range(1).select((col("id") + 1).as("id"))
+    val out = Graph.personalizedPageRank(edgeDf(edges), seeds, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(3L) === 0.0 && out(4L) === 0.0,
+      s"unreachable component must hold zero mass: $out")
+    assert(out(1L) > 0.0 && out(2L) > 0.0)
+    assert(out(1L) > out(2L),
+      s"the seed keeps its teleport edge over its neighbor: $out")
+  }
+
   test("pageRank: result is identical at 2 vs 4 shuffle partitions") {
     val edges = (0L until 40L).flatMap { i =>
       Seq((i, (i + 1) % 40), (i, (i * 7 + 3) % 40), ((i * 3) % 40, i))
