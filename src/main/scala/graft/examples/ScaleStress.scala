@@ -572,24 +572,24 @@ object ScaleStress {
     // at a cell count past the threshold. nCells=8192 on the replicated
     // embedding fixture is the regime the router exists for (the flat
     // per-row scan is 8192 dists; routed ≈ 91 groups + 8·~90 members).
-    // Same query set both ways; we also report result agreement — the
-    // routed result must stay ≥95% identical to the flat one here.
+    // Same query set both ways; both are then gated on RECALL vs the
+    // exact brute-force truth (routed within 0.05 of flat) — see the
+    // comment at the gate below.
     if (names.contains("ivf_router_scale")) {
       import graft.ext.Similarity
       val emb = spark.read.parquet(s"$out/embeddings.parquet")
       val queries = emb.select("vec_id").orderBy("vec_id").limit(50)
       def runOnce(threshold: Int): (Double, Set[(Long, Long)]) = {
-        val saved = Similarity.twoLevelCellThreshold
-        Similarity.twoLevelCellThreshold = threshold
-        try {
-          val t0 = System.nanoTime()
-          val res = Similarity.ivfTopK(emb, queries, k = 10,
-              nCells = 8192, nProbe = 32)
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-          ((System.nanoTime() - t0) / 1e9, res)
-        } finally {
-          Similarity.twoLevelCellThreshold = saved
-          spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        Similarity.withTwoLevelThreshold(threshold) {
+          try {
+            val t0 = System.nanoTime()
+            val res = Similarity.ivfTopK(emb, queries, k = 10,
+                nCells = 8192, nProbe = 32)
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            ((System.nanoTime() - t0) / 1e9, res)
+          } finally {
+            spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+          }
         }
       }
       val (flatS, flatRes) = runOnce(Int.MaxValue)

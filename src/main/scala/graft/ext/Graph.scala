@@ -78,23 +78,39 @@ object Graph {
     * hosts/documents, rank = closeness to that trusted set; TrustRank
     * in the web-spam literature). Same contract, same exact-decimal
     * contribution sums, and the same per-sweep shape as [[pageRank]]
-    * (edge scan + node-sized joins); the only additions are the
-    * node-sized seed join each sweep and a LEFT join on contributions
-    * (a node receiving no mass must still keep its teleport term —
+    * (edge scan + node-sized joins); the only addition is a LEFT join
+    * on contributions against the once-materialized (node, teleport)
+    * base (a node receiving no mass must still keep its teleport term —
     * plain PR's uniform teleport made that impossible to observe).
-    * Init r0 = the teleport distribution itself. */
+    * Init r0 = the teleport distribution itself. Seeds outside the
+    * rank domain (never an edge source) are excluded from nS so their
+    * teleport share doesn't silently leak out of the system. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val e = edges.localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val sd = seeds.select(col("id")).distinct().localCheckpoint()
-    val nS = sd.count()
-    require(nS > 0, "personalized PageRank needs a non-empty seed set")
-    val tv = sd.select(col("id"), lit(teleport / nS).as("tp"))
     val nodes = deg.select(col("src").as("id"))
-    var ranks = nodes.join(tv, Seq("id"), "left")
-      .select(col("id"), coalesce(col("tp"), lit(0.0)).as("r"))
+    // VERDICT r10 item 3: nodes ⋈ seed-set is LOOP-INVARIANT —
+    // materialize the flagged node list once and join only the
+    // per-sweep mass against it, instead of re-running the node-sized
+    // seed join every sweep. ADVICE r10 folded in: nS counts
+    // seeds ∩ node set (the is_seed flags of this very frame), not all
+    // distinct seeds — a seed that never appears as an edge src is
+    // outside the rank domain, and counting it would silently leak its
+    // teleport/nS share out of the system every sweep. One checkpoint
+    // serves both the count and the per-sweep teleport term.
+    val base0 = nodes.join(
+        seeds.select(col("id")).distinct().withColumn("is_seed", lit(true)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val nS = base0.filter(col("is_seed")).count()
+    require(nS > 0,
+      "personalized PageRank needs ≥1 seed that appears as an edge source")
+    val base = base0.select(col("id"),
+      when(col("is_seed"), lit(teleport / nS)).otherwise(lit(0.0)).as("tp"))
+    var ranks = base.select(col("id"), col("tp").as("r"))
     var it = 0
     while (it < iters) {
       val mass = e
@@ -105,11 +121,10 @@ object Graph {
         .groupBy("dst")
         .agg((sum(col("cu").cast(DecimalType(38, 0))).cast("double") /
           lit(1.0e15)).as("mass"))
-      ranks = nodes
+      ranks = base
         .join(mass.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .join(tv, Seq("id"), "left")
         .select(col("id"),
-          (coalesce(col("tp"), lit(0.0)) +
+          (col("tp") +
             lit(damping) * coalesce(col("mass"), lit(0.0))).as("r"))
       it += 1
       if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint()
@@ -196,18 +211,40 @@ object Graph {
     val sizes = p.groupBy("p_brand").agg(count(lit(1)).as("bn"))
     val tagged = p.join(broadcast(sizes), "p_brand")
 
-    def verified(cand: DataFrame): DataFrame =
-      cand.filter(col("pa") < col("pb") &&
-          abs(col("la") - col("lb")) <= 2 &&
-          levenshtein(col("na"), col("nb"), 3).between(0, 3))
-        .select("pa", "pb")
-
+    // r11: the exact path rides a CHUNK-GRID triangle join instead of a
+    // plain blocking-key join. A key with fixed cardinality (25 brands)
+    // caps the join's parallelism at 25 tasks — worse, the shuffle READ
+    // is tiny by bytes (node rows, not pairs), so AQE's partition
+    // coalescing folds those 25 keys into ~1 partition and the whole
+    // block² pair generation + levenshtein runs SERIALLY (measured
+    // 4.9 s vs 1.1 s at sf0.1). Each block is cut into ceil(bn/256)
+    // hash-chunks; rows replicate along one grid axis so every
+    // unordered chunk pair (i ≤ j) is one join key — pair space is
+    // unchanged (i==j dedups via pa<pb, i<j pairs are unique by
+    // construction), keys grow from |brands| to |brands|·nc·(nc+1)/2,
+    // and the explicit repartition count pins the parallelism AQE
+    // would coalesce away. Replication factor is nc+1 node rows — noise
+    // next to the block² pair stream it balances.
+    val chunk = 256
+    val nPart = 2 * p.sparkSession.sessionState.conf.numShufflePartitions
     val small = tagged.filter(col("bn") <= maxBlock)
-    val exact = verified(small
-      .select(col("p_brand"), col("p_partkey").as("pa"),
-        col("p_name").as("na"), col("len").as("la"))
-      .join(small.select(col("p_brand"), col("p_partkey").as("pb"),
-        col("p_name").as("nb"), col("len").as("lb")), Seq("p_brand")))
+      .withColumn("nc", ceil(col("bn") / lit(chunk)).cast("int"))
+      .withColumn("ck", pmod(hash(col("p_partkey")), col("nc")))
+    val gridL = small.select(col("p_brand"), col("ck").as("ci"),
+      explode(sequence(col("ck"), col("nc") - 1)).as("cj"),
+      col("p_partkey").as("pa"), col("p_name").as("na"), col("len").as("la"))
+    val gridR = small.select(col("p_brand"),
+      explode(sequence(lit(0), col("ck"))).as("ci"), col("ck").as("cj"),
+      col("p_partkey").as("pb"), col("p_name").as("nb"), col("len").as("lb"))
+    val exact = gridL.repartition(nPart, col("p_brand"), col("ci"), col("cj"))
+      .join(gridR.repartition(nPart, col("p_brand"), col("ci"), col("cj")),
+        Seq("p_brand", "ci", "cj"))
+      .filter((col("ci") =!= col("cj") || col("pa") < col("pb")) &&
+        col("pa") =!= col("pb") &&
+        abs(col("la") - col("lb")) <= 2 &&
+        levenshtein(col("na"), col("nb"), 3).between(0, 3))
+      .select(least(col("pa"), col("pb")).as("pa"),
+        greatest(col("pa"), col("pb")).as("pb"))
 
     val big = tagged.filter(col("bn") > maxBlock)
     // per-row 16-minhash over distinct char 3-grams, packed into 8
@@ -231,13 +268,25 @@ object Graph {
     }
     val sig = big.select(col("p_brand"), col("p_partkey"), col("p_name"),
       col("len"), explode(bandU(col("p_name"))).as("bsig"))
-    val lsh = verified(sig
+    // r11: dedup candidate PAIRS before the levenshtein verify — a pair
+    // can collide in up to 8 bands, and the old verify-then-distinct
+    // order ran the (banded-DP, but still the most expensive predicate
+    // here) levenshtein once per collision instead of once per pair
+    // (measured 3.7 s vs 2.6 s on a forced-LSH sf0.1 run, and the gap
+    // widens with band count at scale). Cheap prunes (pa<pb,
+    // length band) stay ahead of the distinct so it dedups the
+    // smallest possible row set.
+    val lsh = sig
       .select(col("p_brand"), col("bsig"), col("p_partkey").as("pa"),
         col("p_name").as("na"), col("len").as("la"))
       .join(sig.select(col("p_brand"), col("bsig"),
         col("p_partkey").as("pb"), col("p_name").as("nb"),
-        col("len").as("lb")), Seq("p_brand", "bsig")))
-      .distinct() // a pair can collide in several bands
+        col("len").as("lb")), Seq("p_brand", "bsig"))
+      .filter(col("pa") < col("pb") && abs(col("la") - col("lb")) <= 2)
+      .select("pa", "pb", "na", "nb")
+      .distinct()
+      .filter(levenshtein(col("na"), col("nb"), 3).between(0, 3))
+      .select("pa", "pb")
 
     exact.unionAll(lsh)
   }

@@ -481,9 +481,18 @@ object Similarity {
   /** Flat-scan cell count above which assign/probe route through the
     * two-level index. Fixture nCells (16–160 under the √n law) stay
     * far below it; 10⁹ vectors (11.3k cells) engage it.
-    * `private[graft] var` solely so ClusterSpec can force the router
-    * at fixture scale — production code never writes it. */
-  private[graft] var twoLevelCellThreshold: Int = 4096
+    * Tests and the scale harness force the router at fixture scale via
+    * [[withTwoLevelThreshold]] — a DynamicVariable scope, so the
+    * override is visible ONLY to the forcing thread for the duration
+    * of its block (ADVICE r10: the previous mutable global var raced
+    * against any concurrently planning thread in the same JVM and
+    * silently changed its routing path). Production code never
+    * overrides it. */
+  private[graft] def twoLevelCellThreshold: Int = twoLevelCellThresholdDyn.value
+  private val twoLevelCellThresholdDyn =
+    new scala.util.DynamicVariable[Int](4096)
+  private[graft] def withTwoLevelThreshold[A](t: Int)(f: => A): A =
+    twoLevelCellThresholdDyn.withValue(t)(f)
 
   /** Groups probed per lookup. Misses decay geometrically in this; 8
     * measured ≥99% agreement on clustered fixtures (ClusterSpec). */

@@ -122,10 +122,15 @@ object GraphQ {
         |             GROUP BY e.dst) m ON m.dst = d.src
         |  LEFT JOIN stp s ON s.id = d.src)
         |SELECT id AS node_id, r AS ppr FROM i3 ORDER BY node_id""".stripMargin) { (s, d) =>
+      // r11: pairs feeds BOTH the edge list and the seed set — without
+      // the checkpoint the orders⋈lineitem distinct ran twice (the
+      // library checkpoints edges and seeds separately; this is the
+      // caller-side share, ~1 s of the old 1.7×-over-plain-PR gap)
       val pairs = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
+        .localCheckpoint()
       val edges = pairs
         .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
         .unionAll(pairs

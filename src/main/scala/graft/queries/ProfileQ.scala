@@ -154,6 +154,13 @@ object ProfileQ {
     // (exact, order-free — the pageRank pattern) and the final PSI
     // lands on the u6 half-up grid. Scale: two full aggregates (bounds,
     // bin counts) + arithmetic on |types|·10 rows — nothing else.
+    // ADVICE r10 (accepted residual risk, same class as the ln-based
+    // ext_tfidf_topterms oracle): cross-engine exactness assumes JVM
+    // Math.log and DuckDB ln agree to the ulp at every evaluated point —
+    // both delegate to the platform libm here and the gate is green;
+    // a ulp divergence could only flip a term by one 1e-12 unit, which
+    // the /1e6 half-up rounding absorbs except exactly at a psi_u6
+    // boundary.
     QueryDef(
       "profile_drift_psi",
       """WITH b AS (

@@ -257,9 +257,7 @@ class ClusterSpec extends SparkSpec {
     def run() = Similarity.ivfTopK(emb, ids.toSeq, k = 10, nCells = 0, nProbe = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val flat = run()
-    val saved = Similarity.twoLevelCellThreshold
-    Similarity.twoLevelCellThreshold = 2
-    val forced = try run() finally Similarity.twoLevelCellThreshold = saved
+    val forced = Similarity.withTwoLevelThreshold(2)(run())
     assert(forced === flat)
   }
 
@@ -270,9 +268,7 @@ class ClusterSpec extends SparkSpec {
     def run() = Embeddings.ivfPqTopK(emb, q, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val flat = run()
-    val saved = Similarity.twoLevelCellThreshold
-    Similarity.twoLevelCellThreshold = 2
-    val forced = try run() finally Similarity.twoLevelCellThreshold = saved
+    val forced = Similarity.withTwoLevelThreshold(2)(run())
     assert(forced === flat)
   }
 

@@ -25,13 +25,52 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: non-convergence at maxIter fails loudly, not partially") {
     import spark.implicits._
-    // ADVICE r4 (medium): a chain whose diameter exceeds maxIter used to
-    // return PARTIAL labels silently — now it must throw
+    // ADVICE r4 (medium): exceeding maxIter used to return PARTIAL
+    // labels silently — must throw. One large-star/small-star round
+    // turns a 12-chain into skip-level paths, not yet a star forest
+    // (contraction is O(log diameter) rounds, so 1 round cannot finish).
     val chain = (1L until 12L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"), maxIter = 3).collect()
+      Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"), maxIter = 1).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connected components: large-star/small-star equals brute-force closure on planted graphs") {
+    import spark.implicits._
+    // planted shapes per VERDICT r10 item 1: long chain (worst case for
+    // label propagation), clique (best case), binary tree, two rings,
+    // star, isolated pair, self-loop-only node — labels must equal the
+    // union-find ground truth computed driver-side
+    val rnd = new scala.util.Random(42)
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val clique = for (a <- 200L to 215L; b <- (a + 1) to 215L) yield (a, b)
+    val tree = (1L until 32L).map(i => (i / 2 max 1, i + 31)) // arbitrary ids
+    val ring = (300L until 320L).map(i => (i, if (i == 319L) 300L else i + 1))
+    val star = (400L to 430L).map(i => (399L, i))
+    val self = Seq((500L, 500L))
+    val shuffled = rnd.shuffle(chain ++ clique ++ tree ++ ring ++ star ++ self)
+    val edges = shuffled.toDF("doc_a", "doc_b")
+    val (ccDf, rounds) = Dedup.connectedComponentsWithRounds(edges)
+    val got = ccDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    shuffled.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    // min-label truth per node: min over its root class (snapshot keys —
+    // find() path-compresses, mutating the map)
+    val byRoot = parent.keys.toVector.groupBy(find)
+    val truth = byRoot.flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }
+    assert(got == truth, s"CC mismatch: ${(got.toSet diff truth.toSet).take(5)}")
+    // O(log diameter): 41-node chain must close in well under diameter rounds
+    assert(rounds <= 8, s"expected logarithmic convergence, took $rounds rounds")
   }
 
   test("bloomNewDocs: no false negatives; FP rate within budget") {
