@@ -157,33 +157,114 @@ object Embeddings {
 
   /** [[pqTrain]] over a pre-projected (vec_id, v: array<double>) frame —
     * the entry point that lets IVF-PQ train its codebook on per-cell
-    * RESIDUALS rather than raw vectors. */
+    * RESIDUALS rather than raw vectors. Wraps [[pqTrainArrays]] into the
+    * (s, cell, cv) frame shape [[pqEncodeWith]] consumes. */
   private def pqTrainV(e: DataFrame, dim: Int, m: Int, ksub: Int,
       iters: Int): (DataFrame, Int) = {
-    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    val (rows, sub) = pqTrainArrays(e, dim, m, ksub, iters)
+    (e.sparkSession.createDataFrame(
+      rows.toSeq.map { case (s, c, w) => (s, c, w.toSeq) })
+      .toDF("s", "cell", "cv"), sub)
+  }
+
+  /** The PQ trainer proper (r11 rewrite): each sweep is ONE
+    * treeAggregate carrying m·ksub·(subLen+1) longs — assign every
+    * subvector to its nearest codeword map-side and accumulate
+    * 1e-12-floor-quantized component sums + counts, exactly the numbers
+    * the old posexplode → (s,cell,dimi) decimal aggregate produced
+    * through three shuffles per sweep. Long addition is exact and
+    * order-free, distances accumulate in index order, ties break to the
+    * lowest cell, and the driver-side mean divides in the same
+    * (sum→double)/1e12/n order — so the trained codebook is
+    * BIT-IDENTICAL to the frame-based trainer's (the determinism the
+    * emb_pq_encode / ext_ivfpq_topk lazy oracles inline). Cells that
+    * lose all members drop out of the codebook, as before.
+    *
+    * Scale shape: the per-partition accumulator is m·ksub·(subLen+1)
+    * longs (m=8, ksub=16, subLen=8 → 1 KB) regardless of corpus size —
+    * strictly better than shuffling corpus·m exploded rows per sweep. */
+  private def pqTrainArrays(e: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int): (Array[(Int, Int, Array[Double])], Int) = {
     require(m > 0 && ksub > 0 && iters >= 1)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val sv = subVectors(e, m, sub)
-    var cents = sv.filter(col("vec_id") < ksub)
-      .select(col("s"), col("vec_id").cast("int").as("cell"), col("sv").as("cv"))
+    val sc = e.sparkSession.sparkContext
+    // deterministic seeds: the ksub lowest vec_ids seed every subspace
+    // (cell id = vec_id — the sv.filter(vec_id < ksub) seeding)
+    val seedRows = e.filter(col("vec_id") < ksub)
+      .select(col("vec_id").cast("int"), col("v")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val a = Array.ofDim[Array[Double]](ksub)
+      seedRows.foreach { case (cell, v) =>
+        a(cell) = java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub) }
+      a
+    }
+    val rdd = e.select(col("v")).rdd.map(_.getSeq[Double](0).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val width = sub + 1 // per (s, cell): subLen component sums + count
     var it = 0
     while (it < iters) {
-      cents = pqAssign(sv, cents)
-        .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("dimi", "x")))
-        .groupBy("s", "cell", "dimi")
-        // 1e-12 floor-quantized exact-decimal mean (the pageRank /
-        // emb_covariance pattern): order-independent, so the trained
-        // codebook is bit-identical run-to-run — the determinism the
-        // emb_pq_encode lazy oracle relies on to inline it as literals.
-        .agg((sum(floor(col("x") * lit(1.0e12)).cast(DecimalType(38, 0)))
-          .cast("double") / lit(1.0e12) / count(lit(1))).as("cm"))
-        .groupBy("s", "cell")
-        .agg(transform(array_sort(collect_list(struct(col("dimi"), col("cm")))),
-          p => p.getField("cm")).as("cv"))
+      val bc = sc.broadcast(cb)
+      val agg = rdd.treeAggregate(new Array[Long](m * ksub * width))(
+        seqOp = { (acc, v) =>
+          val cbv = bc.value
+          var s = 0
+          while (s < m) {
+            var best = -1; var bd = Double.MaxValue
+            var c = 0
+            while (c < ksub) {
+              val w = cbv(s)(c)
+              if (w != null) {
+                var dd = 0.0; var i = 0
+                while (i < sub) {
+                  val t = v(s * sub + i) - w(i); dd += t * t; i += 1
+                }
+                if (dd < bd) { bd = dd; best = c }
+              }
+              c += 1
+            }
+            if (best >= 0) {
+              val off = (s * ksub + best) * width
+              var i = 0
+              while (i < sub) {
+                acc(off + i) += math.floor(v(s * sub + i) * 1e12).toLong
+                i += 1
+              }
+              acc(off + sub) += 1L
+            }
+            s += 1
+          }
+          acc
+        },
+        combOp = { (a, b) =>
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        })
+      bc.unpersist(blocking = false)
+      val next: Array[Array[Array[Double]]] =
+        Array.tabulate(m)(_ => Array.ofDim[Array[Double]](ksub))
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ksub) {
+          val off = (s * ksub + c) * width
+          val n = agg(off + sub)
+          if (n > 0)
+            next(s)(c) = Array.tabulate(sub)(i => agg(off + i).toDouble / 1e12 / n)
+          c += 1
+        }
+        s += 1
+      }
+      cb = next
       it += 1
     }
-    (cents, sub)
+    rdd.unpersist(blocking = false)
+    val out = for {
+      s <- (0 until m).toArray
+      c <- 0 until ksub
+      if cb(s)(c) != null
+    } yield (s, c, cb(s)(c))
+    (out, sub)
   }
 
   /** Encode every vector against a trained codebook: (vec_id, codes
@@ -245,7 +326,7 @@ object Embeddings {
       refine: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val model = ivfPqFit(emb, m, ksub, nCells, nProbe)
+    val (model, resid) = ivfPqFitWithResid(emb, m, ksub, nCells, nProbe)
     val np = model.np
     val subLen = model.subLen
     val e = withV(emb)
@@ -259,21 +340,49 @@ object Embeddings {
     val bcCent = sc.broadcast(coarse.toMap)
     val probeU = udf { (v: Seq[Double]) =>
       val (ids, cs, ix) = bcCells.value
+      // unbox ONCE per row: the kernels index the vector nc (or group)
+      // times, and a generic Seq[Double] apply boxes on every read
+      val va = v.toArray
       ix match {
-        case Some(i) => nearestCellsInTwoLevel((ids, cs), i, v, np)
-        case None => nearestCellsIn((ids, cs), v, np)
+        case Some(i) => nearestCellsInTwoLevel((ids, cs), i, va, np)
+        case None => nearestCellsIn((ids, cs), va, np)
       }
     }
 
-    val resid = ivfPqResiduals(e, coarse)
-    val codebook = spark.createDataFrame(
-      model.codebook.toSeq.map { case (s, c, w) => (s, c, w.toSeq) })
-      .toDF("s", "cell", "cv")
     val cbRows = model.codebook.map { case (s, c, w) => ((s, c), w) }.toMap
     val bcCb = sc.broadcast(cbRows)
-    val indexed = resid.select(col("vec_id").as("cid"), col("cell"))
-      .join(pqEncodeWithV(resid.select("vec_id", "v"), codebook, m, subLen)
-        .select(col("vec_id").as("cid"), col("codes")), "cid")
+    // corpus encode: ONE narrow map over the checkpointed residuals with
+    // the dense codebook broadcast (r11 — replaces the
+    // subVectors-explode → codebook-join → two-aggregate pqEncode
+    // chain, three shuffles, with zero; same argmin: index-order
+    // distance sums, ties to the lowest code). pqEncodeWith stays for
+    // the emb_pq_encode row, which also needs recon_sq_err.
+    val cbDense: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(_ => Array.ofDim[Array[Double]](ksub))
+    model.codebook.foreach { case (s, c, w) => cbDense(s)(c) = w }
+    val bcEnc = sc.broadcast(cbDense)
+    val encodeU = udf { (v: Seq[Double]) =>
+      val cbv = bcEnc.value
+      val va = v.toArray
+      Array.tabulate(m) { s =>
+        var best = -1; var bd = Double.MaxValue
+        var c = 0
+        while (c < ksub) {
+          val w = cbv(s)(c)
+          if (w != null) {
+            var dd = 0.0; var i = 0
+            while (i < subLen) {
+              val t = va(s * subLen + i) - w(i); dd += t * t; i += 1
+            }
+            if (dd < bd) { bd = dd; best = c }
+          }
+          c += 1
+        }
+        best
+      }
+    }
+    val indexed = resid.select(col("vec_id").as("cid"), col("cell"),
+      encodeU(col("v")).as("codes"))
 
     // query side: one row per (query, probed cell) carrying the residual
     // ADC lookup table for THAT cell (m*ksub doubles)
@@ -345,8 +454,24 @@ object Embeddings {
       codebook: Array[(Int, Int, Array[Double])])
 
   private[graft] def ivfPqFit(emb: DataFrame, m: Int = 8, ksub: Int = 16,
-      nCells: Int = 0, nProbe: Int = 0): IvfPqModel = {
-    val n = emb.count()
+      nCells: Int = 0, nProbe: Int = 0): IvfPqModel =
+    ivfPqFitWithResid(emb, m, ksub, nCells, nProbe)._1
+
+  /** [[ivfPqFit]] plus the checkpointed per-cell residual frame the fit
+    * already had to compute for codebook training — [[ivfPqTopK]] reuses
+    * it for corpus encoding instead of re-running the coarse-assign scan
+    * (one full nc-distance pass over the corpus saved; the checkpoint
+    * also keeps pqTrainV's per-sweep lineage from re-deriving the
+    * residuals). Tracked in [[Caches]]; freed by the caller's
+    * releaseAll. */
+  private[graft] def ivfPqFitWithResid(
+      emb: DataFrame, m: Int = 8, ksub: Int = 16,
+      nCells: Int = 0, nProbe: Int = 0): (IvfPqModel, DataFrame) = {
+    // ONE job for corpus count + dim (was two: count() then a size head)
+    val hd = withV(emb).agg(count(lit(1)), first(size(col("v")))).head()
+    val n = hd.getLong(0)
+    require(n > 0, "ivfPqFit needs a non-empty corpus")
+    val dim = hd.getInt(1)
     // 4× the plain-IVF √n cell count (still √n growth): for IVFADC the
     // recall bottleneck is RESIDUAL quantization error, not routing —
     // larger cells mean larger residuals than the m·ksub codebook can
@@ -363,7 +488,6 @@ object Embeddings {
     val np = math.min(
       if (nProbe > 0) nProbe else 2 * Similarity.autoNProbe(nc), nc)
     val e = withV(emb)
-    val dim = e.select(size(col("v"))).head().getInt(0)
     // coarse quantizer: one Lloyd sweep from deterministic seeds; the
     // (cellId, centroid) pairs collect driver-side (nCells-bounded)
     val seeds = e.filter(col("vec_id") < nc)
@@ -372,13 +496,11 @@ object Embeddings {
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     // residual PQ codebook (IVFADC: bits spent within-cell)
-    val resid = ivfPqResiduals(e, coarse)
-    val (codebook, subLen) =
-      pqTrainV(resid.select("vec_id", "v"), dim, m, ksub, iters = 2)
-    val cbRows = codebook.collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .sortBy(t => (t._1, t._2))
-    IvfPqModel(nc, np, dim, subLen, coarse, cbRows)
+    val resid = Caches.track(ivfPqResiduals(e, coarse).localCheckpoint())
+    val (cbRows, subLen) =
+      pqTrainArrays(resid.select("vec_id", "v"), dim, m, ksub, iters = 2)
+    (IvfPqModel(nc, np, dim, subLen, coarse,
+      cbRows.sortBy(t => (t._1, t._2))), resid)
   }
 
   /** Corpus route + per-cell residuals over a trained coarse quantizer
@@ -395,9 +517,10 @@ object Embeddings {
       (coarse.map(_._1), coarse.map(_._2), rIdx))
     val assignU = udf { (v: Seq[Double]) =>
       val (ids, cs, ix) = bcCells.value
+      val va = v.toArray // one unboxing pass; kernels loop nc*dim times
       ix match {
-        case Some(i) => nearestCellsInTwoLevel((ids, cs), i, v, 1)(0)
-        case None => nearestCellsIn((ids, cs), v, 1)(0)
+        case Some(i) => nearestCellsInTwoLevel((ids, cs), i, va, 1)(0)
+        case None => nearestCellsIn((ids, cs), va, 1)(0)
       }
     }
     val centDf = spark.createDataFrame(
@@ -412,7 +535,7 @@ object Embeddings {
     * id (stable sort) — the probe/assign kernel of the IVF-PQ path. */
   private[graft] def nearestCellsIn(
       idsCs: (Array[Int], Array[Array[Double]]),
-      v: Seq[Double], howMany: Int): Array[Int] = {
+      v: Array[Double], howMany: Int): Array[Int] = {
     val (ids, cs) = idsCs
     val ds = Array.tabulate(cs.length) { c =>
       var acc = 0.0; var i = 0
@@ -432,7 +555,7 @@ object Embeddings {
     * so at degenerate sizes (g <= wGroups) the result is identical. */
   private[graft] def nearestCellsInTwoLevel(
       idsCs: (Array[Int], Array[Array[Double]]),
-      idx: Similarity.TwoLevelIndex, v: Seq[Double],
+      idx: Similarity.TwoLevelIndex, v: Array[Double],
       howMany: Int): Array[Int] = {
     val (ids, cs) = idsCs
     val g = idx.groups.length
