@@ -1311,8 +1311,67 @@ object CurateQ {
           col("f"))
         .groupBy("pair").agg(sum("f").as("c"))
         .orderBy(col("c").desc, col("pair")).limit(100)
+    },
+
+    // TRAINED quality classifier (r11, VERDICT r10 item 2): the
+    // fastText-style corpus quality filter (CCNet lineage, Wenzek
+    // 1911.00359) — logistic regression over md5-hashed TF features,
+    // trained ON THE CLUSTER to separate a reference slice (sources
+    // src0..src9) from the rest, then applied as a per-doc quality
+    // prior. Training is graft.ext.QualityModel.fit: one treeAggregate
+    // per gradient sweep, 1e-12-quantized-long accumulation — the
+    // weights are bit-identical run-to-run, which is what lets this
+    // lazy oracle inline them as literals and hash-check the SCORING
+    // arithmetic end-to-end (the trainer itself is gated by
+    // QualityModelSpec's planted-separable corpus). The score is the
+    // exact quantized LOGIT (no transcendentals cross the engine
+    // boundary); pred_hq thresholds it at 0 ( = sigmoid at 0.5).
+    QueryDef.lazyOracle("doc_quality_classifier") { (s, d) =>
+      val dim = graft.ext.QualityModel.Dim
+      val w = graft.ext.QualityModel.fit(Tables.documents(s, d), curateIsRef)
+      val biasQ = math.floor(w(dim) * 1e12).toLong
+      val wRows = w.take(dim).zipWithIndex
+        .map { case (wv, b) => s"($b, ${VecOracle.dbl(wv)})" }
+        .mkString(",\n    ")
+      s"""WITH w AS (SELECT CAST(b AS BIGINT) AS b, wv FROM (VALUES
+         |    $wRows) AS _w(b, wv)),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok,
+         |         len(string_split_regex(text, '\\s+')) AS t
+         |  FROM documents),
+         |bt AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+         |           % $dim AS b,
+         |         t, COUNT(*) AS cnt
+         |  FROM tok GROUP BY doc_id, b, t),
+         |sc AS (
+         |  SELECT bt.doc_id,
+         |         CAST(SUM(CAST(FLOOR(w.wv *
+         |             (CAST(bt.cnt AS DOUBLE) / CAST(bt.t AS DOUBLE))
+         |             * 1e12) AS DECIMAL(38,0))) + $biasQ AS DOUBLE)
+         |           / 1e12 AS logit
+         |  FROM bt JOIN w ON w.b = bt.b
+         |  GROUP BY bt.doc_id)
+         |SELECT s.doc_id, s.logit, CAST(s.logit > 0 AS INT) AS pred_hq,
+         |       CAST(CAST(substr(d.source, 4) AS INT) < 10 AS INT) AS is_ref
+         |FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    } { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = graft.ext.QualityModel.fit(docs, curateIsRef)
+      graft.ext.QualityModel.score(docs, w)
+        .join(docs.select(col("doc_id"), curateIsRef.cast("int").as("is_ref")),
+          "doc_id")
+        .orderBy("doc_id")
     }
   )
+
+  /** Reference-corpus flag for the quality classifier: the first half
+    * of the source ids plays the "known-good corpus" role (the
+    * Wikipedia side of the fastText recipe). */
+  private def curateIsRef: org.apache.spark.sql.Column =
+    substring(col("source"), 4, 8).cast("int") < 10
 
   /** Deterministic per-id noisy replicas of (vec_id, embedding) rows —
     * the planted "re-crawl / contaminated" fixtures of
