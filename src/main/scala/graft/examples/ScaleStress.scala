@@ -236,7 +236,7 @@ object ScaleStress {
     // is a typo — fail fast rather than silently drop the timing row
     val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale",
       "emb_pq_scale", "emb_ivfpq_scale", "graph_pagerank_scale",
-      "graph_labelprop_scale", "er_matches_scale", "ivf_router_scale")
+      "graph_labelprop_scale", "er_matches_scale", "ivf_router_scale", "cc_scale")
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
       s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")
@@ -625,6 +625,45 @@ object ScaleStress {
         f"[scale] ivf_router_scale (nCells=8192): flat $flatS%.2f s " +
           f"recall $rFlat%.3f, routed $routedS%.2f s recall $rRouted%.3f " +
           f"(${flatS / routedS}%.1f× wall)")
+    }
+
+    // Connected components at scale (r11, VERDICT r10 item 1 "Done"):
+    // a planted graph ∝ the fixture (nodes = nDocs), half 1000-node
+    // CHAINS — the O(diameter) killer that the old min-label sweep
+    // could not finish inside maxIter=50 at ANY size — and half 8-node
+    // cliques (the near-dup blob shape). Reports wall + the
+    // large-star/small-star ROUND count (expected ~log2(1000) ≈ 10,
+    // flat in the factor) and REQUIREs the exact component count.
+    if (names.contains("cc_scale")) {
+      import spark.implicits._
+      val half = math.max(nDocs / 2, 2000L)
+      val chains = spark.range(half - 1).filter(col("id") % 1000 =!= 999)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val bs = 8
+      val pairsDf = (for { i <- 0 until bs; j <- (i + 1) until bs }
+        yield (i, j)).toDF("i", "j")
+      val cliques = spark.range(half / bs).crossJoin(pairsDf)
+        .select((lit(half) + col("id") * bs + col("i")).as("doc_a"),
+          (lit(half) + col("id") * bs + col("j")).as("doc_b"))
+      val edges = chains.unionByName(cliques).localCheckpoint()
+      val expected = (half + 999) / 1000 + half / bs
+      var best = Double.MaxValue
+      var rounds = -1
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        val (cc, r) = graft.ext.Dedup.connectedComponentsWithRounds(edges)
+        val comps = cc.select("component").distinct().count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        rounds = r
+        require(comps == expected,
+          s"cc_scale: $comps components, expected $expected")
+        graft.ext.Caches.releaseAll(spark)
+      }
+      timings("cc_scale") = best
+      timings("cc_scale_rounds") = rounds.toDouble
+      System.err.println(
+        f"[scale] cc_scale (${half * 2} nodes, 1000-chains + 8-cliques): " +
+          f"$best%.2f s in $rounds rounds")
     }
 
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
