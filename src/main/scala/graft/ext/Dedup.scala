@@ -197,22 +197,27 @@ object Dedup {
     * (examples/ScaleStress reports sweep counts at 10x/100x). */
   private[graft] def connectedComponentsWithRounds(
       edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    // materialize the (possibly expensive — shingle-join, LSH-verify)
-    // upstream ONCE; every derivation below scans this checkpoint
-    val e0 = edges.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // lazily CACHE (not checkpoint) the input: round 1's first action
+    // materializes the (possibly expensive — shingle-join, LSH-verify)
+    // upstream as a side effect of its own scan, so the cache costs no
+    // job of its own; the self-loop probe below then reads it for free
+    val e0 = Caches.track(
+      edges.select(col("doc_a"), col("doc_b")).persist())
     // nodes appearing ONLY in self-loops would vanish from the star
-    // operations (they emit no src≠dst edge); tiny frame, appended at
-    // the end so the "every node that appears in an edge" contract holds
+    // operations (they emit no src≠dst edge); appended at the end so
+    // the "every node that appears in an edge" contract holds
     val selfOnly = e0.filter(col("doc_a") === col("doc_b"))
       .select(col("doc_a").as("node")).distinct()
     // no up-front orient/distinct/convergence pass: round 1's largeStar
     // symmetrizes either orientation and its aggregates absorb
     // duplicates map-side, and a round over an already-converged star
-    // forest is idempotent — two whole actions saved per call vs paying
-    // one cheap extra round in the (rare) converged-input case
+    // forest is idempotent — the converged-input case just pays one
+    // cheap extra round
     var e = e0.filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     var prevCk: Option[DataFrame] = None
+    var prevCand: Option[DataFrame] = None
+    var cand: DataFrame = null
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
@@ -223,7 +228,25 @@ object Dedup {
       prevCk.foreach(Caches.hardUnpersist)
       prevCk = Some(next)
       e = next
-      converged = isStarForest(e)
+      // ONE aggregation doubles as the convergence test AND the result:
+      // emit (child → parent) plus (center → center) rows; a node with
+      // >1 distinct label is exactly a star-forest violation (a center
+      // that is also a child sees its self-row plus a real parent;
+      // a multi-parent child sees both parents), and once no node
+      // violates, min(label) IS the component id (edges only ever point
+      // to smaller ids, so each star's center is its component's min —
+      // and the min node itself can never be a child: its center would
+      // have to be smaller). The materialized candidate is reused as
+      // the returned labels, so the converged round pays no extra
+      // label-construction job.
+      cand = e.select(col("src").as("node"), col("dst").as("label"))
+        .union(e.select(col("dst").as("node"), col("dst").as("label")))
+        .groupBy("node")
+        .agg(min("label").as("label"), countDistinct("label").as("k"))
+        .localCheckpoint()
+      prevCand.foreach(Caches.hardUnpersist)
+      prevCand = Some(cand)
+      converged = cand.filter(col("k") > 1).isEmpty
       rounds += 1
     }
     // ADVICE r4 (medium): exiting at maxIter without convergence means
@@ -236,24 +259,23 @@ object Dedup {
         s"connectedComponents did not converge within $maxIter " +
           "large-star/small-star rounds — component labels would be " +
           "partial/wrong; raise maxIter")
-    // E is a star forest oriented child→center, center = component min:
-    // labels = every child → its center, plus every center → itself
-    // (distinct: a center appears once per child)
-    val labels = e.select(col("src").as("node"), col("dst").as("label"))
-      .union(e.select(col("dst").as("node"), col("dst").as("label")))
-      .distinct()
-      .unionByName(selfOnly
-        .join(e.select(col("src").as("node"))
-          .union(e.select(col("dst").as("node"))), Seq("node"), "left_anti")
-        .select(col("node"), col("node").as("label")))
-      .localCheckpoint()
-    // the result's checkpoint IS its storage (lineage was cut upstream,
-    // so it cannot be recomputed). Caches.releaseAll frees it once the
-    // caller is done ([[Caches]] scaladoc: CC results are
-    // single-lifecycle). Intermediates freed eagerly here.
-    Caches.hardUnpersist(e)
-    Caches.hardUnpersist(e0)
-    Caches.track(labels)
+    Caches.track(cand) // backs the returned labels; freed by releaseAll
+    val starLabels = cand.select(col("node"), col("label"))
+    // self-loop-only nodes are rare to nonexistent (every candidate
+    // generator emits doc_a < doc_b); probe the cached input once and
+    // skip the union+re-checkpoint entirely when there are none, so the
+    // common case returns the candidate checkpoint as-is
+    val labels =
+      if (selfOnly.isEmpty) starLabels
+      else Caches.track(starLabels
+        .unionByName(selfOnly.join(starLabels, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("label")))
+        .localCheckpoint())
+    // the result's checkpoint IS its storage (lineage was cut
+    // upstream, so it cannot be recomputed). Caches.releaseAll frees
+    // it — and the round/input intermediates — once the caller is done
+    // ([[Caches]] scaladoc: CC results are single-lifecycle).
+    prevCk.foreach(Caches.track)
     (labels.select(col("node"), col("label").as("component")), rounds)
   }
 
@@ -287,20 +309,6 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
   }
-
-  /** Exact convergence test: E (oriented big→small, src≠dst) is a star
-    * forest iff no node has two distinct parents AND no center is also
-    * a child. One pass: emit (child, parent) per edge plus a
-    * (center, center) self-marker per edge; any node with >1 distinct
-    * parent value violates one of the two conditions (a center that is
-    * also a child sees its self-marker plus a real parent ≠ itself).
-    * Type-generic — no sentinel value needed. */
-  private def isStarForest(e: DataFrame): Boolean =
-    e.select(col("src").as("n"), col("dst").as("p"))
-      .union(e.select(col("dst").as("n"), col("dst").as("p")))
-      .groupBy("n").agg(countDistinct("p").as("k"))
-      .filter(col("k") > 1)
-      .isEmpty
 
   /** SPAN-LEVEL (substring) dedup — the whole-document family's missing
     * sibling (VERDICT r7 item 1): find substrings repeated ACROSS
