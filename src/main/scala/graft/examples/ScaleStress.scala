@@ -91,6 +91,10 @@ object ScaleStress {
     "evt_anomaly_mad",
     "profile_columns",
     "doc_source_quota",
+    // r11: trained quality classifier — featurize (md5-hash per token)
+    // + 8 treeAggregate gradient sweeps + one scoring aggregate;
+    // expected ~linear in tokens with a flat sweep count
+    "doc_quality_classifier",
     // r9: grid-bucketed interval join (day-sliced). Replicas add fresh
     // users to the SAME time window, so the co-activity pair OUTPUT
     // grows ~factor² by construction (unsliced form measured 17 s at

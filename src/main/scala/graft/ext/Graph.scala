@@ -159,11 +159,14 @@ object Graph {
         .join(labs.withColumnRenamed("node", "a"), "a")
         .groupBy(col("b"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
+      // r11: argmax by (cnt DESC, lab ASC) as a max_by aggregate — the
+      // same winner the row_number window picked, but map-side
+      // combinable and sort-free (labels are non-negative partkeys, so
+      // -lab is a safe ascending→descending flip inside the max key)
       val winner = votes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("b").orderBy(col("cnt").desc, col("lab"))))
-        .filter(col("rn") === 1)
-        .select(col("b").as("node"), col("lab").as("wlab"))
+        .groupBy(col("b"))
+        .agg(max_by(col("lab"), struct(col("cnt"), -col("lab"))).as("wlab"))
+        .select(col("b").as("node"), col("wlab"))
       labs = labs.join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("wlab"), col("lab")).as("lab"))
       it += 1
