@@ -182,6 +182,98 @@ object ExtQ {
         terms = Seq("spark", "vector", "query"), k = 50)
     },
 
+    // Hybrid retrieval by reciprocal-rank fusion (r11) — the standard
+    // way production search/decontamination stacks combine a lexical
+    // ranker with a vector ranker (Cormack et al. 2009 RRF; the
+    // fusion every hybrid-search engine ships): for one query term
+    // set, fuse the BM25 ranking with the tf-idf-cosine ranking of the
+    // SAME terms (the exact-term stand-in for a dense retriever — the
+    // embedding-side rankers ext_ivf_topk/ext_ann_topk plug into the
+    // identical fusion shape), score = Σ 1/(60 + rank). Determinism:
+    // both input rankings are the established exact-decimal scorers
+    // with (score DESC, doc_id) ties, ranks are ints, and the fused
+    // score is two IEEE divisions and one add evaluated identically in
+    // both engines. Scale: both branches are top-100 LIMITed before
+    // ranking, so the global rank windows run over ≤100 rows by
+    // construction (bounded, not data-sized) and the fusion join is
+    // ≤200 rows.
+    QueryDef(
+      "ext_hybrid_rrf",
+      s"""WITH ${Similarity.tfidfExactTermsSql},
+        |l2 AS (
+        |  SELECT doc_id,
+        |         sqrt(CAST(CAST(ROUND(SUM(w * w), 6) AS DECIMAL(20,6)) AS DOUBLE)) AS l2
+        |  FROM w GROUP BY doc_id),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (
+        |  SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM dl),
+        |tfq AS (
+        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE t IN ('spark', 'vector', 'query') GROUP BY doc_id, t),
+        |dfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY t),
+        |c AS (
+        |  SELECT tfq.doc_id,
+        |         CAST(FLOOR(
+        |           (CAST(CAST(FLOOR(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5) / 1e6
+        |                  AS DECIMAL(9,6)) AS DOUBLE)
+        |             * (tf * (1.2 + 1.0))) /
+        |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |           * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS c
+        |  FROM tfq JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bm AS (
+        |  SELECT doc_id, CAST(CAST(ROUND(SUM(c), 6) AS DECIMAL(20,6)) AS DOUBLE) AS bm25
+        |  FROM c GROUP BY doc_id
+        |  ORDER BY bm25 DESC, doc_id LIMIT 100),
+        |lex AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r_lex
+        |  FROM bm),
+        |qd AS (
+        |  SELECT doc_id, CAST(CAST(ROUND(SUM(w), 6) AS DECIMAL(20,6)) AS DOUBLE) AS num
+        |  FROM w WHERE t IN ('spark', 'vector', 'query') GROUP BY doc_id),
+        |cosv AS (
+        |  SELECT qd.doc_id, num / l2.l2 AS cos
+        |  FROM qd JOIN l2 ON l2.doc_id = qd.doc_id WHERE l2.l2 > 0),
+        |den0 AS (SELECT doc_id, cos FROM cosv ORDER BY cos DESC, doc_id LIMIT 100),
+        |den AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS r_dense
+        |  FROM den0)
+        |SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+        |       COALESCE(1.0 / (60 + lex.r_lex), 0) +
+        |         COALESCE(1.0 / (60 + den.r_dense), 0) AS rrf,
+        |       lex.r_lex, den.r_dense
+        |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val terms = Seq("spark", "vector", "query")
+      val wAll = Similarity.tfidfExactTerms(docs)
+      val l2 = Similarity.tfidfExactL2(wAll)
+      // both rank windows run AFTER a LIMIT 100 — bounded input by
+      // construction, so the single-partition window is safe at scale
+      val lex = Similarity.bm25TopK(docs, terms, k = 100)
+        .withColumn("r_lex", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+        .select("doc_id", "r_lex")
+      val qd = wAll.filter(col("t").isin(terms: _*))
+        .groupBy("doc_id").agg(Similarity.decimalSum6(col("w")).as("num"))
+      val den = qd.join(l2, "doc_id").filter(col("l2") > 0)
+        .select(col("doc_id"), (col("num") / col("l2")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(100)
+        .withColumn("r_dense", row_number()
+          .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("int"))
+        .select("doc_id", "r_dense")
+      lex.join(den, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0))).as("rrf"),
+          col("r_lex"), col("r_dense"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(50)
+    },
+
     QueryDef(
       "ext_tfidf_stats",
       s"""WITH ${Similarity.tfidfExactTermsSql}
