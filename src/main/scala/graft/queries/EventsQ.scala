@@ -209,6 +209,52 @@ object EventsQ {
           max(col("n_ev")).cast("long").as("max_session_events"),
           sum(col("dur_s")).cast("long").as("total_session_seconds"))
         .orderBy("user_id")
+    },
+
+    // Last-touch attribution (r11): credit each purchase to the most
+    // recent same-user click at or before it (the join_asof semantics),
+    // reported as purchases per attributed-click hour-of-day — the
+    // marketing/conversion report shape; NULL hour = purchases with no
+    // prior click. Same scalable union + ordered-window trick as
+    // join_asof (one shuffle on user_id, |A|+|B| intermediate rows, no
+    // pairwise blow-up); DuckDB's native ASOF LEFT JOIN is the oracle.
+    QueryDef(
+      "evt_attribution_last_touch",
+      """WITH b AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS bts
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |a AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ats
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT a.user_id, a.event_id, b.bts
+        |  FROM a ASOF LEFT JOIN b
+        |    ON a.user_id = b.user_id AND a.ats >= b.bts)
+        |SELECT CAST(EXTRACT(hour FROM bts) AS INT) AS click_hour,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases
+        |FROM j GROUP BY 1
+        |ORDER BY click_hour NULLS FIRST""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val b = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts")).distinct()
+        .select(col("user_id"), col("ts"), lit(0).as("is_a"),
+          col("ts").as("bts"))
+      val a = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("is_a"),
+          lit(null).cast("timestamp").as("bts"))
+      // B rows sort before A at equal ts (is_a asc): ats >= bts includes
+      // the equal-timestamp click — identical to the ASOF condition
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_a"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      a.unionByName(b)
+        .withColumn("lbts", last(col("bts"), ignoreNulls = true).over(w))
+        .filter(col("is_a") === 1)
+        .groupBy(hour(col("lbts")).cast("int").as("click_hour"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy(col("click_hour").asc_nulls_first)
     }
   )
 }

@@ -244,6 +244,191 @@ object PipelineQ {
       graft.ext.Dedup.canonicalDocs(Tables.documents(s, d))
     },
 
+    // Sketch-accuracy report (r11): per LSH candidate pair, the
+    // MinHash Jaccard ESTIMATE (agreeing minhashes / 8) next to the
+    // exact Jaccard and the absolute error — the calibration table a
+    // pipeline publishes before trusting banded-LSH recall at a new
+    // threshold. All md5/LCG arithmetic (the doc_minhash_candidates
+    // family), so the whole row is hash-exact cross-engine: est is an
+    // exact k/8 rational, exact Jaccard is one integer division, and
+    // the error is a single IEEE subtract/abs. Scale: signatures are
+    // one groupBy over shingle rows; the exact side touches only
+    // candidate pairs (semi-restricted shingle join).
+    QueryDef(
+      "doc_minhash_jaccard_est",
+      """WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+         |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+         |           % 2147483647 AS h0
+         |  FROM sh),
+         |mins AS (
+         |  SELECT doc_id,
+         |         MIN((1 * h0 + 0) % 2147483647) AS m0,
+         |         MIN((2 * h0 + 999999937) % 2147483647) AS m1,
+         |         MIN((3 * h0 + 1999999874) % 2147483647) AS m2,
+         |         MIN((4 * h0 + 852516164) % 2147483647) AS m3,
+         |         MIN((5 * h0 + 1852516101) % 2147483647) AS m4,
+         |         MIN((6 * h0 + 705032391) % 2147483647) AS m5,
+         |         MIN((7 * h0 + 1705032328) % 2147483647) AS m6,
+         |         MIN((8 * h0 + 557548618) % 2147483647) AS m7
+         |  FROM base GROUP BY doc_id),
+         |sig AS (
+         |            SELECT doc_id, 0 AS band, m0 AS b0, m1 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 1 AS band, m2 AS b0, m3 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 2 AS band, m4 AS b0, m5 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 3 AS band, m6 AS b0, m7 AS b1 FROM mins),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+         |       AND a.doc_id < b.doc_id),
+         |agree AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         ((CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END) +
+         |          (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) +
+         |          (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) +
+         |          (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) +
+         |          (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) +
+         |          (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) +
+         |          (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) +
+         |          (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END)) AS k
+         |  FROM cand c JOIN mins x ON x.doc_id = c.doc_a
+         |              JOIN mins y ON y.doc_id = c.doc_b),
+         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT g.doc_a, g.doc_b,
+         |       CAST(g.k AS DOUBLE) / 8 AS est_jaccard,
+         |       CAST(COALESCE(cm.n_common, 0) AS DOUBLE) /
+         |         (na.n_sh + nb.n_sh - COALESCE(cm.n_common, 0)) AS jaccard,
+         |       abs(CAST(g.k AS DOUBLE) / 8 -
+         |           CAST(COALESCE(cm.n_common, 0) AS DOUBLE) /
+         |             (na.n_sh + nb.n_sh - COALESCE(cm.n_common, 0))) AS abs_err
+         |FROM agree g
+         |LEFT JOIN common cm ON cm.doc_a = g.doc_a AND cm.doc_b = g.doc_b
+         |JOIN n na ON na.doc_id = g.doc_a
+         |JOIN n nb ON nb.doc_id = g.doc_b
+         |ORDER BY g.doc_a, g.doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val p = 2147483647L
+      val sh = graft.ext.Dedup.distinctShingles(docs)
+      val base = sh.withColumn("h0", expr(
+        s"cast(conv(substring(md5(cast(shingle AS binary)), 1, 15), 16, 10) AS bigint) % $p"))
+      val bsv = (0 until 8).map(i => (i.toLong * 999999937L) % p)
+      val minsCols = (0 until 8).map { i =>
+        min(expr(s"(${i + 1} * h0 + ${bsv(i)}) % $p")).as(s"m$i")
+      }
+      val mins = base.groupBy("doc_id").agg(minsCols.head, minsCols.tail: _*)
+      val cand = graft.ext.Dedup.minhashCandidates(docs)
+      val sa = mins.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(i => col(s"m$i").as(s"a$i")): _*)
+      val sb = mins.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(i => col(s"m$i").as(s"b$i")): _*)
+      val k = (0 until 8)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val common = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      val jac = coalesce(col("n_common"), lit(0L)).cast("double") /
+        (col("na") + col("nb") - coalesce(col("n_common"), lit(0L)))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (k.cast("double") / lit(8)).as("est_jaccard"))
+        .join(common, Seq("doc_a", "doc_b"), "left")
+        .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          jac.as("jaccard"),
+          abs(col("est_jaccard") - jac).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Dedup REPORT (r11): the duplicate-group size histogram + bytes
+    // reclaimed — the summary table every corpus dedup run publishes
+    // (how much of the corpus was duplicated, at what group sizes, how
+    // many bytes the cut saves). Same closure as doc_dedup_pipeline
+    // (singletons included via the left join), then two aggregations:
+    // component → (size, bytes) → histogram keyed by group size. Bytes
+    // saved per group = group bytes − the canonical (min doc_id) doc's
+    // bytes. Scale: everything after the (already-measured) dedup
+    // pipeline is two map-side-combinable aggregates on doc-level rows.
+    QueryDef(
+      "doc_dedup_stats",
+      """WITH RECURSIVE sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+         |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+         |  FROM documents),
+         |df AS (SELECT shingle, COUNT(*) AS c FROM sh0 GROUP BY shingle),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN df USING (shingle) WHERE df.c <= 20),
+         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN n na ON na.doc_id = doc_a
+         |  JOIN n nb ON nb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node),
+         |canon AS (SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node),
+         |lab AS (
+         |  SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS component,
+         |         d.n_chars
+         |  FROM documents d LEFT JOIN canon c ON c.node = d.doc_id),
+         |grp AS (
+         |  SELECT component, CAST(COUNT(*) AS BIGINT) AS group_size,
+         |         CAST(SUM(n_chars) AS BIGINT) AS grp_bytes,
+         |         CAST(MIN(CASE WHEN doc_id = component THEN n_chars END) AS BIGINT)
+         |           AS canon_bytes
+         |  FROM lab GROUP BY component)
+         |SELECT group_size,
+         |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |       CAST(SUM(group_size) AS BIGINT) AS n_docs,
+         |       CAST(SUM(group_size - 1) AS BIGINT) AS n_dup_docs,
+         |       CAST(SUM(grp_bytes - canon_bytes) AS BIGINT) AS bytes_saved
+         |FROM grp GROUP BY group_size
+         |ORDER BY group_size""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lab = graft.ext.Dedup.canonicalDocs(docs)
+        .select(col("doc_id"), col("canonical_id").as("component"))
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      val grp = lab.groupBy("component").agg(
+        count(lit(1)).as("group_size"),
+        sum("n_chars").as("grp_bytes"),
+        min(when(col("doc_id") === col("component"), col("n_chars")))
+          .as("canon_bytes"))
+      grp.groupBy("group_size").agg(
+          count(lit(1)).as("n_groups"),
+          sum("group_size").as("n_docs"),
+          sum(col("group_size") - 1).as("n_dup_docs"),
+          sum(col("grp_bytes") - col("canon_bytes")).as("bytes_saved"))
+        .orderBy("group_size")
+    },
+
     // The TRUE 100 TB dedup recipe as ONE entry (VERDICT r4 item 7):
     // banded-MinHash LSH candidates -> exact Jaccard verification of
     // ONLY the candidate pairs -> connected components -> canonical doc.
