@@ -128,8 +128,9 @@ object CorpusBuild {
 
     // 4. near-dup dedup (LSH candidates -> exact verify -> CC); only
     //    canonical docs survive
-    val canon = Dedup.lshVerifiedCanonicalDocs(exactC, cfg.nearDupThreshold)
-      .filter(col("is_canonical")).select("doc_id")
+    val canon = timed("4 lsh+cc (eager CC actions)")(
+      Dedup.lshVerifiedCanonicalDocs(exactC, cfg.nearDupThreshold)
+        .filter(col("is_canonical")).select("doc_id"))
     val deduped = Caches.track(timed("4 near-dup ckpt")(
       exactC.join(canon, Seq("doc_id"), "left_semi").localCheckpoint()))
     val nNearDup = timed("4 near-dup dedup")(deduped.count())

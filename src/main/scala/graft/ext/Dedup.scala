@@ -25,7 +25,7 @@ object Dedup {
   /** (doc_id, shingle) rows: distinct word 3-gram shingles per doc via
     * the compiled UDF (shared input of every near-dup path here). */
   private[graft] def distinctShingles(docs: DataFrame): DataFrame =
-    docs.select(
+    Spread(docs).select(
       col("doc_id"),
       explode(graft.functions.TextShingles.shingle3(split(col("text"), "\\s+"))).as("shingle"))
 
@@ -360,7 +360,7 @@ object Dedup {
         transform(sequence(lit(0), size(arr) - k),
           i => array_join(slice(arr, i + 1, lit(k)), " ")))
         .otherwise(array().cast("array<string>"))
-    val grams = docs.select(col("doc_id"),
+    val grams = Spread(docs).select(col("doc_id"),
       posexplode(gramArr).as(Seq("pos", "gram")))
     val dfq = grams.groupBy("gram").agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDf &&

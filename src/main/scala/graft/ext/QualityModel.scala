@@ -84,7 +84,7 @@ object QualityModel {
     // tokenize + hash ONCE; persist the sparse features, not the text.
     // split(.., -1) mirrors Spark SQL's split semantics (trailing
     // empties kept) so train-side features equal score-side features.
-    val feats = docs.select(col("text"), label.cast("int").as("y")).rdd
+    val feats = Spread(docs.select(col("text"), label.cast("int").as("y"))).rdd
       .map { r =>
         val toks = r.getString(0).split("\\s+", -1)
         val cnt = new java.util.TreeMap[Int, Int]() // ascending buckets
@@ -152,7 +152,7 @@ object QualityModel {
     val wDf = spark.createDataFrame(
       w.take(dim).zipWithIndex.map { case (wv, b) => (b.toLong, wv) }.toSeq)
       .toDF("b", "wv")
-    val toks = docs.select(col("doc_id"),
+    val toks = Spread(docs).select(col("doc_id"),
       explode(split(col("text"), "\\s+")).as("tok"),
       size(split(col("text"), "\\s+")).as("t"))
     toks

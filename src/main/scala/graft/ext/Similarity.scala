@@ -31,7 +31,7 @@ object Similarity {
     * Docs whose shingles are all pruned drop out (they can only pair
     * through signal-free shingles). */
   def shingleVectors(docs: DataFrame, numFeatures: Int = 1 << 18, dfCap: Int = 20): DataFrame = {
-    val sh0 = docs.select(col("doc_id"),
+    val sh0 = Spread(docs).select(col("doc_id"),
       explode(graft.functions.TextShingles.shingle3(split(col("text"), "\\s+"))).as("shingle"))
     val pruned = sh0.join(
         sh0.groupBy("shingle").agg(count(lit(1)).as("c")).filter(col("c") <= dfCap),
@@ -770,7 +770,7 @@ object Similarity {
     * shuffle-free per row; at 100 TB either works, the hashed form just
     * caps state at numFeatures. */
   def tfidfExactTerms(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+    val tok = Spread(docs).select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val ndocs = docs.agg(count(lit(1)).as("n"))
@@ -847,7 +847,7 @@ object Similarity {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k > 0, "bm25TopK needs query terms and k > 0")
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+    val toks = Spread(docs).select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(
       (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"),
