@@ -770,7 +770,11 @@ object Similarity {
     * shuffle-free per row; at 100 TB either works, the hashed form just
     * caps state at numFeatures. */
   def tfidfExactTerms(docs: DataFrame): DataFrame = {
-    val tok = Spread(docs).select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+    // NOT Spread: the token explode is light (no hashing) — measured
+    // in-bench, the extra exchange+stage costs more than the serial
+    // prelude saves (0.4 -> 1.5 s on ext_bm25_topk when both token
+    // paths were spread); the heavy md5/gram preludes keep Spread
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val ndocs = docs.agg(count(lit(1)).as("n"))
@@ -847,7 +851,7 @@ object Similarity {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k > 0, "bm25TopK needs query terms and k > 0")
-    val toks = Spread(docs).select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(
       (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"),
