@@ -106,19 +106,37 @@ object Bench {
         best
       } catch { case _: Throwable => -1.0 }
 
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"stream_events_per_sec":$streamEps,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"stream_events_per_sec":${fmt(streamEps)},"sf":${jstr(sfDir)}}"""
     println(line)
-    // The driver captures only a 2 kB stdout tail (BENCH_r06.json held a
-    // truncated line, parsed:null — phantom regressions cost a full
-    // re-bench to disprove). Persist the complete line so per-query
-    // timings are always recoverable from the repo.
+    // Persist the complete per-query line so timings are always
+    // recoverable from the repo (target/ is runtime; BENCH_LOCAL.json is
+    // the committed record of the last full local fold).
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_latest.json"), line + "\n")
-    catch { case _: Throwable => () } // stdout line is still the contract
+    catch { case _: Throwable => () }
+    // The driver captures only the LAST 2 kB of stdout and json-parses
+    // what it finds there; the full line above (~200 queries, ~6 kB) gets
+    // head-truncated in that window, so BENCH_r10/r11 recorded
+    // parsed:null. Print a compact summary line LAST — headline rows
+    // only, sized to survive the 2 kB tail together with sbt's trailing
+    // "[success] Total time" banner.
+    val headline = Seq(
+      "agg_core", "sql_tpch_q3", "sql_tpch_q5", "join_inner", "agg_cube",
+      "win_ewma", "doc_minhash_candidates", "doc_lsh_verified_dedup",
+      "doc_dedup_pipeline", "doc_span_dedup", "doc_lm_perplexity",
+      "doc_quality_classifier", "emb_cosine_topk", "ext_ivf_topk",
+      "ext_ivfpq_topk", "emb_kmeans", "ext_pagerank",
+      "ext_entity_components", "ext_label_prop", "pipeline_corpus_build")
+    val hq = headline.flatMap(k => timings.get(k).map(v => s"${jstr(k)}:${fmt(v)}"))
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"n_ok":${timings.size},"n_err":${errors.size},"stream_events_per_sec":${fmt(streamEps)},"sf":${jstr(sfDir)},"full":"target/bench_latest.json"}"""
+    println(compact)
     spark.stop()
   }
 }

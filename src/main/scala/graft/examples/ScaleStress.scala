@@ -640,7 +640,11 @@ object ScaleStress {
     // flat in the factor) and REQUIREs the exact component count.
     if (names.contains("cc_scale")) {
       import spark.implicits._
-      val half = math.max(nDocs / 2, 2000L)
+      // round UP to a multiple of 1000: a trailing 1-node chain block
+      // emits no edge, so connectedComponents never reports it and the
+      // expected-count require would fail spuriously whenever
+      // half % 1000 == 1 (ADVICE r11)
+      val half = ((math.max(nDocs / 2, 2000L) + 999L) / 1000L) * 1000L
       val chains = spark.range(half - 1).filter(col("id") % 1000 =!= 999)
         .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
       val bs = 8

@@ -202,7 +202,16 @@ object Embeddings {
     }
     val rdd = e.select(col("v")).rdd.map(_.getSeq[Double](0).toArray)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val width = sub + 1 // per (s, cell): subLen component sums + count
+    // Per (s, cell): each component's quantized sum is carried as TWO
+    // longs (hi = floorDiv(q, 2^31), lo = floorMod(q, 2^31)) plus one
+    // count. A single long of floor(x*1e12) wraps silently once a
+    // cell's membership passes ~9e6 |x|~1 vectors (ADVICE r11) — real
+    // at 1e9-vector corpora. The split keeps the sum EXACT (both
+    // halves are exact integer sums, recombined via BigInt on the
+    // driver) while the lo half saturates only at ~4e9 members/cell
+    // and the hi half at ~2e16·|x| — and addExact in seq+comb makes
+    // even that a loud ArithmeticException, never a wrong codebook.
+    val width = 2 * sub + 1
     var it = 0
     while (it < iters) {
       val bc = sc.broadcast(cb)
@@ -228,17 +237,23 @@ object Embeddings {
               val off = (s * ksub + best) * width
               var i = 0
               while (i < sub) {
-                acc(off + i) += math.floor(v(s * sub + i) * 1e12).toLong
+                val q = math.floor(v(s * sub + i) * 1e12).toLong
+                acc(off + 2 * i) =
+                  Math.addExact(acc(off + 2 * i), Math.floorDiv(q, 1L << 31))
+                acc(off + 2 * i + 1) =
+                  Math.addExact(acc(off + 2 * i + 1), Math.floorMod(q, 1L << 31))
                 i += 1
               }
-              acc(off + sub) += 1L
+              acc(off + 2 * sub) += 1L
             }
             s += 1
           }
           acc
         },
         combOp = { (a, b) =>
-          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          var i = 0
+          while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+          a
         })
       bc.unpersist(blocking = false)
       val next: Array[Array[Array[Double]]] =
@@ -248,9 +263,12 @@ object Embeddings {
         var c = 0
         while (c < ksub) {
           val off = (s * ksub + c) * width
-          val n = agg(off + sub)
+          val n = agg(off + 2 * sub)
           if (n > 0)
-            next(s)(c) = Array.tabulate(sub)(i => agg(off + i).toDouble / 1e12 / n)
+            next(s)(c) = Array.tabulate(sub) { i =>
+              ((BigInt(agg(off + 2 * i)) << 31) + agg(off + 2 * i + 1))
+                .toDouble / 1e12 / n
+            }
           c += 1
         }
         s += 1

@@ -70,9 +70,14 @@ object QualityModel {
   }
 
   /** Spark-SQL bucket expression over a token column (the md5/conv
-    * idiom proven hash-equal to DuckDB by doc_minhash_candidates). */
+    * idiom proven hash-equal to DuckDB by doc_minhash_candidates).
+    * Built from Column operations, not a spliced SQL string, so it is
+    * correct for ANY input Column (derived expressions, qualified
+    * names) — `tok.toString` only re-parsed for bare attributes
+    * (ADVICE r11). */
   private def bucketExpr(tok: Column, dim: Int): Column =
-    expr(s"cast(conv(substring(md5(cast(${tok.toString} AS binary)), 1, 15), 16, 10) AS bigint) % $dim")
+    conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10)
+      .cast("bigint") % dim
 
   /** Train weights (length dim+1, bias LAST) on `docs`, where `label`
     * evaluates to the 0/1 reference flag per row. Deterministic: zero
@@ -110,7 +115,14 @@ object QualityModel {
     var it = 0
     while (it < iters) {
       val bc = sc.broadcast(w)
-      val grad = feats.treeAggregate(new Array[Long](dim + 1))(
+      // Each gradient cell is carried as TWO longs (hi/lo of the
+      // quantized term, split at 2^31): a single long of
+      // floor(err·x·1e12) wraps silently past ~9e6 docs on the bias
+      // cell, which every doc touches (ADVICE r11). The split keeps
+      // the sum exact to ~4e9 docs (lo) / ~2e16 (hi), and addExact in
+      // seq+comb turns even that into a loud failure, never silently
+      // corrupted weights.
+      val grad = feats.treeAggregate(new Array[Long](2 * (dim + 1)))(
         seqOp = { case (acc, (bs, xs, y)) =>
           val wv = bc.value
           // logit in ascending-bucket order: deterministic per doc
@@ -118,21 +130,29 @@ object QualityModel {
           var i = 0
           while (i < bs.length) { z += wv(bs(i)) * xs(i); i += 1 }
           val err = 1.0 / (1.0 + math.exp(-z)) - y
-          i = 0
-          while (i < bs.length) {
-            acc(bs(i)) += math.floor(err * xs(i) * 1e12).toLong; i += 1
+          def add(cell: Int, term: Double): Unit = {
+            val q = math.floor(term * 1e12).toLong
+            acc(2 * cell) =
+              Math.addExact(acc(2 * cell), Math.floorDiv(q, 1L << 31))
+            acc(2 * cell + 1) =
+              Math.addExact(acc(2 * cell + 1), Math.floorMod(q, 1L << 31))
           }
-          acc(dim) += math.floor(err * 1e12).toLong
+          i = 0
+          while (i < bs.length) { add(bs(i), err * xs(i)); i += 1 }
+          add(dim, err)
           acc
         },
         combOp = { (a, b) =>
-          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          var i = 0
+          while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+          a
         })
       bc.unpersist(blocking = false)
       val next = new Array[Double](dim + 1)
       var i = 0
       while (i <= dim) {
-        next(i) = w(i) - lr * (grad(i).toDouble / 1e12 / n); i += 1
+        val g = ((BigInt(grad(2 * i)) << 31) + grad(2 * i + 1)).toDouble
+        next(i) = w(i) - lr * (g / 1e12 / n); i += 1
       }
       w = next
       it += 1

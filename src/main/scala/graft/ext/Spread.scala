@@ -20,11 +20,28 @@ import org.apache.spark.sql.DataFrame
   * round-robin redistribution cannot change results. */
 private[graft] object Spread {
 
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  /** True when the plan is narrow ops over leaves only — the
+    * precondition under which `df.rdd.getNumPartitions` plans the scan
+    * without launching a job. On an AQE plan with upstream shuffles,
+    * `df.rdd` can materialize query stages (i.e. RUN jobs) and reads
+    * pre-AQE partition counts (ADVICE r11), so anything wider is left
+    * untouched rather than probed. */
+  private def narrowScanRooted(plan: LogicalPlan): Boolean = plan match {
+    case p: Project       => narrowScanRooted(p.child)
+    case f: Filter        => narrowScanRooted(f.child)
+    case s: SubqueryAlias => narrowScanRooted(s.child)
+    case g: Generate      => narrowScanRooted(g.child)
+    case _: LeafNode      => true
+    case _                => false
+  }
+
   def apply(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val cores = sc.defaultParallelism
-    // rdd.getNumPartitions plans the scan but launches no job
-    if (df.rdd.getNumPartitions * 2 >= cores) df
+    if (!narrowScanRooted(df.queryExecution.analyzed)) df
+    else if (df.rdd.getNumPartitions * 2 >= cores) df
     else df.repartition(cores)
   }
 }
