@@ -100,7 +100,20 @@ object ScaleStress {
     // grows ~factor² by construction (unsliced form measured 17 s at
     // 1× -> 290 s at 10× — recorded in SCALE.md as the density
     // caveat); the day-sliced registry row keeps slices cell-bounded
-    "join_interval_overlap")
+    "join_interval_overlap",
+    // r12: exact prefix-filtered set-similarity join — the claim to
+    // measure is that candidate volume tracks the true near-dup count
+    // (prefixes are the rarest shingles), so cost must stay near the
+    // linear-scan family even as replicas multiply the corpus.
+    // (ext_triangle_count is NOT here: it reads lineitem, which the
+    // derived fixture does not replicate — its scale argument is
+    // structural: a top-3 kNN graph has <= 3n edges and <= 9n wedges
+    // by construction at any n.)
+    "doc_setsim_join",
+    // r12: seasonal decomposition — replicas densify the SAME time
+    // window, so the hourly series length is constant and cost must
+    // track the pre-aggregation scan, not the window stages
+    "ts_seasonal_decompose")
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
     * within-replica cosine structure are preserved; distinct reps are

@@ -293,4 +293,22 @@ object Graph {
 
     exact.unionAll(lsh)
   }
+
+  /** Triangles of an undirected graph given as id-ORDERED edges
+    * (a < b, deduped): the compact-forward join e1(a,b) |><| e2(b,c)
+    * |><| e3(a,c) enumerates each triangle exactly once as a < b < c.
+    * Returns one row (n_triangles). Cost is the wedge count of the
+    * ordered orientation — on degree-bounded graphs (kNN graphs, capped
+    * ER blocks) that is O(k^2 * n), shuffling only on edge endpoints.
+    * Callers with skewed natural graphs should orient edges
+    * low-degree -> high-degree first (the classical trick); the r12
+    * registry row feeds a kNN graph, already degree-bounded. */
+  def triangleCount(und: DataFrame): DataFrame = {
+    val e = und.select(col("a"), col("b"))
+    e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

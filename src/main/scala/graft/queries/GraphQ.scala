@@ -277,6 +277,56 @@ object GraphQ {
           iters = 2)
         .select(col("node").as("p_partkey"), col("lab").as("community"))
         .orderBy("p_partkey")
+    },
+
+    // Triangle count on the supplier k-nearest-neighbor co-order graph
+    // (r12). Raw supplier co-occurrence in TPC-H is near-complete
+    // (dense graphs make triangle counting degenerate AND quadratic);
+    // the standard similarity-graph shape is kNN: each supplier keeps
+    // its top-3 co-order partners (by shared-order count, id
+    // tie-break), giving <= 3n directed edges at ANY scale. Triangles
+    // via the compact-forward join on id-ordered undirected edges:
+    // e1(a,b) |><| e2(b,c) |><| e3(a,c) with a<b<c — the edge list is
+    // degree-bounded so the wedge intermediate is O(9n), not sum
+    // deg^2. All counts integer-exact; one summary row.
+    QueryDef(
+      "ext_triangle_count",
+      """WITH co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+        |         COUNT(DISTINCT a.l_orderkey) AS c
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        |  GROUP BY 1, 2),
+        |knn AS (SELECT u, v FROM (
+        |  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+        |                                  ORDER BY c DESC, v) AS rn
+        |  FROM co) WHERE rn <= 3),
+        |und AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM knn),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |             JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM co) AS n_nodes,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+        |       (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val co = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey")
+            && col("x.l_suppkey") =!= col("y.l_suppkey"))
+        .groupBy(col("x.l_suppkey").as("u"), col("y.l_suppkey").as("v"))
+        .agg(countDistinct(col("x.l_orderkey")).as("c"))
+      val knn = co
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("u").orderBy(col("c").desc, col("v"))))
+        .filter(col("rn") <= 3)
+      val und = knn
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct().cache()
+      val tri = graft.ext.Graph.triangleCount(und)
+      val nodes = co.agg(countDistinct(col("u")).as("n_nodes"))
+      val edges = und.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(edges).crossJoin(tri)
     }
   )
 }

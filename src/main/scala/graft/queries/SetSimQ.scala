@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join (prefix filtering) and weighted corpus
+  * sampling — round-12 additions to the curation family.
+  *
+  * `doc_setsim_join` is the EXACT complement of the MinHash rows: the
+  * same "find all pairs with Jaccard >= t" question, answered with zero
+  * false negatives/positives at sub-quadratic cost via the prefix
+  * filtering principle (Chaudhuri et al. ICDE'06; Bayardo et al.
+  * WWW'07 "Scaling Up All Pairs Similarity Search"). Tokens are
+  * ordered by global document frequency ascending; a set with n tokens
+  * keeps only its first n - ceil(t*n) + 1 (its RAREST tokens) as join
+  * keys. Losslessness: if J(a,b) >= t then the smallest common token in
+  * the global order lies inside BOTH prefixes (the >= ceil(t*|x|)
+  * common tokens cannot all hide in a suffix shorter than that), so the
+  * prefix-prefix equi-join misses no qualifying pair. All thresholds
+  * are INTEGER arithmetic (t = 4/5: prefix n - floor((4n+4)/5) + 1,
+  * verify 5*inter >= 4*union) — bit-identical across engines, no float
+  * ceil hazard. At 100 TB: prefixes are the rarest shingles, so
+  * candidate bucket sizes stay near 1 and the shingle-key shuffle cost
+  * tracks the true near-dup pair count, not n^2; the df table and
+  * windows shuffle on shingle/doc_id keys only.
+  */
+object SetSimQ {
+
+  private val T_NUM = 4 // threshold t = T_NUM / T_DEN = 0.8
+  private val T_DEN = 5
+
+  private def toks = split(col("text"), "\\s+")
+
+  /** All pairs with Jaccard >= tNum/tDen over a (doc_id, shingle)
+    * frame — EXACT, via df-ordered prefix filtering (see object
+    * scaladoc). Exposed for the planted-fixture losslessness spec. */
+  def setSimJoinExact(shIn: org.apache.spark.sql.DataFrame,
+      tNum: Int, tDen: Int): org.apache.spark.sql.DataFrame = {
+    require(tNum > 0 && tDen >= tNum)
+    val sh = shIn.select("doc_id", "shingle").cache()
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
+    // per-doc rank by GLOBAL (df, shingle) order; both windows share
+    // the doc_id partitioning (one shuffle, no SinglePartition)
+    val w = Window.partitionBy("doc_id").orderBy(col("c"), col("shingle"))
+    val ranked = sh.join(df, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // prefix length n - ceil(t*n) + 1, all-integer: ceil(tNum*n/tDen)
+    // = floor((tNum*n + tDen - 1)/tDen); the quotient is an exact
+    // integer-valued double (numerator << 2^53)
+    val prefix = ranked
+      .filter(col("rn") <=
+        col("n_sh") - floor((col("n_sh") * tNum + (tDen - 1)) / tDen) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.as("pa")
+      .join(prefix.as("pb"),
+        col("pa.shingle") === col("pb.shingle")
+          && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b")),
+        col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .filter(lit(tDen) * col("n_common") >=
+        lit(tNum) * (col("na") + col("nb") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double")
+          / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+  }
+
+  /** doc_id + exploded distinct 3-shingles (the PipelineQ tokenizer). */
+  private def shingles(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextShingles.shingle3(toks)).as("shingle"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // All pairs with shingle-Jaccard >= 0.8, exactly, via df-ordered
+    // prefix filtering. The oracle is the brute-force all-pairs join —
+    // equality with it on real data is the losslessness proof the spec
+    // asserts again on planted fixtures.
+    QueryDef(
+      "doc_setsim_join",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+        |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+        |  FROM documents),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |       CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) AS jaccard
+        |FROM inter
+        |JOIN n na ON na.doc_id = doc_a
+        |JOIN n nb ON nb.doc_id = doc_b
+        |WHERE 5 * n_common >= 4 * (na.n_sh + nb.n_sh - n_common)""".stripMargin) { (s, d) =>
+      setSimJoinExact(shingles(s, d), T_NUM, T_DEN)
+    },
+
+    // Weighted reservoir sample (Efraimidis–Spirtsis A-ES): global
+    // top-100 docs by key u^(1/w), u a deterministic md5-derived
+    // uniform, w a power-of-two length weight — so u^(1/w) is a chain
+    // of IEEE-exact sqrt()s (pow/ln are NOT correctly rounded across
+    // libms; sqrt is, which is what makes this row hash-exact in both
+    // engines). One narrow scan + TakeOrderedAndProject: no shuffle,
+    // no driver loop — the standard "sample k docs proportional to
+    // weight" primitive at any corpus size.
+    QueryDef(
+      "doc_weighted_sample",
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN n_chars >= 2000 THEN 8 WHEN n_chars >= 1000 THEN 4
+        |         WHEN n_chars >= 500 THEN 2 ELSE 1 END AS w,
+        |    CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      / CAST(1152921504606846976 AS DOUBLE) AS u
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars, w,
+        |        CASE w WHEN 1 THEN u WHEN 2 THEN sqrt(u)
+        |               WHEN 4 THEN sqrt(sqrt(u)) ELSE sqrt(sqrt(sqrt(u))) END AS skey
+        |      FROM k)
+        |SELECT doc_id, n_chars, w, skey
+        |FROM s ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      val k = Tables.documents(s, d).select(
+        col("doc_id"), col("n_chars"),
+        when(col("n_chars") >= 2000, 8).when(col("n_chars") >= 1000, 4)
+          .when(col("n_chars") >= 500, 2).otherwise(1).as("w"),
+        (conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast("bigint") / lit(1152921504606846976L).cast("double")).as("u"))
+      k.select(col("doc_id"), col("n_chars"), col("w"),
+          when(col("w") === 1, col("u"))
+            .when(col("w") === 2, sqrt(col("u")))
+            .when(col("w") === 4, sqrt(sqrt(col("u"))))
+            .otherwise(sqrt(sqrt(sqrt(col("u"))))).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(100)
+    }
+  )
+}

@@ -323,6 +323,103 @@ object TimeSeriesQ {
           |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
           |GROUP BY n_name
           |ORDER BY revenue DESC, n_name""".stripMargin)
+    },
+
+    // Classical seasonal decomposition of the hourly event-count series
+    // (r12): trend = centered 24-point moving average (full windows
+    // only), seasonal = per hour-of-day mean deviation, residual = the
+    // rest. Partitioned by event_type so every window/aggregate shuffles
+    // on a key (no SinglePartition) and the series length is bounded by
+    // the TIME SPAN, not the event volume — the raw 100 TB never flows
+    // through a window, only the pre-aggregated hourly counts do.
+    // Exactness: integer window sums / 24.0 (IEEE-identical), seasonal
+    // means over 1e-6-floor-quantized deviations (exact decimal sums).
+    QueryDef(
+      "ts_seasonal_decompose",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, hr, cnt,
+        |         CAST(SUM(cnt) OVER w AS DOUBLE) / 24.0 AS trend,
+        |         COUNT(*) OVER w AS wn
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        |dt AS (SELECT event_type, hr, cnt, trend, cnt - trend AS detr
+        |       FROM t WHERE wn = 24),
+        |seas AS (
+        |  SELECT event_type, hour(hr) AS hod,
+        |         CAST(SUM(CAST(FLOOR(detr * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+        |           / 1e6 / COUNT(*) AS seasonal
+        |  FROM dt GROUP BY 1, 2)
+        |SELECT d.event_type, d.hr, d.cnt, d.trend, s.seasonal,
+        |       (d.cnt - d.trend) - s.seasonal AS resid
+        |FROM dt d JOIN seas s
+        |  ON s.event_type = d.event_type AND s.hod = hour(d.hr)""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(-11, 12)
+      val dt = hourly
+        .withColumn("trend", sum("cnt").over(w).cast("double") / lit(24.0))
+        .withColumn("wn", count(lit(1)).over(w))
+        .filter(col("wn") === 24)
+        .withColumn("detr", col("cnt") - col("trend"))
+      val seas = dt
+        .groupBy(col("event_type").as("et2"), hour(col("hr")).as("hod"))
+        .agg((sum(floor(col("detr") * lit(1e6)).cast(DecimalType(38, 0)))
+          .cast("double") / lit(1e6) / count(lit(1))).as("seasonal"))
+      dt.join(seas,
+          col("event_type") === col("et2") && col("hod") === hour(col("hr")))
+        .select(col("event_type"), col("hr"), col("cnt"), col("trend"),
+          col("seasonal"), (col("detr") - col("seasonal")).as("resid"))
+    },
+
+    // Z-order layout audit (r12): interleave 16 bits of customer key and
+    // order day into a Morton code, bucket on its top 10 bits, and report
+    // each bucket's row count + min/max extent in BOTH dimensions. This
+    // is the write-side data-layout primitive for 100 TB scan pruning:
+    // sorting/range-partitioning by zval before writing gives files whose
+    // per-column min/max stats are TIGHT in custkey AND orderdate
+    // simultaneously, so predicate pushdown on either column skips most
+    // files (single-column sort only prunes one). The output IS the
+    // audit a layout job logs: narrow extents per bucket = skippable
+    // files. Pure integer bit arithmetic — identical in both engines.
+    QueryDef(
+      "etl_zorder_layout",
+      zorderSql(spark = false)) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_zorder")
+      s.sql(zorderSql(spark = true).replace("FROM orders", "FROM orders_zorder"))
     }
   )
+
+  /** The z-order audit SQL for either engine — ONE generator, so the
+    * 32-term bit-interleave formula cannot drift between the Spark
+    * query and its DuckDB oracle. Spark spells shifts as
+    * shiftleft/shiftright functions; DuckDB as << / >> operators. */
+  private def zorderSql(spark: Boolean): String = {
+    val shl = if (spark) (e: String, n: Int) => s"shiftleft($e, $n)"
+              else (e: String, n: Int) => s"($e << $n)"
+    val shr = if (spark) (e: String, n: Int) => s"shiftright($e, $n)"
+              else (e: String, n: Int) => s"($e >> $n)"
+    val day =
+      if (spark) "datediff(o_orderdate, DATE '1970-01-01')"
+      else "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+    val x = "(o_custkey % 65536)"
+    val y = s"($day % 65536)"
+    val z = (0 until 16).map { i =>
+      shl(s"(${shr(x, i)} & 1)", 2 * i) + " + " +
+        shl(s"(${shr(y, i)} & 1)", 2 * i + 1)
+    }.mkString(" + ")
+    s"""SELECT ${shr(s"($z)", 16)} AS bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+       |       CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+       |       CAST(MIN($day) AS BIGINT) AS min_day,
+       |       CAST(MAX($day) AS BIGINT) AS max_day
+       |FROM orders GROUP BY 1""".stripMargin
+  }
 }
