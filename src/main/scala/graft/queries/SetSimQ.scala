@@ -33,42 +33,74 @@ object SetSimQ {
   private def toks = split(col("text"), "\\s+")
 
   /** All pairs with Jaccard >= tNum/tDen over a (doc_id, shingle)
-    * frame — EXACT, via df-ordered prefix filtering (see object
-    * scaladoc). Exposed for the planted-fixture losslessness spec. */
+    * frame — EXACT, via df-ordered prefix filtering with the full
+    * PPJoin pruning stack (Xiao et al. WWW'08), all lossless:
+    *
+    *  - prefix filter: a set keeps its n - ceil(t*n) + 1 RAREST
+    *    shingles as join keys (pigeonhole on the df-ordered suffix);
+    *  - length filter: J >= t forces tDen*min(|a|,|b|) >= tNum*max;
+    *  - position filter: for the smallest common shingle at ranks
+    *    (ra, rb), every common shingle sorts at-or-after it, so
+    *    overlap <= min(na-ra, nb-rb) + 1, which must reach
+    *    alpha = ceil(tNum*(na+nb)/(tNum+tDen)). A true pair's
+    *    minimum-common-shingle row always satisfies this (o >= alpha
+    *    and all o common shingles sit at ranks >= ra resp. rb), so
+    *    per-row pruning before the pair-distinct loses nothing.
+    *
+    * Verification runs on per-doc sorted arrays of INT vocabulary ids
+    * (GlobalRank two-pass assigns ids in global df order — vocab-sized,
+    * no SinglePartition): size(array_intersect(aa, ab)) per candidate
+    * pair instead of re-exploding candidate docs' shingles through a
+    * pair-keyed shuffle (measured 97 s -> see SCALE.md at 10x; the
+    * explode form shuffles |cand| * |doc| rows, the array form |cand|).
+    * All thresholds integer arithmetic — no float-ceil hazard.
+    * Exposed for the planted-fixture losslessness spec. */
   def setSimJoinExact(shIn: org.apache.spark.sql.DataFrame,
       tNum: Int, tDen: Int): org.apache.spark.sql.DataFrame = {
     require(tNum > 0 && tDen >= tNum)
-    val sh = shIn.select("doc_id", "shingle").cache()
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
-    // per-doc rank by GLOBAL (df, shingle) order; both windows share
-    // the doc_id partitioning (one shuffle, no SinglePartition)
-    val w = Window.partitionBy("doc_id").orderBy(col("c"), col("shingle"))
-    val ranked = sh.join(df, "shingle")
+    val sh = shIn.select("doc_id", "shingle")
+    val vocab = graft.operators.GlobalRank.withGlobalRowNumber(
+      sh.groupBy("shingle").agg(count(lit(1)).as("c")),
+      Seq(col("c"), col("shingle")), "sid")._1
+      .select(col("shingle"), col("sid"))
+    // (doc_id, sid): strings leave the pipeline here; sid order IS the
+    // global (df, shingle) order, so per-doc rank and sorted arrays
+    // both come from the one int column
+    val ids = sh.join(vocab, "shingle").select(col("doc_id"), col("sid"))
+      .cache()
+    val w = Window.partitionBy("doc_id").orderBy("sid")
+    val ranked = ids
       .withColumn("rn", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-    // prefix length n - ceil(t*n) + 1, all-integer: ceil(tNum*n/tDen)
-    // = floor((tNum*n + tDen - 1)/tDen); the quotient is an exact
-    // integer-valued double (numerator << 2^53)
     val prefix = ranked
       .filter(col("rn") <=
         col("n_sh") - floor((col("n_sh") * tNum + (tDen - 1)) / tDen) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("sid"), col("rn"), col("n_sh"))
+    // integer ceil of tNum*(na+nb)/(tNum+tDen): floor-div on exact
+    // integer-valued doubles (numerator << 2^53)
+    val alpha = floor(
+      (lit(tNum) * (col("na") + col("nb")) + lit(tNum + tDen - 1))
+        / lit(tNum + tDen))
     val cand = prefix.as("pa")
       .join(prefix.as("pb"),
-        col("pa.shingle") === col("pb.shingle")
+        col("pa.sid") === col("pb.sid")
           && col("pa.doc_id") < col("pb.doc_id"))
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"),
+        col("pa.n_sh").as("na"), col("pb.n_sh").as("nb"),
+        col("pa.rn").as("ra"), col("pb.rn").as("rb"))
+      .filter(lit(tDen) * least(col("na"), col("nb"))
+        >= lit(tNum) * greatest(col("na"), col("nb")))
+      .filter(least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >= alpha)
+      .select("doc_a", "doc_b")
       .distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b")),
-        col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    inter
-      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+    val arrs = ids.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sid"))).as("arr"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("aa")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("ab")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("aa"), col("ab"))).cast("long").as("n_common"),
+        size(col("aa")).cast("long").as("na"), size(col("ab")).cast("long").as("nb"))
       .filter(lit(tDen) * col("n_common") >=
         lit(tNum) * (col("na") + col("nb") - col("n_common")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),

@@ -123,4 +123,38 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.SparkEntry.queries("emb_knn_label_acc")(spark, edir).count() == 0,
       "emb_knn_label_acc not empty on empty embeddings")
   }
+
+  test("r12 rows: empty tables -> empty/typed results, no crash") {
+    val dir = java.nio.file.Files.createTempDirectory("empty-r12").toString
+    emptyDocs.withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_suppkey", LongType),
+        StructField("l_partkey", LongType), StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_discount", DoubleType),
+        StructField("l_returnflag", StringType),
+        StructField("l_shipdate", TimestampType))))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq("doc_setsim_join", "doc_weighted_sample", "ts_seasonal_decompose")
+      .foreach { q =>
+        assert(graft.SparkEntry.queries(q)(spark, dir).count() == 0,
+          s"$q not empty on empty input")
+      }
+    // triangle count on an empty graph is the 1-row (0 nodes, 0 edges,
+    // 0 triangles) summary... except empty aggregates with no groups
+    // still emit their single global row — assert the zeros, not absence
+    val tri = graft.SparkEntry.queries("ext_triangle_count")(spark, dir).collect()
+    assert(tri.length == 1 && tri.head.getLong(0) == 0L
+      && tri.head.getLong(1) == 0L && tri.head.getLong(2) == 0L)
+    spark.catalog.clearCache()
+  }
 }
