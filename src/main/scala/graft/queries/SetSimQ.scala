@@ -56,7 +56,8 @@ object SetSimQ {
     * All thresholds integer arithmetic — no float-ceil hazard.
     * Exposed for the planted-fixture losslessness spec. */
   def setSimJoinExact(shIn: org.apache.spark.sql.DataFrame,
-      tNum: Int, tDen: Int): org.apache.spark.sql.DataFrame = {
+      tNum: Int, tDen: Int,
+      maxCandidatePairs: Long = 100_000_000L): org.apache.spark.sql.DataFrame = {
     require(tNum > 0 && tDen >= tNum)
     val sh = shIn.select("doc_id", "shingle")
     val vocab = graft.operators.GlobalRank.withGlobalRowNumber(
@@ -76,6 +77,25 @@ object SetSimQ {
       .filter(col("rn") <=
         col("n_sh") - floor((col("n_sh") * tNum + (tDen - 1)) / tDen) + 1)
       .select(col("doc_id"), col("sid"), col("rn"), col("n_sh"))
+    // Candidate-mass guard (the cosineCanonical maxExactRows
+    // discipline): the exact join's cost is Θ(Σ bucket²) over prefix
+    // buckets. On a Zipfian high-cardinality shingle vocabulary the
+    // rarest-shingle prefixes keep buckets near 1 and the join tracks
+    // the true near-dup mass — but on a vocabulary-DENSE corpus
+    // (measured: the 30k-shingle derived fixture at 500k docs reaches
+    // ~10⁹ candidate rows and fills local spill disk) the honest move
+    // is a loud upfront refusal, not a mid-job OOM. One cheap
+    // aggregate over the prefix rows; raise the cap to insist.
+    val mass = prefix.groupBy("sid").agg(count(lit(1)).as("k"))
+      .agg(coalesce(sum(col("k") * (col("k") - 1) / 2), lit(0.0))
+        .cast("long").as("m"))
+      .collect().head.getLong(0)
+    require(mass <= maxCandidatePairs,
+      s"setSimJoinExact: prefix-bucket candidate mass $mass exceeds " +
+      s"$maxCandidatePairs. The shingle vocabulary is too dense for an " +
+      "exact threshold join at this scale — raise maxCandidatePairs to " +
+      "insist, tighten the threshold, or use the MinHash-LSH family " +
+      "(doc_lsh_verified_dedup) as the approximate scale path.")
     // integer ceil of tNum*(na+nb)/(tNum+tDen): floor-div on exact
     // integer-valued doubles (numerator << 2^53)
     val alpha = floor(
