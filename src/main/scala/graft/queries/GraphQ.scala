@@ -309,12 +309,17 @@ object GraphQ {
         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
         |       (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      // distinct (order, supplier) FIRST: the raw lineitem self-join
+      // would pay a per-(u,v) countDistinct expand; after the dedup the
+      // per-order pair set is unique, so co-order count is a plain
+      // count(*) two-phase aggregate
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
       val co = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey")
             && col("x.l_suppkey") =!= col("y.l_suppkey"))
         .groupBy(col("x.l_suppkey").as("u"), col("y.l_suppkey").as("v"))
-        .agg(countDistinct(col("x.l_orderkey")).as("c"))
+        .agg(count(lit(1)).as("c"))
       val knn = co
         .withColumn("rn", row_number().over(
           Window.partitionBy("u").orderBy(col("c").desc, col("v"))))

@@ -73,10 +73,13 @@ object SetSimQ {
     val ranked = ids
       .withColumn("rn", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val prefix = ranked
+    // persisted: the guard aggregate materializes it, the candidate
+    // join then reuses it — without this the rank windows run twice
+    val prefix = graft.ext.Caches.track(ranked
       .filter(col("rn") <=
         col("n_sh") - floor((col("n_sh") * tNum + (tDen - 1)) / tDen) + 1)
       .select(col("doc_id"), col("sid"), col("rn"), col("n_sh"))
+      .persist())
     // Candidate-mass guard (the cosineCanonical maxExactRows
     // discipline): the exact join's cost is Θ(Σ bucket²) over prefix
     // buckets. On a Zipfian high-cardinality shingle vocabulary the
