@@ -131,7 +131,8 @@ object Bench {
       "doc_dedup_pipeline", "doc_span_dedup", "doc_lm_perplexity",
       "doc_quality_classifier", "emb_cosine_topk", "ext_ivf_topk",
       "ext_ivfpq_topk", "emb_kmeans", "ext_pagerank",
-      "ext_entity_components", "ext_label_prop", "pipeline_corpus_build")
+      "ext_entity_components", "ext_label_prop", "pipeline_corpus_build",
+      "doc_setsim_join", "ext_triangle_count")
     val hq = headline.flatMap(k => timings.get(k).map(v => s"${jstr(k)}:${fmt(v)}"))
       .mkString("{", ",", "}")
     val compact =

@@ -332,6 +332,75 @@ object GraphQ {
       val nodes = co.agg(countDistinct(col("u")).as("n_nodes"))
       val edges = und.agg(count(lit(1)).as("n_edges"))
       nodes.crossJoin(edges).crossJoin(tri)
+    },
+
+    // Local clustering coefficient per node on the same supplier kNN
+    // co-order graph (r12): n_tri(v) / C(deg(v), 2) — the standard
+    // "how clique-like is each node's neighborhood" community metric.
+    // Triangles enumerate once (ordered compact-forward join), then
+    // explode to their 3 member nodes; degree is one union+count. All
+    // joins/aggregates shuffle on node keys; the coefficient division
+    // runs on identical integer operands in both engines.
+    QueryDef(
+      "ext_clustering_coeff",
+      """WITH co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+        |         COUNT(DISTINCT a.l_orderkey) AS c
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        |  GROUP BY 1, 2),
+        |knn AS (SELECT u, v FROM (
+        |  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+        |                                  ORDER BY c DESC, v) AS rn
+        |  FROM co) WHERE rn <= 3),
+        |und AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM knn),
+        |tri AS (SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+        |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |             JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |trin AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |           SELECT n1 AS node FROM tri
+        |           UNION ALL SELECT n2 FROM tri
+        |           UNION ALL SELECT n3 FROM tri) GROUP BY node),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |        GROUP BY node)
+        |SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+        |       CAST(COALESCE(t.n_tri, 0) AS DOUBLE)
+        |         / (d.deg * (d.deg - 1) / 2) AS coeff
+        |FROM deg d LEFT JOIN trin t ON t.node = d.node
+        |WHERE d.deg >= 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val co = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey")
+            && col("x.l_suppkey") =!= col("y.l_suppkey"))
+        .groupBy(col("x.l_suppkey").as("u"), col("y.l_suppkey").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val knn = co
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("u").orderBy(col("c").desc, col("v"))))
+        .filter(col("rn") <= 3)
+      val und = knn
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct().cache()
+      val tri = und.as("e1")
+        .join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .join(und.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("n1"), col("e1.b").as("n2"), col("e2.b").as("n3"))
+      val trin = tri.select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      val deg = und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.join(trin, Seq("node"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          (coalesce(col("n_tri"), lit(0L)).cast("double")
+            / (col("deg") * (col("deg") - 1) / 2)).as("coeff"))
     }
   )
 }
