@@ -61,21 +61,23 @@ object Caches {
     * (`LogicalRDD`), not a CacheManager entry; that asymmetry is how
     * the CC sweep loop leaked one checkpoint RDD per iteration.
     *
-    * Only the plan ROOT (under trivial unary wrappers like the
-    * `select` a checkpointed frame is typically projected through) is
-    * considered: walking the WHOLE tree would unpersist every upstream
-    * checkpointed frame still in use by other consumers — CC's
-    * per-sweep release used to kill CorpusBuild's checkpointed stage
-    * boundaries that sat in the sweep frame's lineage
-    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND downstream). */
+    * The backing RDD is freed ONLY when the plan root IS the
+    * `LogicalRDD` (under an alias) — i.e. the tracked frame is itself
+    * the checkpoint the library created. Unwrapping `Project` here
+    * (the r10 form) reached through thin projections like CC's
+    * `edges.select(a, b).persist()` and unpersisted the CALLER's
+    * checkpointed input — a second CC run on the same checkpointed
+    * edge frame then failed with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    * (caught by cc_scale rep 2, regression-tested in DedupSpec). A
+    * projection-wrapped frame frees its CacheManager entry only; the
+    * wrapped checkpoint's lifecycle belongs to whoever created it. */
   private[ext] def hardUnpersist(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
     @scala.annotation.tailrec
     def backing(p: LogicalPlan): Unit = p match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
-      case pr: Project => backing(pr.child)
       case sa: SubqueryAlias => backing(sa.child)
       case _ => ()
     }

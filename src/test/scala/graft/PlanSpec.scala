@@ -335,6 +335,38 @@ class PlanSpec extends SparkSpec {
       s"gap-fill windows must stay partitioned:\n${p.take(1800)}")
   }
 
+  test("set-sim join: no cartesian, windows doc-partitioned, filters ride the join") {
+    val p = plan("doc_setsim_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must stay an equi-join:\n${p.take(1800)}")
+    // the PPJoin length/position filters must fold into the candidate
+    // join as residual conditions — a post-join Filter would mean the
+    // raw bucket-product rows materialize first
+    assert(p.matches("(?s).*Join condition:.*least.*greatest.*"),
+      "length/position filters should be SMJ residual conditions:\n" +
+        p.linesIterator.filter(_.contains("Join condition"))
+          .mkString("\n"))
+  }
+
+  test("triangle census: edge joins are equi-joins, no cartesian") {
+    val p = plan("ext_triangle_count")
+    // the 1-row summary stats may cross-join (BroadcastNestedLoopJoin on
+    // single-row frames — constant cost); the EDGE joins must be hashed
+    // or sort-merged equi-joins and nothing may plan CartesianProduct
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"edge joins must be equi-joins:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no CartesianProduct even for stats:\n${p.take(1500)}")
+  }
+
+  test("z-order audit: pure scan + two-phase aggregation, no joins") {
+    val p = plan("etl_zorder_layout")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"two-phase aggregate expected:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no joins in the layout audit:\n${p.take(1200)}")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences

@@ -23,6 +23,23 @@ class DedupSpec extends SparkSpec {
     assert(cc.size == 17)
   }
 
+  test("connected components: releaseAll must not kill the caller's checkpointed edges") {
+    import spark.implicits._
+    // cc_scale's exact shape: the CALLER localCheckpoints the edge
+    // frame, runs CC + releaseAll, then runs CC again on the SAME
+    // frame. The r10-r11 hardUnpersist unwrapped Project and freed the
+    // caller's checkpoint RDD, so rep 2 failed with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    val edges = (1L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      .localCheckpoint()
+    (1 to 2).foreach { rep =>
+      val comps = Dedup.connectedComponents(edges)
+        .select("component").distinct().count()
+      assert(comps == 1L, s"rep $rep: $comps components")
+      Caches.releaseAll(spark)
+    }
+  }
+
   test("connected components: non-convergence at maxIter fails loudly, not partially") {
     import spark.implicits._
     // ADVICE r4 (medium): exceeding maxIter used to return PARTIAL
