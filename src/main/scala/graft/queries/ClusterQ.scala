@@ -402,6 +402,52 @@ object ClusterQ {
           sum(when(col("plabel") === col("ql"), 1L).otherwise(0L))
             .cast("long").as("n_correct"))
         .orderBy("label")
+    },
+
+    // Johnson–Lindenstrauss random projection (r12): 64-dim embeddings
+    // to k=8 dims with a Rademacher ±1 matrix derived from md5 parity —
+    // the TRAINING-FREE dimensionality reduction (Achlioptas 2003
+    // database-friendly JL), the cheap precursor to PCA when a pass
+    // over the data to fit a basis is too expensive. The sign matrix is
+    // 512 rows, broadcast; the projection is one explode + broadcast
+    // join + map-side-combinable aggregate per (vec, out-dim). Sums
+    // ride 1e-12-floor-quantized decimals (exact, order-free — the
+    // pageRank discipline), so the row is hash-exact cross-engine; the
+    // vi·sgn·1e12 product is exact (24-bit float mantissa × 2^40
+    // stays under 2^53), making the quantization itself bit-defined.
+    QueryDef(
+      "emb_jl_project",
+      """WITH mat AS (
+        |  SELECT i.i, j.j,
+        |         CASE WHEN CAST(concat('0x', substr(md5('jl:' || i.i || ':' || j.j), 1, 15)) AS BIGINT)
+        |                   % 2 = 0
+        |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+        |  FROM generate_series(0, 63) AS i(i), generate_series(0, 7) AS j(j)),
+        |ex AS (
+        |  SELECT vec_id, idx - 1 AS i, embedding[idx] AS vi
+        |  FROM (SELECT vec_id, embedding,
+        |               unnest(range(1, len(embedding) + 1)) AS idx
+        |        FROM embeddings))
+        |SELECT e.vec_id, m.j,
+        |       CAST(SUM(CAST(FLOOR(CAST(e.vi AS DOUBLE) * m.sgn * 1e12)
+        |                     AS DECIMAL(38,0))) AS DOUBLE)
+        |         / 1e12 / sqrt(8) AS p
+        |FROM ex e JOIN mat m ON m.i = e.i
+        |GROUP BY e.vec_id, m.j""".stripMargin) { (s, d) =>
+      val mat = s.range(64).select(col("id").as("i"))
+        .crossJoin(s.range(8).select(col("id").as("j")))
+        .withColumn("sgn",
+          when(conv(substring(md5(concat(lit("jl:"), col("i").cast("string"),
+            lit(":"), col("j").cast("string")).cast("binary")), 1, 15), 16, 10)
+            .cast("bigint") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vi")))
+      ex.join(broadcast(mat), "i")
+        .groupBy("vec_id", "j")
+        .agg((sum(floor(col("vi").cast("double") * col("sgn") * lit(1e12))
+          .cast(DecimalType(38, 0))).cast("double")
+          / lit(1e12) / sqrt(lit(8.0))).as("p"))
+        .select(col("vec_id"), col("j"), col("p"))
     }
   )
 }

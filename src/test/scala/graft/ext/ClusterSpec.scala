@@ -297,4 +297,22 @@ class ClusterSpec extends SparkSpec {
     val sb = math.sqrt(b.map(x => (x - mb) * (x - mb)).sum)
     cov / (sa * sb)
   }
+
+  test("emb_jl_project preserves norms in aggregate (JL property)") {
+    import org.apache.spark.sql.functions._
+    // E||P v||^2 = ||v||^2 for a Rademacher JL matrix scaled 1/sqrt(k);
+    // per-vector variance is ~2/k, so the MEAN ratio over the 500-vector
+    // fixture must sit tightly around 1 even at k=8
+    val proj = graft.SparkEntry.queries("emb_jl_project")(spark, sf("sf0.01"))
+      .groupBy("vec_id").agg(sum(col("p") * col("p")).as("pn"))
+    val orig = graft.Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("vn"))
+    val ratios = proj.join(orig, "vec_id")
+      .select((col("pn") / col("vn")).as("r")).collect().map(_.getDouble(0))
+    assert(ratios.nonEmpty)
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.9 && mean < 1.1,
+      f"mean norm ratio $mean%.3f should concentrate near 1")
+  }
 }
