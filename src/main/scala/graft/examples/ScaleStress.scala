@@ -113,7 +113,11 @@ object ScaleStress {
     // r12: seasonal decomposition — replicas densify the SAME time
     // window, so the hourly series length is constant and cost must
     // track the pre-aggregation scan, not the window stages
-    "ts_seasonal_decompose")
+    "ts_seasonal_decompose",
+    // r12: JL projection — expected linear (explode + broadcast-join +
+    // map-side-combinable aggregate; the 512-row sign matrix is
+    // corpus-size-independent)
+    "emb_jl_project")
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
     * within-replica cosine structure are preserved; distinct reps are

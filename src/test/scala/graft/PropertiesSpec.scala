@@ -209,4 +209,48 @@ class PropertiesSpec extends SparkSpec {
     assert(sub.keySet == Set("doc_id", "source"))
     sub.foreach { case (c, stats) => assert(stats == full(c), s"column $c drifted") }
   }
+
+  test("set-sim prefix join is lossless on random DENSE corpora (scalacheck)") {
+    import spark.implicits._
+    // the adversarial regime from SCALE.md: a tiny vocabulary makes
+    // every prefix bucket collide — exactly where a buggy prefix bound
+    // would silently drop pairs. 8 seeded corpora (20 docs × 4-12
+    // tokens from a 15-token vocab), 2 thresholds each, prefix join
+    // must equal the brute-force all-pairs result EXACTLY.
+    val vocabGen = Gen.choose(0, 14).map(i => s"w$i")
+    (1 to 8).foreach { seedI =>
+      val params = Gen.Parameters.default
+      val docs = (0 until 20).map { d =>
+        val n = Gen.choose(4, 12)
+          .apply(params, Seed(seedI * 1000L + d)).get
+        val toks = (0 until 3 * n).map(t =>
+            vocabGen.apply(params, Seed(seedI * 100000L + d * 100L + t)).get)
+          .distinct.take(n)
+        (d.toLong, toks)
+      }
+      val sh = docs.toDF("doc_id", "sh")
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      for ((tn, td) <- Seq((4, 5), (1, 2))) {
+        val got = graft.queries.SetSimQ.setSimJoinExact(sh, tn, td)
+          .select("doc_a", "doc_b", "n_common").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // brute force over the same frame
+        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val want = sh.as("a").join(sh.as("b"),
+            col("a.shingle") === col("b.shingle")
+              && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+          .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+          .filter(lit(td) * col("n_common") >=
+            lit(tn) * (col("na") + col("nb") - col("n_common")))
+          .select("doc_a", "doc_b", "n_common").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == want,
+          s"seed=$seedI t=$tn/$td: missing=${want -- got} extra=${got -- want}")
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+      }
+    }
+  }
 }
