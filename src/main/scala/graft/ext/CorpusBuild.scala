@@ -127,12 +127,14 @@ object CorpusBuild {
     val nExact = timed("3 exact dedup")(exactC.count())
 
     // 4. near-dup dedup (LSH candidates -> exact verify -> CC); only
-    //    canonical docs survive
-    val canon = timed("4 lsh+cc (eager CC actions)")(
-      Dedup.lshVerifiedCanonicalDocs(exactC, cfg.nearDupThreshold)
-        .filter(col("is_canonical")).select("doc_id"))
+    //    canonical docs survive. The DROP set (CC nodes labeled by
+    //    someone else) is near-dup-graph-sized — usually tiny relative
+    //    to the corpus, so AQE broadcasts the anti-join — and no
+    //    corpus-sized labelAll join runs here at all (r12).
+    val drop = timed("4 lsh+cc (eager CC actions)")(
+      Dedup.lshVerifiedNonCanonical(exactC, cfg.nearDupThreshold))
     val deduped = Caches.track(timed("4 near-dup ckpt")(
-      exactC.join(canon, Seq("doc_id"), "left_semi").localCheckpoint()))
+      exactC.join(drop, Seq("doc_id"), "left_anti").localCheckpoint()))
     val nNearDup = timed("4 near-dup dedup")(deduped.count())
 
     // 5. sequence packing over the survivors

@@ -431,6 +431,35 @@ object Dedup {
     * closure), so the registry twin `doc_lsh_verified_dedup`
     * hash-verifies the whole composition. */
   def lshVerifiedCanonicalDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (edges, release) = lshVerifiedEdges(docs, threshold)
+    val out = labelAll(docs, connectedComponents(edges))
+    release()
+    out
+  }
+
+  /** The NON-canonical doc ids under [[lshVerifiedCanonicalDocs]]'s
+    * semantics — exactly the CC nodes whose label is not themselves.
+    * For callers that only DROP near-dups (CorpusBuild stage 4), this
+    * skips the corpus-sized labelAll join entirely: the result is
+    * near-dup-graph-sized (tiny relative to the corpus), so the
+    * caller's anti-join broadcasts. */
+  def lshVerifiedNonCanonical(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (edges, release) = lshVerifiedEdges(docs, threshold)
+    val out = connectedComponents(edges)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    release()
+    out
+  }
+
+  /** Verified near-dup edge list shared by the canonical/non-canonical
+    * forms: banded-MinHash candidates, exact-Jaccard verify at
+    * `threshold` over the candidate docs' shingles. Returns the edges
+    * plus a release thunk for the internal persists (call after the
+    * downstream CC has materialized — CC's first action is what makes
+    * the persists pay). */
+  private def lshVerifiedEdges(
+      docs: DataFrame, threshold: Double): (DataFrame, () => Unit) = {
     // shingle ONCE: the compiled-UDF shingle pass feeds both the
     // signature side and the verification side (it used to run twice —
     // the single hottest redundant work in the flagship pipeline)
@@ -453,11 +482,7 @@ object Dedup {
       .filter(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
         >= threshold)
       .select("doc_a", "doc_b")
-    val out = labelAll(docs, connectedComponents(edges))
-    shAll.unpersist()
-    cands.unpersist()
-    sh.unpersist()
-    out
+    (edges, () => { shAll.unpersist(); cands.unpersist(); sh.unpersist() })
   }
 
   /** Embedding-cosine near-dup dedup, EXACT all-pairs path: edges =
