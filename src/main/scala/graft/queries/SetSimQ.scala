@@ -167,6 +167,56 @@ object SetSimQ {
       setSimJoinExact(shingles(s, d), T_NUM, T_DEN)
     },
 
+    // Fully EXACT near-dup dedup: prefix-join edges (Jaccard >= 0.8,
+    // zero false negatives) -> connected components -> min-id
+    // canonical per group. The exact twin of doc_lsh_verified_dedup
+    // (banded MinHash candidates, probabilistic recall): same output
+    // contract, provably complete edge set — the pair a pipeline runs
+    // when the dedup SLO is "no near-dup survives" rather than "high
+    // recall at lower cost". Oracle: brute-force pairs + recursive-CTE
+    // transitive closure (the doc_dedup_pipeline pattern).
+    QueryDef(
+      "doc_setsim_dedup",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+        |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+        |  FROM documents),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN n na ON na.doc_id = doc_a
+        |  JOIN n nb ON nb.doc_id = doc_b
+        |  WHERE 5 * n_common >= 4 * (na.n_sh + nb.n_sh - n_common)),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node),
+        |canon AS (SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node)
+        |SELECT d.doc_id,
+        |       COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+        |       COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN canon c ON c.node = d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = setSimJoinExact(shingles(s, d), T_NUM, T_DEN)
+        .select(col("doc_a"), col("doc_b"))
+      val cc = graft.ext.Dedup.connectedComponents(edges)
+      docs.join(cc, docs("doc_id") === cc("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+            .as("is_canonical"))
+    },
+
     // Weighted reservoir sample (Efraimidis–Spirtsis A-ES): global
     // top-100 docs by key u^(1/w), u a deterministic md5-derived
     // uniform, w a power-of-two length weight — so u^(1/w) is a chain

@@ -144,8 +144,8 @@ class EmptyInputSpec extends SparkSpec {
         StructField("l_returnflag", StringType),
         StructField("l_shipdate", TimestampType))))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    Seq("doc_setsim_join", "doc_weighted_sample", "ts_seasonal_decompose",
-        "ext_clustering_coeff")
+    Seq("doc_setsim_join", "doc_setsim_dedup", "doc_weighted_sample",
+        "ts_seasonal_decompose", "ext_clustering_coeff")
       .foreach { q =>
         assert(graft.SparkEntry.queries(q)(spark, dir).count() == 0,
           s"$q not empty on empty input")
