@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver json-parses the last 2 kB of `runMain graft.Bench`
+// stdout. The default forked outputStrategy (LoggedOutput) prefixes
+// every line with "[info] ", which defeats that parse (BENCH_r10-r12
+// all recorded parsed:null). Raw StdoutOutput passes the child's
+// stdout through undecorated, and showSuccess=false drops the trailing
+// "[success] Total time" banner so Bench's compact JSON line is the
+// genuinely last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -112,19 +112,20 @@ object Bench {
     val total = timings.values.sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"stream_events_per_sec":${fmt(streamEps)},"sf":${jstr(sfDir)}}"""
-    println(line)
     // Persist the complete per-query line so timings are always
     // recoverable from the repo (target/ is runtime; BENCH_LOCAL.json is
-    // the committed record of the last full local fold).
+    // the committed record of the last full local fold). The full line
+    // is NOT printed: the driver captures only the last 2 kB of stdout
+    // and json-parses what it finds there, and a ~6 kB head-truncated
+    // JSON fragment sitting just before the compact line defeated that
+    // parse in r10-r12. Stdout carries exactly ONE JSON candidate.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_latest.json"), line + "\n")
     catch { case _: Throwable => () }
-    // The driver captures only the LAST 2 kB of stdout and json-parses
-    // what it finds there; the full line above (~200 queries, ~6 kB) gets
-    // head-truncated in that window, so BENCH_r10/r11 recorded
-    // parsed:null. Print a compact summary line LAST — headline rows
-    // only, sized to survive the 2 kB tail together with sbt's trailing
-    // "[success] Total time" banner.
+    // Compact summary line LAST — headline rows only, sized to survive
+    // the 2 kB tail window. build.sbt sets run/outputStrategy to raw
+    // StdoutOutput and showSuccess=false so no "[info] " prefix or
+    // "[success]" banner surrounds it.
     val headline = Seq(
       "agg_core", "sql_tpch_q3", "sql_tpch_q5", "join_inner", "agg_cube",
       "win_ewma", "doc_minhash_candidates", "doc_lsh_verified_dedup",
@@ -138,6 +139,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"n_ok":${timings.size},"n_err":${errors.size},"stream_events_per_sec":${fmt(streamEps)},"sf":${jstr(sfDir)},"full":"target/bench_latest.json"}"""
     println(compact)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -32,6 +32,27 @@ object SetSimQ {
 
   private def toks = split(col("text"), "\\s+")
 
+  /** [[setSimJoinImpl]] with fallback disabled: throws when the
+    * candidate-mass guard trips (the spec-facing exact-only contract;
+    * output schema has no `exact` column). */
+  def setSimJoinExact(shIn: org.apache.spark.sql.DataFrame,
+      tNum: Int, tDen: Int,
+      maxCandidatePairs: Long = 100_000_000L): org.apache.spark.sql.DataFrame =
+    setSimJoinImpl(shIn, tNum, tDen, maxCandidatePairs, fallbackToLsh = false)
+      .drop("exact")
+
+  /** Production entry (r13, VERDICT r12 item 1): exact PPJoin when the
+    * candidate-mass probe is under budget; otherwise DEGRADE GRACEFULLY
+    * to banded-MinHash candidates with the SAME exact verification —
+    * zero false positives always, and the output carries an `exact`
+    * flag (false on the fallback path, where recall is 1-(1-t²)^8 ≈
+    * 0.9997 at t=0.8 per band theory, measured in SCALE.md) instead of
+    * refusing the job. */
+  def setSimJoin(shIn: org.apache.spark.sql.DataFrame,
+      tNum: Int, tDen: Int,
+      maxCandidatePairs: Long = 100_000_000L): org.apache.spark.sql.DataFrame =
+    setSimJoinImpl(shIn, tNum, tDen, maxCandidatePairs, fallbackToLsh = true)
+
   /** All pairs with Jaccard >= tNum/tDen over a (doc_id, shingle)
     * frame — EXACT, via df-ordered prefix filtering with the full
     * PPJoin pruning stack (Xiao et al. WWW'08), all lossless:
@@ -53,11 +74,11 @@ object SetSimQ {
     * pair instead of re-exploding candidate docs' shingles through a
     * pair-keyed shuffle (measured 97 s -> see SCALE.md at 10x; the
     * explode form shuffles |cand| * |doc| rows, the array form |cand|).
-    * All thresholds integer arithmetic — no float-ceil hazard.
-    * Exposed for the planted-fixture losslessness spec. */
-  def setSimJoinExact(shIn: org.apache.spark.sql.DataFrame,
+    * All thresholds integer arithmetic — no float-ceil hazard. */
+  private def setSimJoinImpl(shIn: org.apache.spark.sql.DataFrame,
       tNum: Int, tDen: Int,
-      maxCandidatePairs: Long = 100_000_000L): org.apache.spark.sql.DataFrame = {
+      maxCandidatePairs: Long,
+      fallbackToLsh: Boolean): org.apache.spark.sql.DataFrame = {
     require(tNum > 0 && tDen >= tNum)
     val sh = shIn.select("doc_id", "shingle")
     val vocab = graft.operators.GlobalRank.withGlobalRowNumber(
