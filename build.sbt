@@ -17,7 +17,12 @@ run / fork := true
 // all recorded parsed:null). Raw StdoutOutput passes the child's
 // stdout through undecorated, and showSuccess=false drops the trailing
 // "[success] Total time" banner so Bench's compact JSON line is the
-// genuinely last line of stdout.
+// genuinely last line of stdout. showSuccess is only consulted at the
+// global scope when sbt prints the banner, and the bench driver's sbt
+// invocation is fixed (we cannot append `set` commands to it), so the
+// GLOBAL suppression here is intentional — it also silences the banner
+// for interactive `sbt test`/`compile`, a cost we accept; task results
+// still report via the usual [info]/[error] lines.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -52,7 +52,7 @@ object Dedup {
   /** [[bandSignatures]] from an already-materialized (doc_id, shingle)
     * frame — lets [[lshVerifiedCanonicalDocs]] shingle the corpus ONCE
     * for both the signature and the verification sides. */
-  private def bandSignaturesFrom(sh: DataFrame): DataFrame = {
+  private[graft] def bandSignaturesFrom(sh: DataFrame): DataFrame = {
     val p = 2147483647L
     val base = sh.withColumn("h0", expr(
       s"cast(conv(substring(md5(cast(shingle AS binary)), 1, 15), 16, 10) AS bigint) % $p"))
@@ -71,7 +71,7 @@ object Dedup {
 
   /** Banded self-join over signature rows: (doc_a < doc_b) pairs that
     * share any full band. */
-  private def candidatesFromSignatures(sig: DataFrame): DataFrame = {
+  private[graft] def candidatesFromSignatures(sig: DataFrame): DataFrame = {
     val l = sig.select(col("doc_id").as("doc_a"), col("band"), col("b0"), col("b1"))
     val r = sig.select(col("doc_id").as("doc_b"), col("band").as("band_r"),
       col("b0").as("b0_r"), col("b1").as("b1_r"))

@@ -68,6 +68,47 @@ class SetSimSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("setSimJoin guard switch: exact under budget, LSH fallback over it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("a", "b", "c", "d", "e")),            // identical to 1 (J=1)
+      (3L, Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "x1")),
+      (4L, Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "x2")), // J=0.8
+      (5L, Seq("m1", "m2", "m3", "m4", "m5", "y1")),
+      (6L, Seq("m1", "m2", "m3", "m4", "m5", "z1"))  // J=5/7 (below t)
+    ).toDF("doc_id", "sh")
+    val sh = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val truth = bruteForce(sh, 4, 5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // under budget: exact path, exact=true, equals brute force
+    val ex = SetSimQ.setSimJoin(sh, 4, 5).collect()
+    assert(ex.forall(_.getAs[Boolean]("exact")))
+    assert(ex.map(r => (r.getLong(0), r.getLong(1))).toSet == truth)
+    spark.catalog.clearCache()
+
+    // cap 0 trips the guard: fallback path, exact=false, zero false
+    // positives (every emitted pair is in the brute-force truth; an
+    // identical pair has identical band signatures, so it survives)
+    val fb = SetSimQ.setSimJoin(sh, 4, 5, maxCandidatePairs = 0L).collect()
+    assert(fb.nonEmpty, "identical pair must survive the LSH fallback")
+    assert(fb.forall(!_.getAs[Boolean]("exact")))
+    val fbPairs = fb.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fbPairs.subsetOf(truth), s"false positives: ${fbPairs.diff(truth)}")
+    assert(fbPairs.contains((1L, 2L)))
+    spark.catalog.clearCache()
+
+    // exact-only entry still refuses loudly, naming itself
+    val e = intercept[IllegalArgumentException] {
+      SetSimQ.setSimJoinExact(sh, 4, 5, maxCandidatePairs = 0L).collect()
+    }
+    assert(e.getMessage.contains("setSimJoinExact"))
+    assert(e.getMessage.contains("setSimJoin"))
+    spark.catalog.clearCache()
+  }
+
   test("triangleCount enumerates planted graphs exactly") {
     import spark.implicits._
     def tri(edges: Seq[(Long, Long)]): Long =
