@@ -117,7 +117,38 @@ object ScaleStress {
     // r12: JL projection — expected linear (explode + broadcast-join +
     // map-side-combinable aggregate; the 512-row sign matrix is
     // corpus-size-independent)
-    "emb_jl_project")
+    "emb_jl_project",
+    // r14 (VERDICT r12 item 7): the kNN-graph family — replicated
+    // lineitem gives `factor` disjoint copies of the supplier co-order
+    // graph (same degree distribution, factor× nodes/edges), so these
+    // must track the linear family: the kNN construction bounds edges
+    // at 3n and the compact-forward join bounds wedges at O(9n).
+    "ext_triangle_count",
+    "ext_clustering_coeff",
+    "ext_kcore")
+
+  /** Replicated (l_orderkey, l_suppkey) lineitem projection — replica
+    * i shifts orderkey by i·10⁹ and suppkey by i·10⁷, so the supplier
+    * co-order graph becomes `factor` DISJOINT copies of the base graph:
+    * node/edge counts scale by the factor while the per-order supplier
+    * fan-out (the co-order join's expansion suspect) stays exactly the
+    * base distribution. Only the two graph-feeding columns are written
+    * — the kNN rows never read the rest, and parquet projection means
+    * a full-width replica would only add write cost. Built on demand
+    * (graph names requested). */
+  def buildLineitemFixture(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val fs = new java.io.File(s"$out/lineitem.parquet/_SUCCESS")
+    if (fs.exists()) return
+    val base = spark.read.parquet(s"$src/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val replicated = (0 until factor).map { i =>
+      base.select(
+        (col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
+        (col("l_suppkey") + lit(i.toLong * 10000000L)).as("l_suppkey"))
+    }.reduce(_ unionByName _)
+    replicated.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+  }
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
     * within-replica cosine structure are preserved; distinct reps are
@@ -257,7 +288,13 @@ object ScaleStress {
     // is a typo — fail fast rather than silently drop the timing row
     val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale",
       "emb_pq_scale", "emb_ivfpq_scale", "graph_pagerank_scale",
-      "graph_labelprop_scale", "er_matches_scale", "ivf_router_scale", "cc_scale")
+      "graph_labelprop_scale", "er_matches_scale", "ivf_router_scale", "cc_scale",
+      "setsim_fallback_scale", "kcore_scale")
+    // the kNN-graph registry rows read lineitem, which the base fixture
+    // does not replicate — build the 2-column projection on demand
+    val graphNames = Set("ext_triangle_count", "ext_clustering_coeff",
+      "ext_kcore", "kcore_scale")
+    if (names.exists(graphNames)) buildLineitemFixture(spark, src, out, factor)
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
       s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")
@@ -689,6 +726,95 @@ object ScaleStress {
       System.err.println(
         f"[scale] cc_scale (${half * 2} nodes, 1000-chains + 8-cliques): " +
           f"$best%.2f s in $rounds rounds")
+    }
+
+    // Exact-setsim LSH fallback (r14, VERDICT r12 item 1 "Done"): the
+    // vocabulary-dense derived fixture is exactly the regime where the
+    // exact path's candidate mass goes quadratic (measured 2.04G
+    // candidates at 100× in r12) — the fallback must COMPLETE there.
+    // maxCandidatePairs=0 forces the fallback at every factor so the
+    // 10× column can also measure its recall against the exact truth
+    // (at 100× the truth itself is the 2G-candidate job — recall is
+    // measured where the exact join is tractable).
+    if (names.contains("setsim_fallback_scale")) {
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.TextShingles.shingle3(
+          split(col("text"), "\\s+"))).as("shingle"))
+      var best = Double.MaxValue
+      var nPairs = 0L
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        nPairs = graft.queries.SetSimQ
+          .setSimJoin(sh, 4, 5, maxCandidatePairs = 0L).count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+      }
+      timings("setsim_fallback_scale") = best
+      timings("setsim_fallback_scale_pairs") = nPairs.toDouble
+      System.err.println(
+        f"[scale] setsim_fallback_scale: $best%.2f s, $nPairs pairs (forced LSH path)")
+      if (factor <= 10) {
+        val truth = graft.queries.SetSimQ
+          .setSimJoinExact(sh, 4, 5, maxCandidatePairs = Long.MaxValue)
+          .select("doc_a", "doc_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        val fb = graft.queries.SetSimQ
+          .setSimJoin(sh, 4, 5, maxCandidatePairs = 0L)
+          .select("doc_a", "doc_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        require(fb.subsetOf(truth),
+          s"setsim fallback emitted ${fb.diff(truth).size} false positives")
+        val recall = if (truth.isEmpty) 1.0
+          else (fb & truth).size.toDouble / truth.size
+        timings("setsim_fallback_scale_recall") = recall
+        System.err.println(
+          f"[scale] setsim_fallback recall vs exact: $recall%.3f (${truth.size} true pairs)")
+      }
+    }
+
+    // k-core peel convergence gate (r14): the ext_kcore registry row's
+    // fixed 16-round truncation is exact iff the peel converges in
+    // budget — require rounds-8 == rounds-16 output on the fixture
+    // graph (convergence by 8), and report the edge count the peels
+    // chew through.
+    if (names.contains("kcore_scale")) {
+      import org.apache.spark.sql.expressions.Window
+      val li = spark.read.parquet(s"$out/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val co = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey")
+            && col("x.l_suppkey") =!= col("y.l_suppkey"))
+        .groupBy(col("x.l_suppkey").as("u"), col("y.l_suppkey").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val und = co
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("u").orderBy(col("c").desc, col("v"))))
+        .filter(col("rn") <= 3)
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct().localCheckpoint()
+      val nEdges = und.count()
+      var best = Double.MaxValue
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        graft.ext.Graph.corenessCapped(und, kMax = 4, rounds = 16)
+          .write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+      }
+      val c16 = graft.ext.Graph.corenessCapped(und, 4, 16)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val c8 = graft.ext.Graph.corenessCapped(und, 4, 8)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      require(c8 == c16,
+        s"kcore peel not converged by 8 rounds (${c8.size} vs ${c16.size} nodes)")
+      timings("kcore_scale") = best
+      timings("kcore_scale_edges") = nEdges.toDouble
+      System.err.println(
+        f"[scale] kcore_scale ($nEdges edges): $best%.2f s, converged <= 8 rounds")
     }
 
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

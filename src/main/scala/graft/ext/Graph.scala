@@ -311,4 +311,61 @@ object Graph {
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Truncated k-core peel (r14, VERDICT r12 item 6): up to `rounds`
+    * rounds of "drop every node whose induced degree < k", then the
+    * surviving nodes with their induced degree (re-filtered deg >= k,
+    * a no-op once converged). Early-exits when a round removes no edge
+    * — equivalent to running all `rounds` rounds, so a fixed-`rounds`
+    * unrolled SQL oracle agrees bit-for-bit whether or not the peel
+    * converged; it equals the TRUE k-core whenever convergence happens
+    * within `rounds` (GraphSpec pins exactness on planted graphs;
+    * degree-bounded kNN graphs converge in a handful of rounds —
+    * measured in SCALE.md). Input: id-ordered undirected edges (a < b,
+    * deduped). Each round is two node-keyed aggregates + two
+    * semi-join-shaped filters over a SHRINKING edge set with
+    * localCheckpoint lineage cuts — the CC loop discipline; state per
+    * round is the edge list itself, never a driver collection. */
+  def kcoreNodes(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = und.select(col("a"), col("b")).localCheckpoint()
+    var before = e.count()
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val e2 = e.join(keep.select(col("node").as("a")), "a")
+        .join(keep.select(col("node").as("b")), "b")
+        .select("a", "b").localCheckpoint()
+      val after = e2.count()
+      done = after == before
+      before = after
+      e = e2
+      r += 1
+    }
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
+
+  /** Capped coreness: max k in 1..kMax whose truncated k-core contains
+    * the node (every endpoint of `und` has coreness >= 1, so the k=1
+    * peel is skipped). Independent truncated peels per k — each
+    * mirrors [[kcoreNodes]]'s fixed-round semantics, so a generated
+    * SQL oracle can unroll the identical computation. kMax stays small
+    * (the kNN registry graph bounds degree at ~2·k_nn, so coreness is
+    * bounded by construction); at 100 TB each peel is the CC-style
+    * shrinking-edge-set loop, never more than kMax of them. */
+  def corenessCapped(und: DataFrame, kMax: Int, rounds: Int): DataFrame = {
+    require(kMax >= 1)
+    val base = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .distinct().withColumn("k", lit(1))
+    val higher = (2 to kMax).map(k =>
+      kcoreNodes(und, k, rounds).select(col("node"), lit(k).as("k")))
+    higher.foldLeft(base)(_ unionAll _)
+      .groupBy("node").agg(max(col("k")).as("coreness"))
+  }
 }

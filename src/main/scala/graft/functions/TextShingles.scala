@@ -66,4 +66,24 @@ object TextShingles {
     * `transform(sequence(0, size(toks)-8), i -> array_join(slice(toks,
     * i+1, 8), ' '))` (empty when size < 8). */
   def kgram8(tokens: Column): Column = kgram8Udf(tokens)
+
+  private val chargram2Udf = udf { (s: String) =>
+    if (s == null || s.length < 2) Array.empty[String]
+    else {
+      val out = new Array[String](s.length - 1)
+      var i = 0
+      while (i < s.length - 1) { out(i) = s.substring(i, i + 2); i += 1 }
+      out
+    }
+  }
+
+  /** ALL character bigrams of a string, in position order, NOT
+    * deduplicated (the langid feature counts need every occurrence).
+    * Bit-identical to DuckDB's `list_transform(range(1, len(s)),
+    * i -> substr(s, i, 2))` for BMP text (both index by UTF-16 unit /
+    * codepoint respectively, which agree off the astral planes — the
+    * corpus fixtures and the langid oracle are ASCII). Compiled-UDF
+    * rationale as [[shingle3]]: the HOF form is interpreted per
+    * element and a 250-char doc has ~250 of them. */
+  def chargrams2(text: Column): Column = chargram2Udf(text)
 }

@@ -165,4 +165,41 @@ class GraphSpec extends SparkSpec {
       assert(a / 3 == b / 3, s"cross-trio pair ($a,$b)")
     }
   }
+
+  test("corenessCapped matches planted truth: K4, ring, path, pendant") {
+    import spark.implicits._
+    def cores(edges: Seq[(Long, Long)]): Map[Long, Int] =
+      Graph.corenessCapped(edges.toDF("a", "b"), kMax = 4, rounds = 16)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // K4: every node coreness 3
+    val k4 = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    assert(cores(k4) == (0L to 3L).map(_ -> 3).toMap)
+    // 6-ring: coreness 2 everywhere
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 5L))
+    assert(cores(ring) == (0L to 5L).map(_ -> 2).toMap)
+    // path: coreness 1 everywhere (2-core peels the whole path)
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(cores(path) == (0L to 3L).map(_ -> 1).toMap)
+    // K4 plus a pendant hanging off node 0: pendant stays coreness 1,
+    // the K4 keeps coreness 3 (peel must not cascade into the clique)
+    val pend = k4 :+ (0L, 9L)
+    assert(cores(pend) == ((0L to 3L).map(_ -> 3) :+ (9L -> 1)).toMap)
+  }
+
+  test("kcoreNodes reports induced degree and survives truncation equivalence") {
+    import spark.implicits._
+    // two triangles joined by a bridge edge: 2-core = both triangles
+    // (bridge edge survives too — both endpoints are 2-core members)
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L))
+    val got = Graph.kcoreNodes(g.toDF("a", "b"), k = 2, rounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 10L, 11L, 12L))
+    assert(got(2L) == 3L && got(10L) == 3L) // bridge endpoints
+    assert(got(0L) == 2L && got(11L) == 2L)
+    // rounds=1 equals rounds=16 on an already-converged input
+    val one = Graph.kcoreNodes(g.toDF("a", "b"), k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == got)
+  }
 }
