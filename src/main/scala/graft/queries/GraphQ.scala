@@ -21,6 +21,50 @@ object GraphQ {
   private val KcoreRounds = 16
   private val KcoreMax = 4
 
+  /** Fixed BFS relax-round budget (r14) — shared by the ext_bfs Spark
+    * loop and its unrolled oracle CTEs, same truncation contract as
+    * the k-core peel. */
+  private val BfsRounds = 8
+
+  /** The supplier kNN co-order graph prologue shared by the r14 rows:
+    * co-order counts -> per-supplier top-3 by (count DESC, id) -> id-
+    * ordered deduped undirected edges. Identical text to the inline
+    * prologues of ext_triangle_count / ext_kcore. */
+  private val knnUndSql: String =
+    """WITH co AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+      |         COUNT(DISTINCT a.l_orderkey) AS c
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      |  GROUP BY 1, 2),
+      |knn AS (SELECT u, v FROM (
+      |  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+      |                                  ORDER BY c DESC, v) AS rn
+      |  FROM co) WHERE rn <= 3),
+      |und AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      |        FROM knn)""".stripMargin
+
+  /** Spark twin of [[knnUndSql]], localCheckpoint'd (it feeds an
+    * iterative consumer or is read from both sides of a self-join). */
+  private def knnUnd(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val co = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_suppkey") =!= col("y.l_suppkey"))
+      .groupBy(col("x.l_suppkey").as("u"), col("y.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val knn = co
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("c").desc, col("v"))))
+      .filter(col("rn") <= 3)
+    knn.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct().localCheckpoint()
+  }
+
   /** Unrolled truncated k-core peel CTEs for one k over a CTE `und`
     * (a, b) id-ordered edges: s{k}_1..s{k}_R membership stages, then
     * c{k} = survivors re-filtered at deg >= k (the kcoreNodes output
@@ -498,6 +542,97 @@ object GraphQ {
         .distinct().localCheckpoint()
       graft.ext.Graph.corenessCapped(und, KcoreMax, KcoreRounds)
         .select(col("node"), col("coreness").cast("int").as("coreness"))
+    },
+
+    // Link prediction on the kNN co-order graph (r14): common-neighbor
+    // count + resource-allocation index (Zhou et al. 2009 — RA is the
+    // rational-arithmetic member of the CN/AA/RA family, so the score
+    // crosses the engine boundary as an exact quantized-long sum of
+    // floor(1e12/deg); Adamic-Adar's log would not hash). The
+    // related-item mining primitive: score non-adjacent pairs by
+    // shared neighborhoods. Wedge enumeration is O(Σ deg²) = O(9n) on
+    // the degree-bounded kNN graph — node-keyed shuffles only, the
+    // anti-join removes existing edges.
+    QueryDef(
+      "ext_link_prediction",
+      knnUndSql +
+      """,
+        |adj AS (SELECT a AS u, b AS v FROM und
+        |        UNION ALL SELECT b AS u, a AS v FROM und),
+        |dg AS (SELECT u AS node, COUNT(*) AS d FROM adj GROUP BY u),
+        |wedge AS (
+        |  SELECT x.v AS src, y.v AS dst, x.u AS z
+        |  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v),
+        |cand AS (
+        |  SELECT w.src, w.dst, CAST(COUNT(*) AS BIGINT) AS cn,
+        |         CAST(SUM(CAST(FLOOR(1e12 / dg.d) AS BIGINT)) AS BIGINT)
+        |           AS ra_q
+        |  FROM wedge w JOIN dg ON dg.node = w.z
+        |  GROUP BY w.src, w.dst)
+        |SELECT c.src, c.dst, c.cn, CAST(c.ra_q AS DOUBLE) / 1e12 AS ra
+        |FROM cand c LEFT JOIN und e ON e.a = c.src AND e.b = c.dst
+        |WHERE e.a IS NULL
+        |ORDER BY c.cn DESC, c.src, c.dst""".stripMargin) { (s, d) =>
+      val und = knnUnd(s, d)
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      val dg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      val wedge = adj.as("x").join(adj.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("src"), col("y.v").as("dst"), col("x.u").as("z"))
+      val cand = wedge.join(dg, col("z") === col("node"))
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("cn"),
+          sum(floor(lit(1e12) / col("d")).cast("long")).as("ra_q"))
+      cand.join(und,
+          cand("src") === und("a") && cand("dst") === und("b"), "left_anti")
+        .select(col("src"), col("dst"), col("cn"),
+          (col("ra_q").cast("double") / lit(1e12)).as("ra"))
+        .orderBy(col("cn").desc, col("src"), col("dst"))
+    },
+
+    // Truncated BFS from the minimum-id node (r14): hop distances up
+    // to a FIXED round budget shared by the Spark relax loop and the
+    // unrolled oracle — identical semantics converged or not, exact
+    // distance wherever BFS reaches within budget (the kcore
+    // discipline). Each round: frontier-to-adjacency equi-join + a
+    // node-keyed MIN — the distributed Bellman-Ford step with unit
+    // weights; the dist table is bounded by reached nodes, never
+    // frontier² — with a localCheckpoint lineage cut per round.
+    QueryDef(
+      "ext_bfs_distance",
+      knnUndSql +
+      """,
+        |adj AS (SELECT a AS u, b AS v FROM und
+        |        UNION ALL SELECT b AS u, a AS v FROM und),
+        |d0 AS (SELECT MIN(a) AS node, 0 AS dist FROM und),
+        |""".stripMargin +
+      (1 to BfsRounds).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT node, MIN(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${r - 1}
+           |    UNION ALL
+           |    SELECT adj.v AS node, f.dist + 1 AS dist
+           |    FROM d${r - 1} f JOIN adj ON adj.u = f.node) tr
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n") +
+      s"""
+         |SELECT node, CAST(dist AS INT) AS dist FROM d$BfsRounds
+         |ORDER BY node""".stripMargin) { (s, d) =>
+      val und = knnUnd(s, d)
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint()
+      var dist = und.agg(min(col("a")).as("node")).withColumn("dist", lit(0))
+      (1 to BfsRounds).foreach { _ =>
+        val nbr = dist.join(adj, dist("node") === adj("u"))
+          .select(adj("v").as("node"), (dist("dist") + 1).as("dist"))
+        dist = dist.unionAll(nbr)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist.select(col("node"), col("dist").cast("int").as("dist"))
+        .orderBy("node")
     }
   )
 }
