@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** DistinctTracker: the streaming twin of the batch
+  * `agg_approx_distinct` count-distinct branch. Claims: (1) REPLAY
+  * PARITY in the exact regime — replaying the events slice across
+  * micro-batches and summing final shard snapshots reproduces batch
+  * COUNT(DISTINCT user_id) bit-for-bit; (2) the HLL degradation is
+  * a one-time seam that loses no items and lands within the
+  * published error bound on a planted high-cardinality stream;
+  * (3) policy contract (null skip, fail-loud cap). */
+class StreamingDistinctSpec extends SparkSpec {
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def rec(shard: String, item: String) =
+    KeyedRecord(shard, item, "events", 0, null)
+
+  test("replay parity: summed exact shard snapshots == batch count distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables.events(spark, sf()).orderBy("ts", "event_id").limit(900)
+      .localCheckpoint()
+    val truth = evs.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+
+    val input = MemoryStream[KeyedRecord]
+    val out = DistinctTracker(input.toDS(), exactCap = 4096, p = 12)
+      .writeStream.format("memory").queryName("dst_out")
+      .option("checkpointLocation", tmp("ckpt-dst"))
+      .outputMode("append")
+      .start()
+    val recs = evs.select(
+        pmod(hash(col("user_id")), lit(4)).cast("string").as("key"),
+        col("user_id").cast("string").as("value"),
+        lit("events").as("topic"), lit(0).as("partition"),
+        col("ts"))
+      .as[KeyedRecord].collect()
+    recs.grouped(300).foreach { g => input.addData(g.toSeq); out.processAllAvailable() }
+    out.stop()
+
+    val snaps = spark.table("dst_out").as[DistinctSnapshot].collect()
+    val maxN = snaps.groupBy(_.shard).view.mapValues(_.map(_.nSeen).max).toMap
+    val fin = snaps.filter(s => s.nSeen == maxN(s.shard))
+    assert(fin.forall(_.exact), "expected the exact regime at this cardinality")
+    assert(fin.map(_.estimate).sum == truth,
+      s"streamed ${fin.map(_.estimate).sum} != batch $truth")
+  }
+
+  test("HLL degradation: seam loses nothing, estimate within bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedRecord]
+    // cap 64, p=12: 4096 registers -> rel. error ~1.04/64 = 1.6%;
+    // assert 5% to stay robust to the single deterministic hash draw
+    val out = DistinctTracker(input.toDS(), exactCap = 64, p = 12)
+      .writeStream.format("memory").queryName("dst_hll_out")
+      .option("checkpointLocation", tmp("ckpt-dst-hll"))
+      .outputMode("append")
+      .start()
+    val n = 5000
+    // each item twice, shuffled: duplicates must not inflate the count
+    val items = new scala.util.Random(7)
+      .shuffle((1 to n).flatMap(i => Seq(s"u$i", s"u$i")))
+    items.grouped(1000).foreach { g =>
+      input.addData(g.map(rec("s0", _)))
+      out.processAllAvailable()
+    }
+    out.stop()
+    val snaps = spark.table("dst_hll_out").as[DistinctSnapshot].collect()
+    val fin = snaps.filter(_.nSeen == snaps.map(_.nSeen).max).head
+    assert(!fin.exact)
+    assert(fin.nSeen == 2L * n)
+    val rel = math.abs(fin.estimate - n).toDouble / n
+    assert(rel < 0.05, s"estimate ${fin.estimate} off truth $n by ${rel * 100}%%")
+  }
+
+  test("exact regime across batches; nulls skipped; cap fails loud") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedRecord]
+    val out = DistinctTracker(input.toDS(), exactCap = 100, p = 10,
+        maxBatchRowsPerKey = 10)
+      .writeStream.format("memory").queryName("dst_err_out")
+      .option("checkpointLocation", tmp("ckpt-dst-err"))
+      .outputMode("append")
+      .start()
+    input.addData(Seq(rec("s0", null), rec("s0", "x"), rec("s0", "y"), rec("s0", "x")))
+    out.processAllAvailable()
+    input.addData(Seq(rec("s0", "y"), rec("s0", "z")))
+    out.processAllAvailable()
+    val snaps = spark.table("dst_err_out").as[DistinctSnapshot].collect()
+      .sortBy(_.nSeen)
+    assert(snaps.map(s => (s.nSeen, s.estimate, s.exact)).toSeq ==
+      Seq((3L, 2L, true), (5L, 3L, true)))
+    input.addData((1 to 11).map(i => rec("s0", s"i$i")))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      out.processAllAvailable()
+    }
+    assert(e.getCause != null &&
+      Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.getMessage.contains("more than 10 rows")),
+      s"unexpected failure chain: ${e.getMessage}")
+    out.stop()
+  }
+}
