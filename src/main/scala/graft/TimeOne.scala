@@ -32,7 +32,13 @@ object TimeOne {
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         val s = (System.nanoTime() - t0) / 1e9
         best = math.min(best, s)
-        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        // SPARK_GRAFT_KEEP_CACHE=1 keeps caches across reps — for
+        // separating plan cost from IO/cache-population cost when a
+        // regression hunt needs a warm-vs-cold split (r14). Default
+        // (clear) measures the honest cold-path number.
+        if (!sys.env.get("SPARK_GRAFT_KEEP_CACHE").contains("1")) {
+          spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        }
         println(f"[timeone] $n rep $i: $s%.2f s")
       }
       println(f"[timeone] $n BEST: $best%.2f s")
