@@ -255,6 +255,45 @@ object EventsQ {
         .groupBy(hour(col("lbts")).cast("int").as("click_hour"))
         .agg(count(lit(1)).as("n_purchases"))
         .orderBy(col("click_hour").asc_nulls_first)
+    },
+
+    // Top user journeys (r14): each user's first 5 events in
+    // (ts, event_id) order joined into a path string, then the count
+    // of users per path — the product-analytics "common paths" report.
+    // Order determinism: Spark's collect_list is collection-order-
+    // unstable, so the path is array_join(transform(array_sort(
+    // collect_list(struct(rn, type))))) — sort on the in-struct rank
+    // rebuilds the deterministic order AFTER collection; DuckDB's
+    // in-aggregate ORDER BY states the same contract directly. Two
+    // node-keyed shuffles (user window, path count); path cardinality
+    // is bounded by |event_type|^5, not user count.
+    QueryDef(
+      "evt_top_paths",
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val r = Tables.events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .filter(col("rn") <= 5)
+      r.groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
     }
   )
 }

@@ -393,6 +393,109 @@ object TimeSeriesQ {
       zorderSql(spark = false)) { (s, d) =>
       Tables.orders(s, d).createOrReplaceTempView("orders_zorder")
       s.sql(zorderSql(spark = true).replace("FROM orders", "FROM orders_zorder"))
+    },
+
+    // CUSUM changepoint detection (r14) — per event type, the hour
+    // where the cumulative sum of mean-deviations of the hourly count
+    // series peaks in magnitude (Page 1954; the level-shift detector
+    // every ingest-monitoring pipeline runs). Determinism: the mean
+    // is an exact decimal-sum / n double (bit-identical both engines),
+    // deviations are floor-quantized to 1e-6 integers BEFORE the
+    // cumulative sum, so the running sum is exact integer arithmetic —
+    // a windowed double cumsum would be accumulation-order-dependent.
+    // One narrow scan -> two-phase hourly aggregate -> per-type
+    // windows; ~n_types rows out.
+    QueryDef(
+      "ts_cusum_changepoint",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(cnt AS DECIMAL(38,0))) AS DOUBLE)
+        |           / COUNT(*) AS mu,
+        |         COUNT(*) AS n_hours
+        |  FROM hourly GROUP BY 1),
+        |cs AS (
+        |  SELECT h.event_type, h.hr, m.n_hours,
+        |         SUM(CAST(FLOOR((h.cnt - m.mu) * 1e6) AS BIGINT))
+        |           OVER (PARTITION BY h.event_type ORDER BY h.hr) AS cq
+        |  FROM hourly h JOIN m ON m.event_type = h.event_type),
+        |rk AS (
+        |  SELECT event_type, hr, n_hours, cq,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY ABS(cq) DESC, hr) AS rn
+        |  FROM cs)
+        |SELECT event_type, hr AS cp_hr,
+        |       CAST(cq AS DOUBLE) / 1e6 AS cusum,
+        |       CAST(CASE WHEN cq >= 0 THEN 1 ELSE -1 END AS INT) AS direction,
+        |       CAST(n_hours AS BIGINT) AS n_hours
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = hourly.groupBy("event_type").agg(
+        (sum(col("cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / count(lit(1))).as("mu"),
+        count(lit(1)).as("n_hours"))
+      val cs = hourly.join(m, "event_type")
+        .withColumn("cq", sum(floor((col("cnt") - col("mu")) * lit(1e6))
+          .cast("long")).over(
+            Window.partitionBy("event_type").orderBy("hr")))
+      cs.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(abs(col("cq")).desc, col("hr"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("hr").as("cp_hr"),
+          (col("cq").cast("double") / lit(1e6)).as("cusum"),
+          when(col("cq") >= 0, 1).otherwise(-1).cast("int").as("direction"),
+          col("n_hours"))
+        .orderBy("event_type")
+    },
+
+    // Maximum drawdown of the cumulative per-user value series (r14) —
+    // running-peak minus running-sum, the canonical "worst dip" window
+    // composition. Same integer discipline as the CUSUM row: event
+    // values floor-quantize to 1e-6 longs BEFORE the cumulative sum
+    // (ties in the event order broken by event_id), so cumsum, running
+    // max, and their difference are exact; only the final report
+    // divides back to double. Per-user windows — node-keyed, no
+    // SinglePartition anywhere.
+    QueryDef(
+      "ts_max_drawdown",
+      """WITH q AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(FLOOR(value * 1e6) AS BIGINT) AS vq
+        |  FROM events WHERE value IS NOT NULL),
+        |c1 AS (
+        |  SELECT user_id, ts, event_id,
+        |         SUM(vq) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS csum
+        |  FROM q),
+        |c AS (
+        |  SELECT user_id, csum,
+        |         MAX(csum) OVER (PARTITION BY user_id
+        |                         ORDER BY ts, event_id) AS peak
+        |  FROM c1),
+        |d AS (
+        |  SELECT user_id, MAX(peak - csum) AS ddq, COUNT(*) AS n_events
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, CAST(ddq AS DOUBLE) / 1e6 AS max_drawdown,
+        |       CAST(n_events AS BIGINT) AS n_events
+        |FROM d ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val q = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * lit(1e6)).cast("long").as("vq"))
+      q.withColumn("csum", sum(col("vq")).over(w))
+        .withColumn("peak", max(col("csum")).over(w))
+        .groupBy("user_id")
+        .agg(max(col("peak") - col("csum")).as("ddq"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          (col("ddq").cast("double") / lit(1e6)).as("max_drawdown"),
+          col("n_events"))
+        .orderBy("user_id")
     }
   )
 

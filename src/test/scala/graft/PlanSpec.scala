@@ -359,6 +359,32 @@ class PlanSpec extends SparkSpec {
       s"no CartesianProduct even for stats:\n${p.take(1500)}")
   }
 
+  test("link prediction: wedge joins are equi-joins, no cartesian, no global window") {
+    val p = plan("ext_link_prediction")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration must stay an equi-join:\n${p.take(1800)}")
+    assert(!p.matches("(?s).*Window.*SinglePartition.*"),
+      s"no global window:\n${p.take(1500)}")
+  }
+
+  test("BPE tokenize: vocab side broadcasts into the corpus join") {
+    val p = plan("doc_bpe_tokenize")
+    // the per-word segment lengths are vocab-sized — they must reach
+    // the corpus-sized (doc_id, word) explode as a broadcast, never a
+    // corpus-wide shuffle join
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join should broadcast:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("cusum + drawdown: windows are key-partitioned, never global") {
+    Seq("ts_cusum_changepoint", "ts_max_drawdown").foreach { q =>
+      val p = plan(q)
+      assert(!p.matches("(?s).*Window.*SinglePartition.*"),
+        s"$q plans a global window:\n${p.take(1500)}")
+    }
+  }
+
   test("z-order audit: pure scan + two-phase aggregation, no joins") {
     val p = plan("etl_zorder_layout")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
