@@ -113,11 +113,13 @@ object Bpe {
     * (step, left, right, count), final segmented sequences). Fails
     * loud if the vocabulary exhausts before the budget — the unrolled
     * oracle runs EXACTLY nMerges steps, so a silent early stop would
-    * diverge from it. */
+    * diverge from it. Checkpoints are LAZY (eager=false): the step's
+    * bestPair argmax materializes them, so each step costs one Spark
+    * job, not two. */
   def train(docs: DataFrame, nMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges >= 1)
-    var seq = initSeq(wordCounts(docs)).localCheckpoint()
+    var seq = initSeq(wordCounts(docs)).localCheckpoint(false)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var s = 1
     while (s <= nMerges) {
@@ -125,9 +127,38 @@ object Bpe {
         s"Bpe.train: vocabulary exhausted at merge $s of $nMerges — " +
         "lower nMerges (the unrolled oracle runs a fixed step count)"))
       merges += ((s, a, b, c))
-      seq = mergeStep(seq, a, b).localCheckpoint()
+      seq = mergeStep(seq, a, b).localCheckpoint(false)
       s += 1
     }
     (merges.result(), seq)
   }
+
+  // Memoized merge tables keyed by (session, fixture dir, budget):
+  // the three registry rows train on the SAME corpus in one Verify/
+  // Bench JVM — learning once and replaying is semantically
+  // transparent (training is deterministic) and saves two argmax-loop
+  // passes. Values are PLAIN driver data (nMerges tuples, no
+  // DataFrame/RDD refs), so entries survive catalog/cache clears and
+  // can never dangle a freed checkpoint block; size is bounded by
+  // (sessions × sf dirs) in a JVM — single digits in practice.
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Int), Seq[(Int, String, String, Long)]]()
+
+  /** [[train]]'s merge table, memoized under `cacheKey` (the sf dir in
+    * registry rows); the segmentation is NOT cached — rebuild it with
+    * [[applyMerges]], which replays the merges without argmax jobs. */
+  def trainMergesCached(docs: DataFrame, nMerges: Int, cacheKey: String)
+      : Seq[(Int, String, String, Long)] =
+    mergeCache.computeIfAbsent(
+      (System.identityHashCode(docs.sparkSession), cacheKey, nMerges),
+      _ => train(docs, nMerges)._1)
+
+  /** Re-segment a corpus under an already-learned merge table — the
+    * TOKENIZATION path (classic BPE apply): the same merge steps in
+    * learned order, no pair-count argmax per step. */
+  def applyMerges(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame =
+    merges.foldLeft(initSeq(wordCounts(docs)).localCheckpoint(false)) {
+      case (seq, (_, a, b, _)) => mergeStep(seq, a, b).localCheckpoint(false)
+    }
 }

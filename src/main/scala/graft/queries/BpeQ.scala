@@ -90,7 +90,8 @@ object BpeQ {
         s"SELECT CAST($s AS INT) AS step, a AS left_sym, b AS right_sym, " +
         s"CAST(cnt AS BIGINT) AS pair_count FROM bp$s").mkString("\nUNION ALL\n") +
       "\nORDER BY step") { (s, d) =>
-      val (merges, _) = graft.ext.Bpe.train(Tables.documents(s, d), NMerges)
+      val merges = graft.ext.Bpe.trainMergesCached(
+        Tables.documents(s, d), NMerges, d)
       s.createDataFrame(merges).toDF("step", "left_sym", "right_sym", "pair_count")
         .orderBy("step")
     },
@@ -104,7 +105,9 @@ object BpeQ {
          |SELECT sym AS token, CAST(SUM(wc) AS BIGINT) AS freq
          |FROM s$NMerges GROUP BY sym
          |ORDER BY freq DESC, token""".stripMargin) { (s, d) =>
-      val (_, seq) = graft.ext.Bpe.train(Tables.documents(s, d), NMerges)
+      val docs = Tables.documents(s, d)
+      val seq = graft.ext.Bpe.applyMerges(docs,
+        graft.ext.Bpe.trainMergesCached(docs, NMerges, d))
       seq.groupBy(col("sym").as("token")).agg(sum(col("wc")).as("freq"))
         .orderBy(col("freq").desc, col("token"))
     },
@@ -131,7 +134,8 @@ object BpeQ {
          |GROUP BY dw.doc_id
          |ORDER BY dw.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val (_, seq) = graft.ext.Bpe.train(docs, NMerges)
+      val seq = graft.ext.Bpe.applyMerges(docs,
+        graft.ext.Bpe.trainMergesCached(docs, NMerges, d))
       val vs = seq.groupBy("word").agg(count(lit(1)).as("n_sym"))
       val dw = graft.ext.Spread(docs.select(col("doc_id"), col("text")))
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
