@@ -125,7 +125,12 @@ object ScaleStress {
     // at 3n and the compact-forward join bounds wedges at O(9n).
     "ext_triangle_count",
     "ext_clustering_coeff",
-    "ext_kcore")
+    "ext_kcore",
+    // r14: wedge enumeration + truncated BFS on the same kNN graph —
+    // the same replicated-fixture linearity expectation as the family
+    // above (disjoint copies, bounded degree)
+    "ext_link_prediction",
+    "ext_bfs_distance")
 
   /** Replicated (l_orderkey, l_suppkey) lineitem projection — replica
     * i shifts orderkey by i·10⁹ and suppkey by i·10⁷, so the supplier
@@ -289,11 +294,11 @@ object ScaleStress {
     val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale",
       "emb_pq_scale", "emb_ivfpq_scale", "graph_pagerank_scale",
       "graph_labelprop_scale", "er_matches_scale", "ivf_router_scale", "cc_scale",
-      "setsim_fallback_scale", "kcore_scale")
+      "setsim_fallback_scale", "kcore_scale", "bpe_scale")
     // the kNN-graph registry rows read lineitem, which the base fixture
     // does not replicate — build the 2-column projection on demand
     val graphNames = Set("ext_triangle_count", "ext_clustering_coeff",
-      "ext_kcore", "kcore_scale")
+      "ext_kcore", "kcore_scale", "ext_link_prediction", "ext_bfs_distance")
     if (names.exists(graphNames)) buildLineitemFixture(spark, src, out, factor)
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
@@ -815,6 +820,31 @@ object ScaleStress {
       timings("kcore_scale_edges") = nEdges.toDouble
       System.err.println(
         f"[scale] kcore_scale ($nEdges edges): $best%.2f s, converged <= 8 rounds")
+    }
+
+    // BPE training curve (r14): times Bpe.train DIRECTLY — the
+    // registry row memoizes its merge table per (session, dir), so
+    // timing it through the registry measures the cache on rep 2.
+    // Expected shape: the word-count prelude is linear in corpus
+    // bytes, the 12-step argmax loop is vocab-sized (constant on the
+    // replicated fixture) — so wall should grow far slower than the
+    // corpus.
+    if (names.contains("bpe_scale")) {
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      var best = Double.MaxValue
+      var nWords = 0L
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        val (merges, seqd) = graft.ext.Bpe.train(docs, 12)
+        nWords = seqd.select("word").distinct().count()
+        require(merges.length == 12)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+      }
+      timings("bpe_scale") = best
+      timings("bpe_scale_vocab") = nWords.toDouble
+      System.err.println(
+        f"[scale] bpe_scale: $best%.2f s train ($nWords-word vocab)")
     }
 
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
