@@ -21,6 +21,39 @@ import org.apache.spark.sql.functions._
   */
 object CurateQ {
 
+  /** TPC-H Q10 over the fixture's 1995–2001 date range — ONE SQL text
+    * run verbatim by both engines (the q3 dual-dialect discipline). */
+  private val SqlTpchQ10: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+      |       c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q18 with the volume threshold sized to the fixture's
+    * per-order quantity distribution (max ≈ 458). */
+  private val SqlTpchQ18: String =
+    """SELECT c_custkey, o_orderkey, o_orderdate,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      |GROUP BY c_custkey, o_orderkey, o_orderdate
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
   /** Whitespace tokens — same tokenizer as PipelineQ. */
   private def toks = split(col("text"), "\\s+")
 
@@ -414,6 +447,35 @@ object CurateQ {
           |GROUP BY l_orderkey, o_orderdate
           |ORDER BY revenue DESC, l_orderkey
           |LIMIT 10""".stripMargin)
+    },
+
+    // TPC-H Q10 shape (r14): returned-item revenue per customer over a
+    // quarter — the 4-table star with a selective fact filter. Dual-
+    // dialect shared SQL; revenue rides the DECIMAL(24,6) exact-sum
+    // discipline. Dims broadcast; the one shuffle is the customer-key
+    // aggregate.
+    QueryDef(
+      "sql_tpch_q10",
+      SqlTpchQ10) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(SqlTpchQ10)
+    },
+
+    // TPC-H Q18 shape (r14): large-volume orders via an IN-subquery
+    // with HAVING on an exact decimal sum — the semi-join-through-
+    // aggregate pattern (Catalyst plans the IN as a left-semi join on
+    // the aggregated subquery, so the fact table is scanned twice but
+    // never exploded).
+    QueryDef(
+      "sql_tpch_q18",
+      SqlTpchQ18) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlTpchQ18)
     },
 
     // Null-preserving explode (explode_outer): rows with NULL or empty
