@@ -448,6 +448,116 @@ object ClusterQ {
           .cast(DecimalType(38, 0))).cast("double")
           / lit(1e12) / sqrt(lit(8.0))).as("p"))
         .select(col("vec_id"), col("j"), col("p"))
+    },
+
+    // Grid-bucketed DBSCAN (r14) on the (e[0], e[1]) feature subspace
+    // — the density clustering member of the family (Ester et al.
+    // KDD'96) beside centroid (kmeans) and connectivity (CC) methods.
+    // eps-grid cells prune the neighbor join to a 9-cell stencil
+    // (cell width = eps guarantees every eps-ball fits the stencil),
+    // so candidate pairs are Σ (9 · cell occupancy) — linear for any
+    // bounded-density data, never the n² all-pairs join. Spark
+    // EXPANDS the stencil (explode ×9 → pure equi-join, no BNL);
+    // DuckDB expresses the same neighborhood as a BETWEEN join —
+    // identical pair set. |N(p)| counts p itself (the self-pair
+    // survives the distance filter at 0). Core-core edges cluster via
+    // the same large-star/small-star CC (oracle: recursive-CTE min
+    // fixpoint) used by entity components; border points attach to
+    // the MIN core cluster in range (a deterministic refinement of
+    // DBSCAN's order-dependent border assignment); the rest is noise
+    // (cluster = -1). Raw floats cast to DOUBLE before any
+    // arithmetic, then the squared-distance comparison is the same
+    // IEEE expression on both engines — no transcendentals, no sqrt.
+    QueryDef(
+      "emb_dbscan_grid",
+      """WITH RECURSIVE p AS (
+        |  SELECT vec_id,
+        |         CAST(embedding[1] AS DOUBLE) AS x,
+        |         CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings),
+        |g AS (SELECT vec_id, x, y,
+        |             CAST(FLOOR(x / 0.02) AS BIGINT) AS cx,
+        |             CAST(FLOOR(y / 0.02) AS BIGINT) AS cy
+        |      FROM p),
+        |e AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM g a JOIN g b
+        |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |       <= 0.02 * 0.02),
+        |core AS (
+        |  SELECT u AS vec_id FROM e GROUP BY u HAVING COUNT(*) >= 4),
+        |ce AS (
+        |  SELECT e.u AS a, e.v AS b FROM e
+        |  JOIN core cu ON cu.vec_id = e.u
+        |  JOIN core cv ON cv.vec_id = e.v),
+        |reach AS (
+        |  SELECT vec_id AS node, vec_id AS lab FROM core
+        |  UNION
+        |  SELECT c.b AS node, r.lab FROM reach r JOIN ce c ON c.a = r.node),
+        |cc AS (SELECT node, MIN(lab) AS comp FROM reach GROUP BY node),
+        |border AS (
+        |  SELECT e.u AS vec_id, MIN(cc.comp) AS comp
+        |  FROM e JOIN cc ON cc.node = e.v
+        |  WHERE e.u NOT IN (SELECT vec_id FROM core)
+        |  GROUP BY e.u)
+        |SELECT p.vec_id,
+        |       CAST(COALESCE(cc.comp, border.comp, -1) AS BIGINT) AS cluster,
+        |       CASE WHEN cc.node IS NOT NULL THEN 'core'
+        |            WHEN border.vec_id IS NOT NULL THEN 'border'
+        |            ELSE 'noise' END AS role
+        |FROM p LEFT JOIN cc ON cc.node = p.vec_id
+        |       LEFT JOIN border ON border.vec_id = p.vec_id
+        |ORDER BY p.vec_id""".stripMargin) { (s, d) =>
+      val eps = 0.02
+      val minPts = 4
+      val p = Tables.embeddings(s, d).select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      val g = p
+        .withColumn("cx", floor(col("x") / lit(eps)).cast("long"))
+        .withColumn("cy", floor(col("y") / lit(eps)).cast("long"))
+        .localCheckpoint()
+      val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
+        struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+      val aSide = g
+        .select(col("vec_id").as("u"), col("x").as("ax"), col("y").as("ay"),
+          col("cx"), col("cy"), explode(offsets).as("o"))
+        .select(col("u"), col("ax"), col("ay"),
+          (col("cx") + col("o.dx")).as("kx"), (col("cy") + col("o.dy")).as("ky"))
+      val bSide = g.select(col("vec_id").as("v"), col("x").as("bx"),
+        col("y").as("by"), col("cx").as("vcx"), col("cy").as("vcy"))
+      val e = aSide.join(bSide,
+          col("kx") === col("vcx") && col("ky") === col("vcy")
+            && ((col("ax") - col("bx")) * (col("ax") - col("bx"))
+              + (col("ay") - col("by")) * (col("ay") - col("by")))
+              <= lit(eps * eps))
+        .select(col("u"), col("v")).localCheckpoint()
+      val core = e.groupBy("u").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minPts).select(col("u").as("vec_id"))
+      val ce = e
+        .join(core.select(col("vec_id").as("u")), "u")
+        .join(core.select(col("vec_id").as("v")), "v")
+        .select(col("u").as("doc_a"), col("v").as("doc_b"))
+      val cc = graft.ext.Dedup.connectedComponents(ce)
+      val borderComp = e
+        .join(core.select(col("vec_id").as("v")), "v")
+        .join(core.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+        .join(cc.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("vec_id"))
+        .agg(min(col("component")).as("border_comp"))
+      p.select("vec_id")
+        .join(cc.withColumnRenamed("node", "vec_id")
+          .withColumnRenamed("component", "core_comp"), Seq("vec_id"), "left")
+        .join(borderComp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("core_comp"), col("border_comp"), lit(-1L))
+            .cast("long").as("cluster"),
+          when(col("core_comp").isNotNull, "core")
+            .when(col("border_comp").isNotNull, "border")
+            .otherwise("noise").as("role"))
+        .orderBy("vec_id")
     }
   )
 }
