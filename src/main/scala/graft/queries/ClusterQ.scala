@@ -455,37 +455,45 @@ object ClusterQ {
     // KDD'96) beside centroid (kmeans) and connectivity (CC) methods.
     // eps-grid cells prune the neighbor join to a 9-cell stencil
     // (cell width = eps guarantees every eps-ball fits the stencil),
-    // so candidate pairs are Σ (9 · cell occupancy) — linear for any
-    // bounded-density data, never the n² all-pairs join. Spark
-    // EXPANDS the stencil (explode ×9 → pure equi-join, no BNL);
-    // DuckDB expresses the same neighborhood as a BETWEEN join —
-    // identical pair set. |N(p)| counts p itself (the self-pair
-    // survives the distance filter at 0). Core-core edges cluster via
-    // the same large-star/small-star CC (oracle: recursive-CTE min
-    // fixpoint) used by entity components; border points attach to
+    // so candidate pairs are Σ (9 · cell occupancy²). With the
+    // fixture's FIXED coordinate space, occupancy at constant eps
+    // grows with n and the join mass goes quadratic (measured: 8.8k
+    // pairs at 500 pts → 90k at 2000) — so eps AUTO-SCALES as
+    // eps₀·sqrt(n₀/n), the IVF √n-cells discipline: constant expected
+    // occupancy ⇒ linear candidate mass at any n. The formula is the
+    // identical IEEE expression on both engines (divide, correctly-
+    // rounded SQRT, multiply — the one transcendental-free radical the
+    // oracle surface allows). Spark EXPANDS the stencil (explode ×9 →
+    // pure equi-join, no BNL); DuckDB expresses the same neighborhood
+    // as a BETWEEN join — identical pair set. |N(p)| counts p itself.
+    // Core-core edges cluster via the shared large-star/small-star CC
+    // (oracle: recursive-CTE min fixpoint); border points attach to
     // the MIN core cluster in range (a deterministic refinement of
     // DBSCAN's order-dependent border assignment); the rest is noise
-    // (cluster = -1). Raw floats cast to DOUBLE before any
-    // arithmetic, then the squared-distance comparison is the same
-    // IEEE expression on both engines — no transcendentals, no sqrt.
+    // (cluster = -1). Algorithm truth at fixed eps is pinned by
+    // DbscanSpec against [[dbscanGrid]] directly.
     QueryDef(
       "emb_dbscan_grid",
-      """WITH RECURSIVE p AS (
+      """WITH RECURSIVE par AS (
+        |  SELECT 0.02 * SQRT(500.0 / CAST(COUNT(*) AS DOUBLE)) AS eps
+        |  FROM embeddings),
+        |p AS (
         |  SELECT vec_id,
         |         CAST(embedding[1] AS DOUBLE) AS x,
         |         CAST(embedding[2] AS DOUBLE) AS y
         |  FROM embeddings),
         |g AS (SELECT vec_id, x, y,
-        |             CAST(FLOOR(x / 0.02) AS BIGINT) AS cx,
-        |             CAST(FLOOR(y / 0.02) AS BIGINT) AS cy
-        |      FROM p),
+        |             CAST(FLOOR(x / par.eps) AS BIGINT) AS cx,
+        |             CAST(FLOOR(y / par.eps) AS BIGINT) AS cy
+        |      FROM p CROSS JOIN par),
         |e AS (
         |  SELECT a.vec_id AS u, b.vec_id AS v
         |  FROM g a JOIN g b
         |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
         |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
-        |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-        |       <= 0.02 * 0.02),
+        |  CROSS JOIN par
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |        <= par.eps * par.eps),
         |core AS (
         |  SELECT u AS vec_id FROM e GROUP BY u HAVING COUNT(*) >= 4),
         |ce AS (
@@ -510,11 +518,23 @@ object ClusterQ {
         |FROM p LEFT JOIN cc ON cc.node = p.vec_id
         |       LEFT JOIN border ON border.vec_id = p.vec_id
         |ORDER BY p.vec_id""".stripMargin) { (s, d) =>
-      val eps = 0.02
-      val minPts = 4
       val p = Tables.embeddings(s, d).select(col("vec_id"),
         element_at(col("embedding"), 1).cast("double").as("x"),
         element_at(col("embedding"), 2).cast("double").as("y"))
+        .localCheckpoint()
+      // auto-eps: same IEEE op order as the oracle's par CTE
+      val eps = 0.02 * math.sqrt(500.0 / p.count().toDouble)
+      dbscanGrid(p, eps, minPts = 4)
+    }
+  )
+
+  /** Grid-bucketed DBSCAN core (see the emb_dbscan_grid registry row
+    * for the full contract); exposed at fixed (eps, minPts) so
+    * DbscanSpec can pin planted density truth independent of the
+    * registry row's density-derived auto-eps. `p` must carry
+    * (vec_id, x, y) with x/y already DOUBLE. */
+  private[queries] def dbscanGrid(p: org.apache.spark.sql.DataFrame,
+      eps: Double, minPts: Int): org.apache.spark.sql.DataFrame = {
       val g = p
         .withColumn("cx", floor(col("x") / lit(eps)).cast("long"))
         .withColumn("cy", floor(col("y") / lit(eps)).cast("long"))
@@ -558,6 +578,5 @@ object ClusterQ {
             .when(col("border_comp").isNotNull, "border")
             .otherwise("noise").as("role"))
         .orderBy("vec_id")
-    }
-  )
+  }
 }

@@ -15,14 +15,14 @@ import graft.SparkSpec
   * float->double casts cannot flip a comparison. */
 class DbscanSpec extends SparkSpec {
 
-  // registry constants: eps = 0.02, minPts = 4 (|N| counts self)
+  // fixed eps = 0.02, minPts = 4 (|N| counts self) through the
+  // dbscanGrid helper — the registry row itself derives eps from the
+  // corpus density (auto-knob), which would rescale planted geometry
   private def run(dirPrefix: String, pts: Seq[(Long, (Float, Float))]) = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory(dirPrefix).toString
-    pts.map { case (id, (x, y)) => (id, Seq(x, y)) }
-      .toDF("vec_id", "embedding").withColumn("label", lit(0))
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    graft.SparkEntry.queries("emb_dbscan_grid")(spark, dir)
+    val p = pts.map { case (id, (x, y)) => (id, x.toDouble, y.toDouble) }
+      .toDF("vec_id", "x", "y")
+    ClusterQ.dbscanGrid(p, eps = 0.02, minPts = 4)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
   }
 
