@@ -130,7 +130,11 @@ object ScaleStress {
     // the same replicated-fixture linearity expectation as the family
     // above (disjoint copies, bounded degree)
     "ext_link_prediction",
-    "ext_bfs_distance")
+    "ext_bfs_distance",
+    // r14: density-auto-eps DBSCAN — the replicated embedding fixture
+    // densifies the same coordinate space, which is exactly the regime
+    // the eps ∝ 1/sqrt(n) knob linearizes; expected near-linear wall
+    "emb_dbscan_grid")
 
   /** Replicated (l_orderkey, l_suppkey) lineitem projection — replica
     * i shifts orderkey by i·10⁹ and suppkey by i·10⁷, so the supplier
