@@ -525,6 +525,120 @@ object ClusterQ {
       // auto-eps: same IEEE op order as the oracle's par CTE
       val eps = 0.02 * math.sqrt(500.0 / p.count().toDouble)
       dbscanGrid(p, eps, minPts = 4)
+    },
+
+    // Symmetric int8 scalar quantization (r14, part 2) — the SQ8 codec
+    // every large vector store applies before ANN (4× memory cut vs
+    // float32; FAISS ScalarQuantizer QT_8bit shape): per-DIMENSION
+    // scale s_j = max|x_j|/127 from one corpus pass, code = half-up
+    // grid clamp to [-127,127], then the per-vector reconstruction
+    // error report that decides whether SQ8 recall is acceptable.
+    // Cross-engine: scale/code/error are pure IEEE (max of exact
+    // floats, correctly-rounded divides, FLOOR grid — no libm), error
+    // sums ride the 1e-12-floor decimal pattern. Plan: one 64-row
+    // per-dim aggregate broadcast back onto the explode — two scans,
+    // no shuffle wider than (dim) and (vec_id); linear at any corpus
+    // size, codes never materialize driver-side.
+    QueryDef(
+      "emb_quantize_int8",
+      """WITH ex AS (
+        |  SELECT vec_id, t.i AS j, CAST(embedding[t.i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |sc AS (SELECT j, MAX(ABS(x)) / 127.0 AS s FROM ex GROUP BY j),
+        |q AS (
+        |  SELECT vec_id, x, s,
+        |         LEAST(127, GREATEST(-127,
+        |           CAST(FLOOR(x / s + 0.5) AS INTEGER))) AS code
+        |  FROM ex JOIN sc USING (j)),
+        |e AS (SELECT vec_id, code, x - CAST(code AS DOUBLE) * s AS err FROM q)
+        |SELECT vec_id,
+        |       CAST(SUM(CASE WHEN ABS(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+        |       CAST(SUM(CAST(FLOOR(err * err * 1e12) AS BIGINT)) AS BIGINT) AS qerr12u
+        |FROM e GROUP BY vec_id""".stripMargin) { (s, d) =>
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "xf")))
+        .select(col("vec_id"), (col("j0") + 1).as("j"),
+          col("xf").cast("double").as("x"))
+      val sc = ex.groupBy("j").agg((max(abs(col("x"))) / lit(127.0)).as("s"))
+      val q = ex.join(broadcast(sc), "j")
+        .withColumn("code", least(lit(127), greatest(lit(-127),
+          floor(col("x") / col("s") + lit(0.5)).cast("int"))))
+        .withColumn("err", col("x") - col("code").cast("double") * col("s"))
+      q.groupBy("vec_id").agg(
+        sum(when(abs(col("code")) === 127, 1L).otherwise(0L))
+          .cast("long").as("n_sat"),
+        sum(floor(col("err") * col("err") * lit(1e12))
+          .cast(DecimalType(38, 0))).cast("long").as("qerr12u"))
+    },
+
+    // Centroid-based silhouette (r14, part 2) over the LABEL clustering
+    // — the cluster-quality diagnostic (simplified silhouette, a.k.a.
+    // the medoid-free variant: a = dist to own centroid, b = nearest
+    // other centroid, s = (b-a)/max(a,b)) run before trusting a
+    // clustering for SemDeDup-style pruning. Distances live on the
+    // 1e-12-floor integer grid end-to-end (per-term quantized squared
+    // deviations — order-free, map-side combinable), so a/b compare and
+    // the s ratio are exact-integer-derived IEEE on both engines.
+    // Plan: per-(label,dim) centroid aggregate (k·64 rows, broadcast)
+    // -> explode join -> per-(vec,centroid) aggregate (k rows per vec)
+    // -> per-vec pivot -> per-label mean. Linear in corpus size,
+    // constant in k; no row ever carries more than one dimension.
+    QueryDef(
+      "emb_silhouette",
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(label AS INTEGER) AS label, t.i AS j,
+        |         CAST(embedding[t.i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |cent AS (
+        |  SELECT label AS clabel, j,
+        |         CAST(CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |           / 1e12 / COUNT(*) AS cm
+        |  FROM ex GROUP BY label, j),
+        |dist AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |         CAST(SUM(CAST(FLOOR((e.x - c.cm) * (e.x - c.cm) * 1e12) AS BIGINT)) AS BIGINT) AS d12
+        |  FROM ex e JOIN cent c ON c.j = e.j
+        |  GROUP BY e.vec_id, e.label, c.clabel),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |         MAX(CASE WHEN clabel = label THEN d12 END) AS a,
+        |         MIN(CASE WHEN clabel <> label THEN d12 END) AS b
+        |  FROM dist GROUP BY vec_id, label),
+        |sil AS (
+        |  SELECT vec_id, label,
+        |         CASE WHEN GREATEST(a, b) = 0 THEN CAST(0 AS DOUBLE)
+        |              ELSE CAST(b - a AS DOUBLE) / CAST(GREATEST(a, b) AS DOUBLE)
+        |         END AS s
+        |  FROM ab)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(FLOOR(
+        |         CAST(CAST(SUM(CAST(FLOOR(s * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |           / 1e12 / COUNT(*) * 1e6 + 0.5) AS BIGINT) AS sil6u
+        |FROM sil GROUP BY label""".stripMargin) { (s, d) =>
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("int").as("label"),
+          posexplode(col("embedding")).as(Seq("j0", "xf")))
+        .select(col("vec_id"), col("label"), (col("j0") + 1).as("j"),
+          col("xf").cast("double").as("x"))
+      val cent = ex.groupBy(col("label").as("clabel"), col("j"))
+        .agg((sum(floor(col("x") * lit(1e12)).cast(DecimalType(38, 0)))
+          .cast("long").cast("double") / lit(1e12) / count(lit(1))).as("cm"))
+      val dist = ex.join(broadcast(cent), "j")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(floor((col("x") - col("cm")) * (col("x") - col("cm"))
+          * lit(1e12)).cast(DecimalType(38, 0))).cast("long").as("d12"))
+      val ab = dist.groupBy("vec_id", "label")
+        .agg(max(when(col("clabel") === col("label"), col("d12"))).as("a"),
+          min(when(col("clabel") =!= col("label"), col("d12"))).as("b"))
+      val sil = ab.select(col("label"),
+        when(greatest(col("a"), col("b")) === 0, lit(0.0))
+          .otherwise((col("b") - col("a")).cast("double")
+            / greatest(col("a"), col("b")).cast("double")).as("s"))
+      sil.groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n"),
+          floor(sum(floor(col("s") * lit(1e12)).cast(DecimalType(38, 0)))
+            .cast("long").cast("double") / lit(1e12) / count(lit(1))
+            * lit(1e6) + lit(0.5)).cast("long").as("sil6u"))
     }
   )
 

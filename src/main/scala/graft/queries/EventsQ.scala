@@ -294,6 +294,48 @@ object EventsQ {
           ">").as("path"))
         .groupBy("path").agg(count(lit(1)).as("n_users"))
         .orderBy(col("n_users").desc, col("path"))
+    },
+
+    // DAU/WAU stickiness (r14, part 2): per day, the distinct active
+    // users that day (DAU), the distinct users over the trailing 7-day
+    // window (WAU), and their ratio — the engagement metric every
+    // product-analytics stack reports. COUNT(DISTINCT) over a sliding
+    // window can't ride a window frame, so the trailing membership is
+    // materialized by CONTRIBUTION: each (user, active-day) pair
+    // contributes itself to the 7 window-end days it belongs to (a
+    // fixed 7× expansion of the already-deduped day×user frame — NOT
+    // of the raw stream), then WAU is a plain distinct count per day.
+    // All shuffles keyed by user/day; stickiness is a ratio of exact
+    // integers (IEEE-identical cross-engine).
+    QueryDef(
+      "evt_stickiness",
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+        |con AS (
+        |  SELECT du.user_id, du.day + CAST(t.i AS INTEGER) AS day
+        |  FROM du, unnest(range(0, 7)) AS t(i)),
+        |wau AS (
+        |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM con GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY dau.day""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).cast("long").as("dau"))
+      val wau = du
+        .select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select(col("user_id"),
+          date_add(col("day"), col("i").cast("int")).as("day"))
+        .groupBy("day").agg(countDistinct("user_id").cast("long").as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau")).as("stickiness"))
+        .orderBy("day")
     }
   )
 }

@@ -496,6 +496,84 @@ object TimeSeriesQ {
           (col("ddq").cast("double") / lit(1e6)).as("max_drawdown"),
           col("n_events"))
         .orderBy("user_id")
+    },
+
+    // Autocorrelation function (r14, part 2) of the hourly event-count
+    // series at lags 1–3, per event_type — the seasonality/burstiness
+    // probe run before picking ts_seasonal_decompose's period or an
+    // anomaly window. Sample-ACF definition (biased, Box–Jenkins):
+    // r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)². Exactness: the mean is a
+    // ratio of exact integers; deviations/products are pure IEEE; both
+    // numerator and denominator ride 1e-6-floor quantized decimal sums,
+    // so the final ratio is derived from exact integers on both
+    // engines. Like the decompose row, only the pre-aggregated hourly
+    // series (bounded by TIME SPAN, not event volume) flows through the
+    // lag windows — the raw corpus contributes one count shuffle.
+    QueryDef(
+      "ts_acf",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot,
+        |         COUNT(*) AS n
+        |  FROM hourly GROUP BY event_type),
+        |dv AS (
+        |  SELECT h.event_type, h.hr,
+        |         CAST(h.cnt AS DOUBLE) - CAST(st.tot AS DOUBLE) / st.n AS dev
+        |  FROM hourly h JOIN st USING (event_type)),
+        |lg AS (
+        |  SELECT event_type, dev,
+        |         LEAD(dev, 1) OVER (PARTITION BY event_type ORDER BY hr) AS d1,
+        |         LEAD(dev, 2) OVER (PARTITION BY event_type ORDER BY hr) AS d2,
+        |         LEAD(dev, 3) OVER (PARTITION BY event_type ORDER BY hr) AS d3
+        |  FROM dv),
+        |ag AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(FLOOR(dev * dev * 1e6) AS BIGINT)) AS BIGINT) AS den,
+        |         CAST(SUM(CASE WHEN d1 IS NOT NULL THEN CAST(FLOOR(dev * d1 * 1e6) AS BIGINT) END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN d2 IS NOT NULL THEN CAST(FLOOR(dev * d2 * 1e6) AS BIGINT) END) AS BIGINT) AS n2,
+        |         CAST(SUM(CASE WHEN d3 IS NOT NULL THEN CAST(FLOOR(dev * d3 * 1e6) AS BIGINT) END) AS BIGINT) AS n3
+        |  FROM lg GROUP BY event_type),
+        |un AS (
+        |  SELECT event_type, CAST(1 AS INTEGER) AS lag, n1 AS num, den FROM ag
+        |  UNION ALL
+        |  SELECT event_type, CAST(2 AS INTEGER) AS lag, n2 AS num, den FROM ag
+        |  UNION ALL
+        |  SELECT event_type, CAST(3 AS INTEGER) AS lag, n3 AS num, den FROM ag)
+        |SELECT event_type, lag,
+        |       CASE WHEN den = 0 OR num IS NULL THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |                            * 1e6 + 0.5) AS BIGINT)
+        |       END AS acf6u
+        |FROM un""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val st = hourly.groupBy("event_type")
+        .agg(sum("cnt").cast("long").as("tot"), count(lit(1)).as("n"))
+      val lg = hourly.join(st, "event_type")
+        .withColumn("dev",
+          col("cnt").cast("double") - col("tot").cast("double") / col("n"))
+        .withColumn("d1", lead(col("dev"), 1).over(w))
+        .withColumn("d2", lead(col("dev"), 2).over(w))
+        .withColumn("d3", lead(col("dev"), 3).over(w))
+      def numq(c: org.apache.spark.sql.Column) =
+        sum(when(c.isNotNull, floor(col("dev") * c * lit(1e6))
+          .cast(DecimalType(38, 0)))).cast("long")
+      val ag = lg.groupBy("event_type").agg(
+        sum(floor(col("dev") * col("dev") * lit(1e6))
+          .cast(DecimalType(38, 0))).cast("long").as("den"),
+        numq(col("d1")).as("n1"), numq(col("d2")).as("n2"),
+        numq(col("d3")).as("n3"))
+      ag.selectExpr("event_type", "den",
+          "stack(3, CAST(1 AS INT), n1, CAST(2 AS INT), n2, CAST(3 AS INT), n3) AS (lag, num)")
+        .select(col("event_type"), col("lag"),
+          when(col("den") === 0 || col("num").isNull, lit(0L))
+            .otherwise(floor(col("num").cast("double") / col("den").cast("double")
+              * lit(1e6) + lit(0.5)).cast("long")).as("acf6u"))
     }
   )
 

@@ -315,4 +315,49 @@ class ClusterSpec extends SparkSpec {
     assert(mean > 0.9 && mean < 1.1,
       f"mean norm ratio $mean%.3f should concentrate near 1")
   }
+
+  test("emb_quantize_int8: saturation at the per-dim extremes, bounded error") {
+    // dim0 max|x| = 1.27 (scale 0.01), dim1 max|x| = 0.508 (scale 0.004):
+    // extremes code to ±127 (saturated), interior points round half-up
+    // and reconstruct within half a grid step per dimension
+    val dir = java.nio.file.Files.createTempDirectory("sq8").toString
+    embDf(Seq(
+      (0L, Array(1.27f, -0.508f), 0),
+      (1L, Array(-1.27f, 0.254f), 0),
+      (2L, Array(0.635f, 0.127f), 0)))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("emb_quantize_int8")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L)._1 === 2L, s"both dims of v0 saturate: ${out(0L)}")
+    assert(out(1L)._1 === 1L, s"only dim0 of v1 saturates: ${out(1L)}")
+    assert(out(2L)._1 === 0L, s"v2 is interior: ${out(2L)}")
+    // err <= s/2 per dim -> qerr12u <= 2 * (0.01/2)^2 * 1e12 (+ float slack)
+    out.values.foreach { case (_, q) =>
+      assert(q >= 0L && q <= 51000000L, s"qerr12u out of bound: $q")
+    }
+    // the saturated extremes reconstruct near-exactly (err ~ float ulp)
+    assert(out(0L)._2 < 1000L, s"v0 sits ON grid points: ${out(0L)}")
+  }
+
+  test("emb_silhouette: separated label blobs near 1, scrambled labels near 0") {
+    val dir = java.nio.file.Files.createTempDirectory("silh").toString
+    embDf(blobs(20)).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sep = graft.SparkEntry.queries("emb_silhouette")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(sep.length === 3)
+    sep.foreach { case (l, n, s6) =>
+      assert(n === 20L, s"label $l n=$n")
+      assert(s6 > 900000L, s"separated label $l should score near 1: $s6")
+    }
+    // decorrelate labels from blobs: every label becomes an equal mix of
+    // the three blobs, so all three label centroids collapse onto the
+    // grand mean and a ~ b -> s ~ 0
+    val scrDir = java.nio.file.Files.createTempDirectory("silh0").toString
+    embDf(blobs(20).map { case (id, v, _) => (id, v, ((id / 3) % 3).toInt) })
+      .write.mode("overwrite").parquet(s"$scrDir/embeddings.parquet")
+    val scr = graft.SparkEntry.queries("emb_silhouette")(spark, scrDir)
+      .collect().map(r => r.getLong(2))
+    scr.foreach(s6 =>
+      assert(math.abs(s6) < 200000L, s"scrambled labels should score ~0: $s6"))
+  }
 }

@@ -52,6 +52,24 @@ class EventsSpec extends SparkSpec {
     assert(uq(2) === 2L, "unbounded funnel counts the late click")
   }
 
+  test("evt_stickiness: WAU is the trailing 7-day distinct-user union") {
+    // day 1: u1+u2 active (dau 2, wau 2); day 3: u2 only, but u1's day-1
+    // activity is inside the trailing window (wau 2, stickiness 0.5);
+    // day 10: u1 only, day-3 activity has aged out (wau 1, stickiness 1)
+    val dir = writeEvents(Seq(
+      (1L, "view", ts(1)), (2L, "view", ts(1)),
+      (2L, "view", ts(3)),
+      (1L, "view", ts(10))))
+    val out = graft.SparkEntry.queries("evt_stickiness")(spark, dir)
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      "2024-01-01" -> ((2L, 2L, 1.0)),
+      "2024-01-03" -> ((1L, 2L, 0.5)),
+      "2024-01-10" -> ((1L, 1L, 1.0))))
+  }
+
   test("evt_retention_cohort: offsets count distinct active users") {
     // two users first-seen in week of Jan 1 (Mon); one returns two weeks
     // later twice in the same week (distinct!), the other never returns.

@@ -137,6 +137,19 @@ class TimeSeriesSpec extends SparkSpec {
       "equal-distance tie must pick the backward (earlier) purchase")
   }
 
+  test("ts_acf: alternating hourly series has the exact Box-Jenkins lags") {
+    // counts 2,1,2,1,2,1,2,1 over hours 0-7: mean 1.5, dev = ±0.5 exactly
+    // (all grid values representable), so the quantized ACF is exact:
+    // r1 = -7/8 = -0.875, r2 = 6/8 = 0.75, r3 = -5/8 = -0.625
+    val rows = (0 until 8).flatMap { h =>
+      val n = if (h % 2 == 0) 2 else 1
+      (0 until n).map(i => (1L, "a", ts(1, h, i), 1.0))
+    }
+    val out = graft.SparkEntry.queries("ts_acf")(spark, writeEvents(rows))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out === Map(1 -> -875000L, 2 -> 750000L, 3 -> -625000L))
+  }
+
   test("sql_tpch_q5: revenue only from ASIA-local supplier-customer pairs") {
     val out = graft.SparkEntry.queries("sql_tpch_q5")(spark, sf("sf0.01"))
       .collect()
