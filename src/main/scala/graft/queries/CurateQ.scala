@@ -1426,6 +1426,75 @@ object CurateQ {
         .join(docs.select(col("doc_id"), curateIsRef.cast("int").as("is_ref")),
           "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Eval-side contamination report (r14, part 2): doc_decontaminate
+    // answers "which TRAINING docs must be dropped"; this answers the
+    // dual question every eval release asks — "which BENCHMARK items
+    // are compromised, and how badly" (the GPT-3 appendix-C /
+    // PaLM-style n-gram CONTAINMENT audit: overlap normalized by the
+    // eval item's own shingle count, since a 10-shingle eval question
+    // fully contained in a web page is 100% dirty no matter how big
+    // the page is). Same shingle stand-in slice as doc_decontaminate.
+    // Exactness: the contamination FLAG is a pure integer compare
+    // (2*n_common >= n_sh — no double ever decides it); the reported
+    // ratio rides the u6 grid; the worst-doc argmax ranks on
+    // (n_common DESC, doc_id) — integers only, no double ordering.
+    // Plan: shingle equi-join bench-vs-corpus (bench side broadcast at
+    // scale), one count per surviving pair, one window per bench doc
+    // over its hit list — never corpus x corpus.
+    QueryDef(
+      "doc_eval_contamination",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+        |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+        |  FROM documents),
+        |bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 25 = 0),
+        |bn AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        |       FROM bench GROUP BY bench_id),
+        |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 25 <> 0),
+        |hits AS (
+        |  SELECT b.bench_id, c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM bench b JOIN corpus c USING (shingle)
+        |  GROUP BY b.bench_id, c.doc_id),
+        |rk AS (
+        |  SELECT bench_id, doc_id, n_common,
+        |         ROW_NUMBER() OVER (PARTITION BY bench_id
+        |                            ORDER BY n_common DESC, doc_id) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY bench_id) AS BIGINT) AS n_hits
+        |  FROM hits)
+        |SELECT bn.bench_id, bn.n_sh,
+        |       COALESCE(r.doc_id, CAST(-1 AS BIGINT)) AS worst_doc,
+        |       COALESCE(CAST(FLOOR(CAST(r.n_common AS DOUBLE) / bn.n_sh
+        |                           * 1e6 + 0.5) AS BIGINT), 0) AS contain6u,
+        |       COALESCE(r.n_hits, 0) AS n_hits,
+        |       COALESCE(2 * r.n_common >= bn.n_sh, FALSE) AS contaminated
+        |FROM bn LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (bench_id)
+        |ORDER BY bn.bench_id""".stripMargin) { (s, d) =>
+      val sh = shingledAll(s, d)
+      val bench = sh.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"), col("shingle"))
+      val bn = bench.groupBy("bench_id").agg(count(lit(1)).as("n_sh"))
+      val corpus = sh.filter(col("doc_id") % 25 =!= 0)
+      val hits = bench.join(corpus, "shingle")
+        .groupBy("bench_id", "doc_id").agg(count(lit(1)).as("n_common"))
+      val wb = Window.partitionBy("bench_id")
+      val rk = hits
+        .withColumn("rn", row_number().over(
+          wb.orderBy(col("n_common").desc, col("doc_id"))))
+        .withColumn("n_hits", count(lit(1)).over(wb))
+      bn.join(rk.filter(col("rn") === 1).drop("rn"), Seq("bench_id"), "left")
+        .select(col("bench_id"), col("n_sh"),
+          coalesce(col("doc_id"), lit(-1L)).as("worst_doc"),
+          coalesce(floor(col("n_common").cast("double") / col("n_sh")
+            * lit(1e6) + lit(0.5)).cast("long"), lit(0L)).as("contain6u"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(lit(2L) * col("n_common") >= col("n_sh"), lit(false))
+            .as("contaminated"))
+        .orderBy("bench_id")
     }
   )
 

@@ -236,4 +236,26 @@ class CurateSpec extends SparkSpec {
       assert(r.getBoolean(5) == conj, s"keep != conjunction at doc ${r.getLong(0)}")
     }
   }
+
+  test("doc_eval_contamination: containment normalizes by the eval item") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contam").toString
+    // bench (doc_id % 25 = 0): 0 fully contained in corpus doc 1;
+    // 25 shares 1 of its 3 shingles with doc 2 (1/3 < 1/2 -> clean);
+    // 50 overlaps nothing (no-hit row must still appear)
+    Seq(
+      (0L, "a b c d"), (25L, "p q r s t"), (50L, "zz yy xx ww vv"),
+      (1L, "x a b c d y"), (2L, "p q r mm nn"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("doc_eval_contamination")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out(0L) === ((2L, 1L, 1000000L, 1L, true)), s"full: ${out(0L)}")
+    assert(out(25L) === ((3L, 2L, 333333L, 1L, false)), s"partial: ${out(25L)}")
+    assert(out(50L) === ((3L, -1L, 0L, 0L, false)), s"no-hit: ${out(50L)}")
+  }
 }
