@@ -350,6 +350,49 @@ object Graph {
       .filter(col("deg") >= k)
   }
 
+  /** Deterministic unbiased random walks (r14, part 2) — the sampling
+    * primitive under DeepWalk/node2vec (p = q = 1) embeddings and
+    * random-walk PPR estimates, made REPLAY-EXACT by drawing each step
+    * from a hash instead of an RNG: at step t the walk w moves to the
+    * out-neighbor v minimizing (md5("w:t:v"), v). Same-input same-walk
+    * on any partitioning/engine — which is what lets a SQL oracle
+    * unroll the identical trajectory. Input: id-ordered undirected
+    * edges (a < b); walks start at every node with node % startMod = 0
+    * and take `steps` moves (no dead ends: every endpoint of an
+    * undirected edge has degree >= 1). Output: (walk_id, step, node)
+    * trajectories, step 0..steps.
+    *
+    * Scale shape: each step is one equi-join of the walk frame (n/
+    * startMod rows) against the adjacency list plus a per-walk argmin
+    * over the ~degree-sized candidate set — walk-keyed shuffles only,
+    * bounded by walks x max-degree rows, with a localCheckpoint cut
+    * per step (the BFS/CC loop discipline). */
+  def randomWalks(und: DataFrame, steps: Int, startMod: Long): DataFrame = {
+    require(steps >= 1 && startMod >= 1)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val starts = adj.select(col("u")).distinct()
+      .filter(col("u") % startMod === 0)
+      .select(col("u").as("walk_id"))
+    var cur = starts.withColumn("node", col("walk_id"))
+    val traj = scala.collection.mutable.ArrayBuffer[DataFrame](
+      cur.withColumn("step", lit(0)))
+    (1 to steps).foreach { r =>
+      val w = Window.partitionBy("walk_id").orderBy(col("score"), col("v"))
+      cur = cur.join(adj, col("node") === col("u"))
+        .withColumn("score", md5(concat(col("walk_id").cast("string"),
+          lit(s":$r:"), col("v").cast("string")).cast("binary")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("walk_id"), col("v").as("node"))
+        .localCheckpoint()
+      traj += cur.withColumn("step", lit(r))
+    }
+    traj.reduce(_ unionAll _)
+      .select(col("walk_id"), col("step").cast("int").as("step"), col("node"))
+  }
+
   /** Capped coreness: max k in 1..kMax whose truncated k-core contains
     * the node (every endpoint of `und` has coreness >= 1, so the k=1
     * peel is skipped). Independent truncated peels per k — each

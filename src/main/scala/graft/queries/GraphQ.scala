@@ -26,6 +26,10 @@ object GraphQ {
     * the k-core peel. */
   private val BfsRounds = 8
 
+  /** Steps per ext_random_walk trajectory (shared by the Spark loop and
+    * the unrolled oracle). */
+  private val WalkSteps = 6
+
   /** The supplier kNN co-order graph prologue shared by the r14 rows:
     * co-order counts -> per-supplier top-3 by (count DESC, id) -> id-
     * ordered deduped undirected edges. Identical text to the inline
@@ -633,6 +637,45 @@ object GraphQ {
       }
       dist.select(col("node"), col("dist").cast("int").as("dist"))
         .orderBy("node")
+    },
+
+    // Deterministic random walks (r14, part 2): 6-step unbiased walks
+    // (DeepWalk/node2vec at p = q = 1) from every node = 0 mod 5 of
+    // the kNN co-order graph, each step drawn by HASH argmin instead
+    // of an RNG — min (md5("walk:step:v"), v) over the out-neighbors —
+    // so the trajectory is replay-exact across partitionings AND
+    // engines, and the oracle below unrolls the identical walk. The
+    // sampling primitive under graph embeddings and walk-based PPR;
+    // ext.Graph.randomWalks carries the loop (walk-keyed shuffles,
+    // per-step localCheckpoint cuts; GraphSpec pins trajectory truth
+    // on planted graphs against an independent JVM-md5 recomputation).
+    QueryDef(
+      "ext_random_walk",
+      knnUndSql +
+        """,
+          |adj AS (SELECT a AS u, b AS v FROM und
+          |        UNION ALL SELECT b AS u, a AS v FROM und),
+          |w0 AS (SELECT DISTINCT u AS walk_id, u AS node
+          |       FROM adj WHERE u % 5 = 0),
+          |""".stripMargin +
+        (1 to WalkSteps).map { r =>
+          s"""w$r AS MATERIALIZED (
+             |  SELECT walk_id, node FROM (
+             |    SELECT p.walk_id, adj.v AS node,
+             |           ROW_NUMBER() OVER (PARTITION BY p.walk_id
+             |             ORDER BY md5(CAST(p.walk_id AS VARCHAR) || ':$r:' ||
+             |                          CAST(adj.v AS VARCHAR)), adj.v) AS rn
+             |    FROM w${r - 1} p JOIN adj ON adj.u = p.node)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n") +
+        "\nSELECT walk_id, CAST(0 AS INTEGER) AS step, node FROM w0" +
+        (1 to WalkSteps).map(r =>
+          s"\nUNION ALL SELECT walk_id, CAST($r AS INTEGER) AS step, node FROM w$r")
+          .mkString +
+        "\nORDER BY walk_id, step") { (s, d) =>
+      graft.ext.Graph.randomWalks(knnUnd(s, d), steps = WalkSteps,
+          startMod = 5)
+        .orderBy("walk_id", "step")
     }
   )
 }

@@ -166,6 +166,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("randomWalks: trajectory matches an independent md5 replay") {
+    import spark.implicits._
+    // 0-1, 0-2, 1-2, 2-3, 3-4; startMod 5 -> node 0 is the only walk
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val out = Graph.randomWalks(edges.toDF("a", "b"), steps = 4, startMod = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.keys.map(_._1).toSet === Set(0L), "only node 0 starts a walk")
+    assert(out((0L, 0)) === 0L)
+    // replay with an INDEPENDENT md5 (JVM MessageDigest, not Spark's)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var node = 0L
+    (1 to 4).foreach { t =>
+      node = adj(node).minBy(v => (md5hex(s"0:$t:$v"), v))
+      assert(out((0L, t)) === node, s"step $t diverged from the replay")
+    }
+  }
+
   test("corenessCapped matches planted truth: K4, ring, path, pendant") {
     import spark.implicits._
     def cores(edges: Seq[(Long, Long)]): Map[Long, Int] =
