@@ -134,7 +134,26 @@ object ScaleStress {
     // r14: density-auto-eps DBSCAN — the replicated embedding fixture
     // densifies the same coordinate space, which is exactly the regime
     // the eps ∝ 1/sqrt(n) knob linearizes; expected near-linear wall
-    "emb_dbscan_grid")
+    "emb_dbscan_grid",
+    // r14 part 2: eval-side containment audit — the bench slice grows
+    // with the corpus here (doc_id % 25 replicates too), so this
+    // measures the pair-forming shingle join under a growing eval set,
+    // the worst case for the bench-broadcast claim
+    "doc_eval_contamination",
+    // r14 part 2: SQ8 quantization + silhouette — both explode+
+    // broadcast+aggregate shapes (64-row scale table / k·64 centroid
+    // table), expected linear like jl_project
+    "emb_quantize_int8",
+    "emb_silhouette",
+    // r14 part 2: hash-argmin random walks on the replicated co-order
+    // graph — walks scale with nodes, each step is one equi-join +
+    // per-walk argmin; expected linear (disjoint replicas)
+    "ext_random_walk",
+    // r14 part 2: events-family additions — stickiness expands the
+    // deduped day×user frame 7×, ACF windows run over the (constant-
+    // length) hourly series; both expected ~linear in the scan
+    "evt_stickiness",
+    "ts_acf")
 
   /** Replicated (l_orderkey, l_suppkey) lineitem projection — replica
     * i shifts orderkey by i·10⁹ and suppkey by i·10⁷, so the supplier
@@ -302,7 +321,8 @@ object ScaleStress {
     // the kNN-graph registry rows read lineitem, which the base fixture
     // does not replicate — build the 2-column projection on demand
     val graphNames = Set("ext_triangle_count", "ext_clustering_coeff",
-      "ext_kcore", "kcore_scale", "ext_link_prediction", "ext_bfs_distance")
+      "ext_kcore", "kcore_scale", "ext_link_prediction", "ext_bfs_distance",
+      "ext_random_walk")
     if (names.exists(graphNames)) buildLineitemFixture(spark, src, out, factor)
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
