@@ -393,6 +393,28 @@ class PlanSpec extends SparkSpec {
       s"no joins in the layout audit:\n${p.take(1200)}")
   }
 
+  test("quantize + silhouette: stats tables broadcast, no cartesian, no global window") {
+    Seq("emb_quantize_int8", "emb_silhouette").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q should broadcast its per-dim stats table:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a cartesian:\n${p.take(1500)}")
+      assert(!p.matches("(?s).*Window.*SinglePartition.*"),
+        s"$q plans a global window:\n${p.take(1500)}")
+    }
+  }
+
+  test("stickiness + ACF + contamination: key-partitioned, equi-joins only") {
+    Seq("evt_stickiness", "ts_acf", "doc_eval_contamination").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a cartesian:\n${p.take(1500)}")
+      assert(!p.matches("(?s).*Window.*SinglePartition.*"),
+        s"$q plans a global window:\n${p.take(1500)}")
+    }
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
