@@ -54,6 +54,35 @@ object CurateQ {
       |ORDER BY total_qty DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q6 over the fixture's date range (1996 window) — the pure
+    * scan-side revenue forecast: every predicate must push to parquet,
+    * no join, one global exact-decimal sum. */
+  private val SqlTpchQ6: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+      |       CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q14 (promo revenue share) against the fixture's flat p_type
+    * vocabulary ('PROMO' is a whole value, not a prefix) — conditional
+    * aggregation over one month of shipments; the ratio divides two
+    * exact-decimal-derived doubles (both engines: left-assoc
+    * 100.0 * promo / total, pure IEEE). */
+  private val SqlTpchQ14: String =
+    """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+      |         ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+      |       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+      |         AS promo_revenue,
+      |       CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
   /** Whitespace tokens — same tokenizer as PipelineQ. */
   private def toks = split(col("text"), "\\s+")
 
@@ -476,6 +505,29 @@ object CurateQ {
       Tables.orders(s, d).createOrReplaceTempView("orders")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(SqlTpchQ18)
+    },
+
+    // TPC-H Q6 shape (r14 part 3): the forecast-revenue scan — no
+    // join, every predicate (date range, discount band, quantity cap)
+    // eligible for parquet pushdown, one exact-decimal global sum.
+    // The canonical "is the scan path clean" probe.
+    QueryDef(
+      "sql_tpch_q6",
+      SqlTpchQ6) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlTpchQ6)
+    },
+
+    // TPC-H Q14 shape (r14 part 3): promo revenue share — conditional
+    // aggregation (CASE inside SUM) over a month slice joined to the
+    // part dim (broadcast at this dim size), ratio of two exact
+    // decimal sums in IEEE double.
+    QueryDef(
+      "sql_tpch_q14",
+      SqlTpchQ14) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.load(s, d, "part").createOrReplaceTempView("part")
+      s.sql(SqlTpchQ14)
     },
 
     // Null-preserving explode (explode_outer): rows with NULL or empty

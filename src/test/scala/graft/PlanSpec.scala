@@ -415,6 +415,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tpch q6: every predicate pushed to the scan, no join anywhere") {
+    val p = plan("sql_tpch_q6")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed: $pushed"))
+    assert(!p.contains("Join"), s"q6 must be join-free:\n${p.take(1200)}")
+  }
+
+  test("tpch q14: part dim broadcasts into the month slice") {
+    val p = plan("sql_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part should broadcast:\n${p.take(1500)}")
+    assert(p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString.contains("l_shipdate"),
+      "month slice should push to the lineitem scan")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
