@@ -818,6 +818,43 @@ object PipelineQ {
         .filter(col("rn") <= 10)
     },
 
+    // Maximum inner-product search top-k (r14, part 3): the retrieval
+    // scoring for DOT-PRODUCT-trained embeddings (two-tower recommender
+    // / DPR-style retrievers), where the un-normalized score is the
+    // model's ranking function and cosine would re-rank it wrongly.
+    // Brute-force exact here (the recall oracle); at ANN scale MIPS
+    // reduces to cosine via the augmented dimension x -> [x,
+    // sqrt(M^2-|x|^2)] (Bachrach et al. RecSys'14) and rides the same
+    // IVF machinery. The dot fold is index-ordered on both engines
+    // (zip_with/aggregate ≡ list_reduce), so scores are bit-identical.
+    QueryDef(
+      "emb_mips_topk",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+        |p AS (
+        |  SELECT qid, cid,
+        |         list_reduce(list_transform(range(1, len(qe) + 1),
+        |             i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (a, b) -> a + b) AS dot
+        |  FROM q, c WHERE qid <> cid)
+        |SELECT qid, cid, dot, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT qid, cid, dot,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rn
+        |  FROM p) WHERE rn <= 10""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+      broadcast(q).join(c, col("qid") =!= col("cid"))
+        .withColumn("dot", dot(col("qe"), col("ce")))
+        .select(col("qid"), col("cid"), col("dot"),
+          row_number().over(w).cast("bigint").as("rn"))
+        .filter(col("rn") <= 10)
+    },
+
     // Per-label centroid: posexplode + decimal-exact dimension sums — the
     // shuffle is on (label, dim), 640 keys, scales to any corpus size.
     QueryDef(

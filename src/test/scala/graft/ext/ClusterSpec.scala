@@ -339,6 +339,22 @@ class ClusterSpec extends SparkSpec {
     assert(out(0L)._2 < 1000L, s"v0 sits ON grid points: ${out(0L)}")
   }
 
+  test("emb_mips_topk ranks by magnitude where cosine ranks by angle") {
+    // q=[1,0]; a=[3,3] wins on dot (3 > 0.5) but loses on cosine
+    // (0.707 < 1.0); b=[0.5,0] is perfectly aligned but small
+    val dir = java.nio.file.Files.createTempDirectory("mips").toString
+    embDf(Seq(
+      (0L, Array(1f, 0f), 0),
+      (10L, Array(3f, 3f), 0),
+      (11L, Array(0.5f, 0f), 0)))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def top1(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+      .filter(col("qid") === 0 && col("rn") === 1)
+      .collect().map(_.getLong(1)).head
+    assert(top1("emb_mips_topk") === 10L, "MIPS must pick the big vector")
+    assert(top1("emb_cosine_topk") === 11L, "cosine must pick the aligned one")
+  }
+
   test("emb_silhouette: separated label blobs near 1, scrambled labels near 0") {
     val dir = java.nio.file.Files.createTempDirectory("silh").toString
     embDf(blobs(20)).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
