@@ -432,6 +432,25 @@ class PlanSpec extends SparkSpec {
       "month slice should push to the lineitem scan")
   }
 
+  test("bucketed join: co-located SMJ, the only exchange is the aggregate's") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("join_bucketed_colocated")
+      assert(p.contains("SortMergeJoin"),
+        s"bucketed fact-fact join should sort-merge:\n${p.take(1500)}")
+      // count physical Exchange NODES via their detail headers — the
+      // formatted dump shows each node once in the tree and once as a
+      // "(n) Exchange" detail section
+      val exchanges = p.linesIterator.count(_.matches("""^\(\d+\) Exchange.*"""))
+      assert(exchanges <= 1,
+        s"bucket specs should satisfy the join distribution " +
+          s"($exchanges exchanges):\n${p.take(2000)}")
+      assert(p.contains("Bucketed: true"),
+        s"scan should report bucketed layout:\n${p.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
