@@ -574,6 +574,88 @@ object TimeSeriesQ {
           when(col("den") === 0 || col("num").isNull, lit(0L))
             .otherwise(floor(col("num").cast("double") / col("den").cast("double")
               * lit(1e6) + lit(0.5)).cast("long")).as("acf6u"))
+    },
+
+    // Cross-correlation (r14, part 2) between the hourly series of
+    // every ordered event-type pair at lags -3..+3 — "does metric A
+    // lead metric B, and by how much": the diagnostic behind
+    // alert-correlation and leading-indicator hunts. Pearson form with
+    // each series' own full mean/variance; the numerator runs over the
+    // hour-ALIGNED overlap (b at a's hour + lag). All three moments
+    // ride the 1e-6-floor grid (the shared scale cancels in the
+    // ratio), alignment is integer epoch-hour arithmetic, and the only
+    // non-rational op is IEEE sqrt — deterministic on both engines.
+    // Series length is bounded by the time span; the pair×lag fan-out
+    // is |types|²·7 aggregates over hour-keyed equi-joins.
+    QueryDef(
+      "ts_cross_corr",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS n
+        |  FROM hourly GROUP BY event_type),
+        |dv AS (
+        |  SELECT h.event_type,
+        |         CAST(FLOOR(epoch(h.hr) / 3600) AS BIGINT) AS hb,
+        |         CAST(h.cnt AS DOUBLE) - CAST(st.tot AS DOUBLE) / st.n AS dev
+        |  FROM hourly h JOIN st USING (event_type)),
+        |den AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(FLOOR(dev * dev * 1e6) AS BIGINT)) AS BIGINT) AS den
+        |  FROM dv GROUP BY event_type),
+        |lg AS (SELECT CAST(t.k - 3 AS INTEGER) AS lag FROM unnest(range(0, 7)) AS t(k)),
+        |num AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, lg.lag,
+        |         CAST(SUM(CAST(FLOOR(a.dev * b.dev * 1e6) AS BIGINT)) AS BIGINT) AS num
+        |  FROM dv a CROSS JOIN lg JOIN dv b
+        |    ON b.event_type > a.event_type AND b.hb = a.hb + lg.lag
+        |  GROUP BY 1, 2, 3)
+        |SELECT n.type_a, n.type_b, n.lag,
+        |       CASE WHEN da.den = 0 OR db.den = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(FLOOR(CAST(n.num AS DOUBLE)
+        |                   / (sqrt(CAST(da.den AS DOUBLE)) * sqrt(CAST(db.den AS DOUBLE)))
+        |                   * 1e6 + 0.5) AS BIGINT)
+        |       END AS xcorr6u
+        |FROM num n
+        |JOIN den da ON da.event_type = n.type_a
+        |JOIN den db ON db.event_type = n.type_b""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val st = hourly.groupBy("event_type")
+        .agg(sum("cnt").cast("long").as("tot"), count(lit(1)).as("n"))
+      val dv = hourly.join(st, "event_type")
+        .select(col("event_type"),
+          floor(unix_timestamp(col("hr")) / lit(3600)).cast("long").as("hb"),
+          (col("cnt").cast("double")
+            - col("tot").cast("double") / col("n")).as("dev"))
+        .localCheckpoint()
+      val den = dv.groupBy("event_type")
+        .agg(sum(floor(col("dev") * col("dev") * lit(1e6))
+          .cast(DecimalType(38, 0))).cast("long").as("den"))
+      val a = dv.withColumn("lag",
+        explode(array((-3 to 3).map(k => lit(k)): _*)))
+        .select(col("event_type").as("type_a"), col("hb"), col("dev").as("deva"),
+          col("lag"))
+      val b = dv.select(col("event_type").as("type_b"), col("hb").as("hbb"),
+        col("dev").as("devb"))
+      val num = a.join(b,
+          col("type_b") > col("type_a") && col("hbb") === col("hb") + col("lag"))
+        .groupBy("type_a", "type_b", "lag")
+        .agg(sum(floor(col("deva") * col("devb") * lit(1e6))
+          .cast(DecimalType(38, 0))).cast("long").as("num"))
+      num
+        .join(den.select(col("event_type").as("type_a"), col("den").as("dena")),
+          "type_a")
+        .join(den.select(col("event_type").as("type_b"), col("den").as("denb")),
+          "type_b")
+        .select(col("type_a"), col("type_b"), col("lag"),
+          when(col("dena") === 0 || col("denb") === 0, lit(0L))
+            .otherwise(floor(col("num").cast("double")
+              / (sqrt(col("dena").cast("double")) * sqrt(col("denb").cast("double")))
+              * lit(1e6) + lit(0.5)).cast("long")).as("xcorr6u"))
     }
   )
 

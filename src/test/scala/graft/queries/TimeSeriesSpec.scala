@@ -150,6 +150,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out === Map(1 -> -875000L, 2 -> 750000L, 3 -> -625000L))
   }
 
+  test("ts_cross_corr: a planted 2-hour lead peaks at lag +2") {
+    // type a: spike every 4 hours at hours 0,4,8,...; type b: the same
+    // spike train shifted 2 hours later -> the correlation of (a at t,
+    // b at t+lag) must peak at lag = +2
+    val rows = (0 until 16).flatMap { h =>
+      val na = if (h % 4 == 0) 3 else 1
+      val nb = if (h % 4 == 2) 3 else 1
+      (0 until na).map(i => (1L, "a", ts(1 + h / 24, h % 24, i), 1.0)) ++
+        (0 until nb).map(i => (2L, "b", ts(1 + h / 24, h % 24, 30 + i), 1.0))
+    }
+    val out = graft.SparkEntry.queries("ts_cross_corr")(spark, writeEvents(rows))
+      .collect().map(r => r.getInt(2) -> r.getLong(3)).toMap
+    val peak = out.maxBy(_._2)
+    assert(peak._1 === 2, s"lead should peak at +2: $out")
+    assert(peak._2 > 700000L, s"peak correlation should be strong: $out")
+  }
+
   test("sql_tpch_q5: revenue only from ASIA-local supplier-customer pairs") {
     val out = graft.SparkEntry.queries("sql_tpch_q5")(spark, sf("sf0.01"))
       .collect()
