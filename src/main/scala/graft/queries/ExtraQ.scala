@@ -28,6 +28,53 @@ object ExtraQ {
           (h, c) => pmod(h * 31 + c, lit(1000000007L))).as("rhash"))
     },
 
+    // Winnowing fingerprints (r14, part 3 — Schleimer/Wilkerson/Aiken
+    // SIGMOD'03, the MOSS algorithm): per document, hash every token
+    // 4-gram, slide a 5-gram window over the hash sequence, keep each
+    // window's MINIMUM — the guarantee is that any shared substring of
+    // >= w+k-1 tokens between two documents shares at least one
+    // selected fingerprint, at ~2/(w+1) the storage of full shingling.
+    // The partial-overlap detector that n-gram Jaccard (whole-doc) and
+    // span dedup (exact runs) sit on either side of. Hashes are
+    // md5-derived BIGINTs (the classifier/jl discipline); the window
+    // min rides a per-doc ROWS frame — position-keyed, never global.
+    QueryDef(
+      "doc_winnowing",
+      """WITH arrs AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS arr FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS p,
+        |         arr[t.i] || ' ' || arr[t.i+1] || ' ' ||
+        |         arr[t.i+2] || ' ' || arr[t.i+3] AS gram
+        |  FROM arrs, unnest(range(1, greatest(len(arr) - 3, 1) + 1)) AS t(i)),
+        |h AS (
+        |  SELECT doc_id, p,
+        |         CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS hv
+        |  FROM g WHERE gram IS NOT NULL),
+        |w AS (
+        |  SELECT doc_id, p,
+        |         MIN(hv) OVER (PARTITION BY doc_id ORDER BY p
+        |                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM h)
+        |SELECT DISTINCT doc_id, fp FROM w WHERE p >= 5""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("arr"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(1, greatest(size(arr) - 3, 1)),
+            |  i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1), ' ',
+            |              element_at(arr, i + 2), ' ', element_at(arr, i + 3)))"""
+            .stripMargin)).as(Seq("p0", "gram")))
+        .filter(col("gram").isNotNull)
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+          conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+      val wf = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-4, 0)
+      grams.withColumn("fp", min(col("hv")).over(wf))
+        .filter(col("p") >= 5)
+        .select("doc_id", "fp").distinct()
+    },
+
     // Embedding-cosine near-dup pairs within a bounded block: the exact
     // variant of embedding-space dedup (the scale path buckets by LSH or
     // coarse quantizer first — see ext/Similarity; this is its oracle).

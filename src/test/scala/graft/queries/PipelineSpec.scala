@@ -150,4 +150,33 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("doc_winnowing: shared >= w+k-1 token run shares a fingerprint; selective") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    // docs 1 and 2 embed the SAME 10-token run (>= w+k-1 = 8) inside
+    // otherwise-disjoint text; doc 3 shares nothing with either
+    val run = (1 to 10).map(i => s"shared$i").mkString(" ")
+    Seq(
+      (1L, s"alpha beta gamma delta $run epsilon zeta"),
+      (2L, s"one two three four five six $run seven"),
+      (3L, "cold warm hot cool mild dry wet damp calm windy still foggy"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = graft.SparkEntry.queries("doc_winnowing")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "the winnowing guarantee: a shared 10-token run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs must not collide")
+    // selectivity: far fewer fingerprints than 4-grams (~2/(w+1) rate)
+    fps.foreach { case (id, s) =>
+      val nGrams = Tables.documents(spark, dir).filter(col("doc_id") === id)
+        .select(size(split(col("text"), "\\s+"))).collect().head.getInt(0) - 3
+      assert(s.size < nGrams, s"doc $id kept ${s.size} of $nGrams grams")
+    }
+  }
 }
