@@ -184,6 +184,51 @@ object ClusterQ {
         .orderBy("vec_id")
     },
 
+    // PCA whitening (r14, part 3): project onto the top-2 eigenbasis
+    // AND rescale each coordinate by 1/sqrt(eigenvalue) — the
+    // decorrelate-to-unit-variance transform run before cosine/L2
+    // comparisons on anisotropic embedding spaces (and the first half
+    // of ZCA). The 1/sqrt(λ) factors are DRIVER-side doubles inlined
+    // as E-notation literals in BOTH the oracle and the Spark plan, so
+    // no radical crosses the engine boundary; the projection fold is
+    // the emb_pca_project index-ordered expression bit-for-bit.
+    // ClusterSpec gates the semantics: whitened coordinates have unit
+    // sample variance and ~zero cross-covariance.
+    QueryDef.lazyOracle("emb_pca_whiten") { (s, d) =>
+      val (_, mu, cov) =
+        graft.ext.Embeddings.meanAndCovariance(Tables.embeddings(s, d))
+      val (vals, vecs) = graft.ext.Embeddings.jacobiEigen(cov)
+      val sc0 = 1.0 / math.sqrt(math.max(vals(0), 1e-300))
+      val sc1 = 1.0 / math.sqrt(math.max(vals(1), 1e-300))
+      def lst(a: Array[Double]) = a.map(VecOracle.dbl).mkString("[", ", ", "]")
+      def zw(w: String, f: Double, alias: String) =
+        s"""CAST(FLOOR(list_reduce(list_transform(range(1, len(v) + 1),
+           |    i -> (v[i] - mu[i]) * $w[i]), (a, b) -> a + b)
+           |    * ${VecOracle.dbl(f)} * 1e6 + 0.5) AS BIGINT) AS $alias""".stripMargin
+      s"""WITH consts AS (
+         |  SELECT ${lst(mu)} AS mu, ${lst(vecs(0))} AS w0, ${lst(vecs(1))} AS w1),
+         |e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings)
+         |SELECT vec_id, label,
+         |  ${zw("w0", sc0, "zw1_u6")},
+         |  ${zw("w1", sc1, "zw2_u6")}
+         |FROM e CROSS JOIN consts""".stripMargin
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (_, _, cov) = graft.ext.Embeddings.meanAndCovariance(emb)
+      val (vals, _) = graft.ext.Embeddings.jacobiEigen(cov)
+      val sc0 = 1.0 / math.sqrt(math.max(vals(0), 1e-300))
+      val sc1 = 1.0 / math.sqrt(math.max(vals(1), 1e-300))
+      val (proj, _) = graft.ext.Embeddings.pcaProject(emb, k = 2)
+      proj.select(col("vec_id"), col("label"),
+          floor(col("pc").getItem(0) * lit(sc0) * lit(1e6) + lit(0.5))
+            .cast("long").as("zw1_u6"),
+          floor(col("pc").getItem(1) * lit(sc1) * lit(1e6) + lit(0.5))
+            .cast("long").as("zw2_u6"))
+        .orderBy("vec_id")
+    },
+
     // Product quantization encode (m=8 subspaces, 16 centroids each, 2
     // Lloyd sweeps): the vector-compression half of an IVF-PQ ANN index —
     // 64 float dims become 8 nibble codes. r10: LAZY oracle — Verify

@@ -339,6 +339,22 @@ class ClusterSpec extends SparkSpec {
     assert(out(0L)._2 < 1000L, s"v0 sits ON grid points: ${out(0L)}")
   }
 
+  test("emb_pca_whiten: unit variance per coordinate, ~zero cross-covariance") {
+    val rows = graft.SparkEntry.queries("emb_pca_whiten")(spark, sf("sf0.01"))
+      .collect().map(r => (r.getLong(2) / 1e6, r.getLong(3) / 1e6))
+    val n = rows.length
+    assert(n > 100)
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    val (a, b) = (rows.map(_._1).toSeq, rows.map(_._2).toSeq)
+    val (ma, mb) = (mean(a), mean(b))
+    val va = a.map(x => (x - ma) * (x - ma)).sum / (n - 1)
+    val vb = b.map(x => (x - mb) * (x - mb)).sum / (n - 1)
+    val cab = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum / (n - 1)
+    assert(math.abs(va - 1.0) < 0.05, s"var(zw1) = $va should be ~1")
+    assert(math.abs(vb - 1.0) < 0.05, s"var(zw2) = $vb should be ~1")
+    assert(math.abs(cab) < 0.05, s"cov(zw1, zw2) = $cab should be ~0")
+  }
+
   test("emb_mips_topk ranks by magnitude where cosine ranks by angle") {
     // q=[1,0]; a=[3,3] wins on dot (3 > 0.5) but loses on cosine
     // (0.707 < 1.0); b=[0.5,0] is perfectly aligned but small
