@@ -153,7 +153,15 @@ object ScaleStress {
     // deduped day×user frame 7×, ACF windows run over the (constant-
     // length) hourly series; both expected ~linear in the scan
     "evt_stickiness",
-    "ts_acf")
+    "ts_acf",
+    // r14 part 3b: winnowing (per-doc hash windows — linear), pairwise
+    // cross-correlation (constant series length — flat), whitening
+    // (one treeAggregate + map-only projection — linear), MIPS top-k
+    // (broadcast queries × corpus scan — linear)
+    "doc_winnowing",
+    "ts_cross_corr",
+    "emb_pca_whiten",
+    "emb_mips_topk")
 
   /** Replicated (l_orderkey, l_suppkey) lineitem projection — replica
     * i shifts orderkey by i·10⁹ and suppkey by i·10⁷, so the supplier
