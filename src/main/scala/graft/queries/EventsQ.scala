@@ -336,6 +336,69 @@ object EventsQ {
         .select(col("day"), col("dau"), col("wau"),
           (col("dau").cast("double") / col("wau")).as("stickiness"))
         .orderBy("day")
+    },
+
+    // RFM segmentation (r14, part 3): per user, recency (latest event
+    // second), frequency (event count), and monetary (exact-decimal
+    // value sum) each quintile-scored with NTILE(5), then bucketed
+    // into named segments — the standard customer-value report.
+    // Determinism: every NTILE orders by (metric, user_id) — the
+    // monetary metric is compared on its exact DECIMAL form, never
+    // double — and the segment CASE is integer arithmetic on scores.
+    // Scale: the ORACLE spells NTILE as the global window; the Spark
+    // side runs three GlobalRank two-passes + closed-form ntileFromRn
+    // over the user-sized frame — NO single-partition window ever
+    // (the doc_quality_threshold discipline; PlanSpec pins it).
+    QueryDef(
+      "evt_rfm_segments",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS recency,
+        |         CAST(COUNT(*) AS BIGINT) AS frequency,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS monetary
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |sc AS (
+        |  SELECT user_id, recency, frequency,
+        |         CAST(monetary AS DOUBLE) AS monetary,
+        |         NTILE(5) OVER (ORDER BY recency, user_id) AS r_score,
+        |         NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+        |         NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+        |  FROM u)
+        |SELECT user_id, recency, frequency, monetary,
+        |       CAST(r_score AS INTEGER) AS r_score,
+        |       CAST(f_score AS INTEGER) AS f_score,
+        |       CAST(m_score AS INTEGER) AS m_score,
+        |       CASE WHEN r_score + f_score + m_score >= 13 THEN 'champion'
+        |            WHEN r_score + f_score + m_score >= 10 THEN 'loyal'
+        |            WHEN r_score + f_score + m_score <= 5 THEN 'at_risk'
+        |            ELSE 'regular' END AS segment
+        |FROM sc ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      import graft.operators.GlobalRank
+      val u = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(floor(unix_timestamp(max(col("ts")))).cast("long").as("recency"),
+          count(lit(1)).cast("long").as("frequency"),
+          sum(col("value").cast(DecimalType(18, 2))).as("monetaryd"))
+        .localCheckpoint()
+      def score(df: org.apache.spark.sql.DataFrame, metric: String,
+          out: String) = {
+        val (ranked, n) = GlobalRank.withGlobalRowNumber(
+          df, Seq(col(metric), col("user_id")), "_rn")
+        ranked.withColumn(out, GlobalRank.ntileFromRn(col("_rn"), n, 5))
+          .drop("_rn")
+      }
+      val sc = score(score(score(u, "recency", "r_score"),
+        "frequency", "f_score"), "monetaryd", "m_score")
+      val tot = col("r_score") + col("f_score") + col("m_score")
+      sc.select(col("user_id"), col("recency"), col("frequency"),
+          col("monetaryd").cast("double").as("monetary"),
+          col("r_score").cast("int").as("r_score"),
+          col("f_score").cast("int").as("f_score"),
+          col("m_score").cast("int").as("m_score"),
+          when(tot >= 13, "champion").when(tot >= 10, "loyal")
+            .when(tot <= 5, "at_risk").otherwise("regular").as("segment"))
+        .orderBy("user_id")
     }
   )
 }

@@ -28,6 +28,36 @@ object ExtraQ {
           (h, c) => pmod(h * 31 + c, lit(1000000007L))).as("rhash"))
     },
 
+    // Market-basket pair mining (r14, part 3): top co-purchased part
+    // pairs by distinct-order support — the frequent-itemset k=2 pass
+    // (the support-counting core of Apriori/FP-growth; higher-k rounds
+    // iterate the same join against surviving pairs). The self-join
+    // fan-out is bounded by per-order basket size C(b,2), never
+    // |parts|²; one distinct, one equi-join, one count, a top-20 total
+    // order — all order-keyed shuffles.
+    QueryDef(
+      "ext_copurchase_pairs",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_orders FROM pairs
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey").distinct()
+      op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    },
+
     // Winnowing fingerprints (r14, part 3 — Schleimer/Wilkerson/Aiken
     // SIGMOD'03, the MOSS algorithm): per document, hash every token
     // 4-gram, slide a 5-gram window over the hash sequence, keep each

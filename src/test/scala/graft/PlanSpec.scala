@@ -415,6 +415,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rfm + copurchase: no global window, no cartesian") {
+    val p1 = plan("evt_rfm_segments")
+    assert(!p1.matches("(?s).*Window.*SinglePartition.*"),
+      s"RFM must ride GlobalRank, not a global NTILE window:\n${p1.take(1500)}")
+    val p2 = plan("ext_copurchase_pairs")
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"),
+      s"basket self-join must stay order-keyed:\n${p2.take(1500)}")
+  }
+
   test("tpch q6: every predicate pushed to the scan, no join anywhere") {
     val p = plan("sql_tpch_q6")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString

@@ -70,6 +70,25 @@ class EventsSpec extends SparkSpec {
       "2024-01-10" -> ((1L, 1L, 1.0))))
   }
 
+  test("evt_rfm_segments: quintile scores and segment cut-offs") {
+    // user i: i events on day i, value 1.0 each -> recency, frequency,
+    // and monetary all order 1 < 2 < ... < 5, so scores are (i, i, i)
+    // and totals 3i hit every segment boundary
+    val dir = writeEvents((1 to 5).flatMap(i =>
+      (0 until i).map(j => (i.toLong, "view", ts(i, j)))))
+    val out = graft.SparkEntry.queries("evt_rfm_segments")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))).toMap
+    (1 to 5).foreach(i =>
+      assert(out(i.toLong)._1 == i && out(i.toLong)._2 == i
+        && out(i.toLong)._3 == i, s"user $i scores: ${out(i.toLong)}"))
+    assert(out(1L)._4 === "at_risk")   // total 3
+    assert(out(2L)._4 === "regular")   // total 6
+    assert(out(3L)._4 === "regular")   // total 9
+    assert(out(4L)._4 === "loyal")     // total 12
+    assert(out(5L)._4 === "champion")  // total 15
+  }
+
   test("evt_retention_cohort: offsets count distinct active users") {
     // two users first-seen in week of Jan 1 (Mon); one returns two weeks
     // later twice in the same week (distinct!), the other never returns.
