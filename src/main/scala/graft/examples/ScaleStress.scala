@@ -161,7 +161,12 @@ object ScaleStress {
     "doc_winnowing",
     "ts_cross_corr",
     "emb_pca_whiten",
-    "emb_mips_topk")
+    "emb_mips_topk",
+    // r14 part 3b: RFM (user-frame GlobalRank passes — linear) and
+    // basket pairs (per-order C(b,2) fan-out on disjoint replicas —
+    // linear)
+    "evt_rfm_segments",
+    "ext_copurchase_pairs")
 
   /** Replicated (l_orderkey, l_suppkey) lineitem projection — replica
     * i shifts orderkey by i·10⁹ and suppkey by i·10⁷, so the supplier
@@ -177,11 +182,15 @@ object ScaleStress {
     val fs = new java.io.File(s"$out/lineitem.parquet/_SUCCESS")
     if (fs.exists()) return
     val base = spark.read.parquet(s"$src/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
     val replicated = (0 until factor).map { i =>
       base.select(
         (col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
-        (col("l_suppkey") + lit(i.toLong * 10000000L)).as("l_suppkey"))
+        (col("l_suppkey") + lit(i.toLong * 10000000L)).as("l_suppkey"),
+        // r14 part 3b: partkey rides along (same disjoint-shift law) so
+        // the basket-mining row can ride this fixture; the kNN rows
+        // project it away at the parquet scan
+        (col("l_partkey") + lit(i.toLong * 10000000L)).as("l_partkey"))
     }.reduce(_ unionByName _)
     replicated.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
@@ -330,7 +339,7 @@ object ScaleStress {
     // does not replicate — build the 2-column projection on demand
     val graphNames = Set("ext_triangle_count", "ext_clustering_coeff",
       "ext_kcore", "kcore_scale", "ext_link_prediction", "ext_bfs_distance",
-      "ext_random_walk")
+      "ext_random_walk", "ext_copurchase_pairs")
     if (names.exists(graphNames)) buildLineitemFixture(spark, src, out, factor)
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
