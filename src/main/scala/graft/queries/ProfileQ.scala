@@ -218,6 +218,76 @@ object ProfileQ {
         .agg(floor(sum("u").cast("double") / lit(1.0e6) + lit(0.5))
           .cast("long").as("psi_u6"))
         .orderBy("event_type")
+    },
+
+    // Data-quality expectation suite (r14, part 3): the declarative
+    // check battery (Great-Expectations shape) a pipeline gates a
+    // snapshot on before publishing — range, positivity, null-rate,
+    // calendar-bound, and referential-integrity checks, each reported
+    // as (n_rows, n_violations, pass). One conditional-aggregation
+    // scan per table plus ONE anti-join for the FK check — never a
+    // per-check scan; every count exact integers.
+    QueryDef(
+      "profile_expectations",
+      """WITH li AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 60 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+        |                         OR o_orderdate >= TIMESTAMP '2003-01-01 00:00:00'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+        |  FROM orders),
+        |fk AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS v_fk
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |cu AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT) AS v_null
+        |  FROM customer)
+        |SELECT chk, n_rows, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'lineitem.quantity_in_1_60' AS chk, li.n AS n_rows, li.v_qty AS n_violations FROM li
+        |  UNION ALL SELECT 'lineitem.discount_in_0_0.1', li.n, li.v_disc FROM li
+        |  UNION ALL SELECT 'orders.totalprice_positive', o.n, o.v_price FROM o
+        |  UNION ALL SELECT 'orders.orderdate_in_calendar', o.n, o.v_date FROM o
+        |  UNION ALL SELECT 'orders.custkey_fk_customer', o.n, fk.v_fk FROM o, fk
+        |  UNION ALL SELECT 'customer.acctbal_not_null', cu.n, cu.v_null FROM cu)
+        |ORDER BY chk""".stripMargin) { (s, d) =>
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L)).cast("long")
+      val li = Tables.lineitem(s, d).agg(
+        count(lit(1)).cast("long").as("n"),
+        cnt(col("l_quantity") < 1 || col("l_quantity") > 60).as("v_qty"),
+        cnt(col("l_discount") < 0 || col("l_discount") > 0.1).as("v_disc"))
+      val orders = Tables.orders(s, d)
+      val o = orders.agg(
+        count(lit(1)).cast("long").as("n"),
+        cnt(col("o_totalprice") <= 0).as("v_price"),
+        cnt(col("o_orderdate") < lit("1992-01-01").cast("timestamp")
+          || col("o_orderdate") >= lit("2003-01-01").cast("timestamp"))
+          .as("v_date"))
+      val vFk = orders.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("v_fk"))
+      val cu = Tables.customer(s, d).agg(
+        count(lit(1)).cast("long").as("n"),
+        (count(lit(1)) - count(col("c_acctbal"))).cast("long").as("v_null"))
+      def row(name: String, one: org.apache.spark.sql.DataFrame,
+          viol: String, nCol: String = "n") =
+        one.select(lit(name).as("chk"), col(nCol).as("n_rows"),
+          col(viol).as("n_violations"))
+      row("lineitem.quantity_in_1_60", li, "v_qty")
+        .unionAll(row("lineitem.discount_in_0_0.1", li, "v_disc"))
+        .unionAll(row("orders.totalprice_positive", o, "v_price"))
+        .unionAll(row("orders.orderdate_in_calendar", o, "v_date"))
+        .unionAll(row("orders.custkey_fk_customer",
+          o.crossJoin(vFk), "v_fk"))
+        .unionAll(row("customer.acctbal_not_null", cu, "v_null"))
+        .withColumn("pass", col("n_violations") === 0)
+        .orderBy("chk")
     }
   )
 

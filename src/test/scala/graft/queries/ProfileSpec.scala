@@ -116,4 +116,34 @@ class ProfileSpec extends SparkSpec {
     // 0.2 (the conventional investigate line) = 200_000 micro-units
     assert(out("shifted") > 200000L, s"planted shift not flagged: ${out("shifted")}")
   }
+
+  test("profile_expectations: planted violations counted per check") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("expect").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // lineitem: one quantity violation (0), one discount violation (0.5)
+    Seq((1L, 5.0, 0.02), (2L, 0.0, 0.03), (3L, 10.0, 0.5))
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // orders: one non-positive price, one out-of-calendar date, one
+    // dangling custkey (77)
+    Seq((1L, 10L, 100.0, ts("1995-06-01")),
+        (2L, 11L, -5.0, ts("1996-06-01")),
+        (3L, 77L, 50.0, ts("2050-01-01")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    // customer: one null acctbal
+    Seq((10L, Some(5.0)), (11L, None))
+      .toDF("c_custkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = graft.SparkEntry.queries("profile_expectations")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("lineitem.quantity_in_1_60") === ((1L, false)))
+    assert(out("lineitem.discount_in_0_0.1") === ((1L, false)))
+    assert(out("orders.totalprice_positive") === ((1L, false)))
+    assert(out("orders.orderdate_in_calendar") === ((1L, false)))
+    assert(out("orders.custkey_fk_customer") === ((1L, false)))
+    assert(out("customer.acctbal_not_null") === ((1L, false)))
+  }
 }
