@@ -166,7 +166,25 @@ object ScaleStress {
     // basket pairs (per-order C(b,2) fan-out on disjoint replicas —
     // linear)
     "evt_rfm_segments",
-    "ext_copurchase_pairs")
+    "ext_copurchase_pairs",
+    // r15: audit family — snapshot diff is ONE full-outer SMJ on the
+    // replicated order key (expected linear), reconciliation is one
+    // fact-side partial agg + a key-colocated join (expected linear in
+    // lineitem rows); both ride the orders/lineitem-money fixtures
+    "etl_snapshot_diff",
+    "etl_reconcile_totals",
+    // r15: Pareto skyline — the bucket prefilter must keep the decision
+    // windows bucket-local as parts replicate (expected linear scan +
+    // tiny bucket table; the frontier itself is duplicated per replica)
+    "ext_skyline",
+    // r15: inverted-index build — distinct + capped-postings window +
+    // agg, all keyed on (term) (expected ~linear in token volume;
+    // postings stay 20-capped however hot the stop-words get)
+    "doc_inverted_index",
+    // r15: event-time range join — per-user fan-out is views×purchases
+    // within the hour; replicas add FRESH users to the same window, so
+    // pair output and cost must scale ~linearly with the factor
+    "join_view_purchase_window")
 
   /** Replicated (l_orderkey, l_suppkey) lineitem projection — replica
     * i shifts orderkey by i·10⁹ and suppkey by i·10⁷, so the supplier
@@ -179,10 +197,14 @@ object ScaleStress {
     * (graph names requested). */
   def buildLineitemFixture(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
-    val fs = new java.io.File(s"$out/lineitem.parquet/_SUCCESS")
+    // v2 marker (r15): the fixture gained the money columns — a v1
+    // 3-column fixture on disk rebuilds rather than failing the audit
+    // rows with a missing-column error
+    val fs = new java.io.File(s"$out/_built_li_v2_x$factor")
     if (fs.exists()) return
     val base = spark.read.parquet(s"$src/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
     val replicated = (0 until factor).map { i =>
       base.select(
         (col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
@@ -190,9 +212,56 @@ object ScaleStress {
         // r14 part 3b: partkey rides along (same disjoint-shift law) so
         // the basket-mining row can ride this fixture; the kNN rows
         // project it away at the parquet scan
-        (col("l_partkey") + lit(i.toLong * 10000000L)).as("l_partkey"))
+        (col("l_partkey") + lit(i.toLong * 10000000L)).as("l_partkey"),
+        // r15: money columns ride unchanged (the reconciliation row
+        // recomputes per-order totals from them; replicas keep the base
+        // per-order arithmetic exactly, keyed under the shifted order)
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
     }.reduce(_ unionByName _)
     replicated.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    fs.createNewFile(): Unit
+  }
+
+  /** Replicated orders with the SAME 1e9 orderkey stride as the
+    * lineitem fixture, so header/detail keys stay consistent across
+    * replicas (the reconciliation row joins them). Prices, statuses and
+    * dates ride unchanged — the snapshot-diff derivation rules (%97 /
+    * %13 / %89) hit shifted keys at the same rates. */
+  private def buildOrdersFixture(spark: SparkSession, src: String,
+      out: String, factor: Int): Unit = {
+    val fs = new java.io.File(s"$out/_built_orders_x$factor")
+    if (fs.exists()) return
+    new java.io.File(out).mkdirs()
+    val base = spark.read.parquet(s"$src/orders.parquet")
+    val replicated = (0 until factor).map { i =>
+      base.select(
+        (col("o_orderkey") + lit(i.toLong * 1000000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(i.toLong * 1000000000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+    replicated.write.mode("overwrite").parquet(s"$out/orders.parquet")
+    fs.createNewFile(): Unit
+  }
+
+  /** Replicated part: keys shift, (price, size) ride unchanged — each
+    * replica re-plants the SAME Pareto frontier, so the skyline OUTPUT
+    * grows by the factor while the dominated mass (the pruning claim
+    * under test) grows identically. */
+  private def buildPartFixture(spark: SparkSession, src: String,
+      out: String, factor: Int): Unit = {
+    val fs = new java.io.File(s"$out/_built_part_x$factor")
+    if (fs.exists()) return
+    new java.io.File(out).mkdirs()
+    val base = spark.read.parquet(s"$src/part.parquet")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val replicated = (0 until factor).map { i =>
+      base.select(
+        (col("p_partkey") + lit(i.toLong * 1000000000L)).as("p_partkey"),
+        col("p_retailprice"), col("p_size"))
+    }.reduce(_ unionByName _)
+    replicated.write.mode("overwrite").parquet(s"$out/part.parquet")
+    fs.createNewFile(): Unit
   }
 
   /** Rotation + rep-seeded sign flips: orthogonal, so norm and
@@ -341,6 +410,13 @@ object ScaleStress {
       "ext_kcore", "kcore_scale", "ext_link_prediction", "ext_bfs_distance",
       "ext_random_walk", "ext_copurchase_pairs")
     if (names.exists(graphNames)) buildLineitemFixture(spark, src, out, factor)
+    // r15 audit/skyline rows: header + detail-money + part fixtures
+    if (names.contains("etl_reconcile_totals"))
+      buildLineitemFixture(spark, src, out, factor)
+    if (names.contains("etl_snapshot_diff") || names.contains("etl_reconcile_totals"))
+      buildOrdersFixture(spark, src, out, factor)
+    if (names.contains("ext_skyline"))
+      buildPartFixture(spark, src, out, factor)
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
       s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")

@@ -1547,6 +1547,47 @@ object CurateQ {
           coalesce(lit(2L) * col("n_common") >= col("n_sh"), lit(false))
             .as("contaminated"))
         .orderBy("bench_id")
+    },
+
+    // Inverted-index build (r15): the postings-list construction under
+    // every BM25/keyword retrieval system (ext_bm25_topk SCORES against
+    // such an index; this row BUILDS one). Per term: document frequency
+    // over the whole corpus plus the first-20-docs postings list. The
+    // cap is applied BEFORE any list materializes — a row_number window
+    // keyed on term keeps at most 20 doc ids per term in flight, so a
+    // stop-word's postings never buffer corpus-sized state (the naive
+    // collect-then-slice would); df still counts every doc. One shuffle
+    // on (doc_id, term) for the distinct, one on term reused by both
+    // the window and the aggregate; top-100 terms ride TakeOrdered.
+    // Postings emit as to_json on both engines (array-cell discipline).
+    QueryDef(
+      "doc_inverted_index",
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        |  FROM documents),
+        |rk AS (
+        |  SELECT term, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM tok WHERE term <> '')
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |       CAST(to_json(list_sort(list(doc_id) FILTER (WHERE rn <= 20)))
+        |            AS VARCHAR) AS postings
+        |FROM rk GROUP BY term
+        |ORDER BY df DESC, term LIMIT 100""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        .filter(col("term") =!= "")
+        .distinct()
+      val wT = Window.partitionBy("term").orderBy("doc_id")
+      tok.withColumn("rn", row_number().over(wT))
+        .groupBy("term")
+        .agg(count(lit(1)).cast("long").as("df"),
+          to_json(array_sort(collect_list(
+            when(col("rn") <= 20, col("doc_id"))))).as("postings"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(100)
     }
   )
 

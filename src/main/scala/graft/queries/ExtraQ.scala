@@ -822,6 +822,38 @@ object ExtraQ {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), Det.dsum2(col("x")).as("sum_x"))
         .orderBy("bucket")
+    },
+
+    // 2-D Pareto skyline (r15): parts no other part dominates on
+    // (minimize p_retailprice, maximize p_size) — the multi-objective
+    // shortlist query (cheapest-per-capability frontier). The ORACLE is
+    // the O(n^2) NOT EXISTS dominance definition; the Spark side is the
+    // distributed sweep (operators/Skyline.pareto2d, property-tested
+    // against the brute-force definition on random frontiers):
+    // bucket by integer dollar (price-monotone, so
+    // every lower bucket is strictly cheaper), compute the per-bucket
+    // max-size table (TINY: cardinality = price domain in dollars,
+    // independent of row count) and its strictly-lower-bucket running
+    // max, then decide each row with bucket-LOCAL windows only — a row
+    // survives iff it has the max size at its exact price, beats every
+    // strictly-cheaper price in its bucket, and beats the carried
+    // lower-bucket max. The only non-keyed window rides the tiny bucket
+    // aggregate (GlobalRank boundary discipline); everything row-scaled
+    // shuffles on (bucket) or (bucket, price). Equal (price, size) ties
+    // are mutually non-dominating and both survive — both algorithms
+    // agree by construction.
+    QueryDef(
+      "ext_skyline",
+      """SELECT p_partkey, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      graft.operators.Skyline
+        .pareto2d(Tables.part(s, d), "p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
     }
   )
 

@@ -248,10 +248,22 @@ object JoinsExtQ {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
       // idempotent per (session, sf dir): rewrite the bucketed copies
-      // only when the source dir changes (overwrite is atomic enough
-      // for the sequential Verify/Bench harnesses)
+      // only when the source dir changes. A FRESH session can inherit a
+      // stale warehouse directory from an earlier JVM without the
+      // catalog entry (in-memory catalog), where saveAsTable refuses
+      // the existing location — drop the table AND its physical dir
+      // before rewriting.
       val marker = s"graft.bucketed.src"
       if (s.conf.getOption(marker).forall(_ != d)) {
+        def reset(name: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), name)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true): Unit
+        }
+        reset("graft_li_bucketed")
+        reset("graft_orders_bucketed")
         Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -268,6 +280,39 @@ object JoinsExtQ {
         .groupBy("o_orderpriority")
         .agg(graft.Det.dsum2(col("l_quantity")).as("sum_qty"),
           count(lit(1)).cast("long").as("n_items"))
+    },
+
+    // Event-time range join (r15): every (view, purchase) pair by the
+    // same user with the purchase inside [view, view + 1h) — the
+    // click-attribution join shape, and the batch twin of the native
+    // stream-stream interval join (streaming/WindowJoin, ELEVENTH
+    // batch/stream parity pair — there the same key+range condition
+    // runs with two watermarked streams and bounded join state). Batch
+    // plan: one shuffle of each filtered side on user_id, SMJ on the
+    // equi-key with the time band as a post-filter; per-user fan-out is
+    // views x purchases within an hour, never |events|². Pushed
+    // filters prune each scan to one event_type.
+    QueryDef(
+      "join_view_purchase_window",
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) < CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("vts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("pts"))
+      v.join(p, col("user_id") === col("p_user")
+          && col("pts") >= col("vts")
+          && col("pts") < col("vts") + expr("INTERVAL 1 HOUR"))
+        .select("user_id", "view_id", "purchase_id")
+        .orderBy("view_id", "purchase_id")
     }
   )
 }

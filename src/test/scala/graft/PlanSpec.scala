@@ -461,6 +461,53 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("snapshot diff: one equi-keyed full-outer join, never BNLJ") {
+    val p = plan("etl_snapshot_diff")
+    assert(p.contains("FullOuter"),
+      s"diff should plan a full-outer join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff join must stay equi-keyed:\n${p.take(1500)}")
+  }
+
+  test("reconciliation: fact aggregates map-side before the header join") {
+    val p = plan("etl_reconcile_totals")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2,
+      s"per-order recompute should partial-aggregate, got $hashAggs:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"header join must stay equi-keyed:\n${p.take(1500)}")
+  }
+
+  test("skyline: decision windows are bucket-local, never a global row sweep") {
+    val p = plan("ext_skyline")
+    // the per-row path must not sort the whole table into one partition:
+    // every SinglePartition exchange must feed only the tiny per-bucket
+    // aggregate (max p_size per dollar bucket), whose input is already
+    // aggregated. Assert the row-scaled window is partitioned by bucket.
+    assert(p.matches("(?s).*Window.*p_retailprice.*"),
+      s"bucket-local window missing:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"skyline must not plan the O(n^2) dominance join:\n${p.take(1500)}")
+  }
+
+  test("inverted index: postings cap rides a term-keyed window + agg") {
+    val p = plan("doc_inverted_index")
+    assert(!p.contains("SinglePartition") || p.contains("TakeOrdered"),
+      s"only the final top-100 may funnel:\n${p.take(2000)}")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2,
+      s"df count should partial-aggregate, got $hashAggs:\n${p.take(1500)}")
+  }
+
+  test("event-time range join stays equi-keyed on user with a band filter") {
+    val p = plan("join_view_purchase_window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must use the user_id equi-key:\n${p.take(1500)}")
+    assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(event_type.*"),
+      "event_type filters should reach the scan:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
