@@ -184,7 +184,12 @@ object ScaleStress {
     // r15: event-time range join — per-user fan-out is views×purchases
     // within the hour; replicas add FRESH users to the same window, so
     // pair output and cost must scale ~linearly with the factor
-    "join_view_purchase_window")
+    "join_view_purchase_window",
+    // r15: Borůvka spanning backbone on the replicated co-order kNN
+    // graph — disjoint replicas keep per-round pick joins linear; the
+    // budget grows only as ceil(log2 n)+1, so total cost must track
+    // n log n (the rounds are keyed shuffles of the shrinking comp set)
+    "ext_mst_backbone")
 
   /** Replicated (l_orderkey, l_suppkey) lineitem projection — replica
     * i shifts orderkey by i·10⁹ and suppkey by i·10⁷, so the supplier
@@ -408,7 +413,7 @@ object ScaleStress {
     // does not replicate — build the 2-column projection on demand
     val graphNames = Set("ext_triangle_count", "ext_clustering_coeff",
       "ext_kcore", "kcore_scale", "ext_link_prediction", "ext_bfs_distance",
-      "ext_random_walk", "ext_copurchase_pairs")
+      "ext_random_walk", "ext_copurchase_pairs", "ext_mst_backbone")
     if (names.exists(graphNames)) buildLineitemFixture(spark, src, out, factor)
     // r15 audit/skyline rows: header + detail-money + part fixtures
     if (names.contains("etl_reconcile_totals"))

@@ -411,4 +411,101 @@ object Graph {
     higher.foldLeft(base)(_ unionAll _)
       .groupBy("node").agg(max(col("k")).as("coreness"))
   }
+
+  /** Distributed Borůvka maximum-affinity spanning forest (r15) — the
+    * single-linkage clustering backbone (cut it at an affinity
+    * threshold and the components ARE the single-link clusters; it is
+    * also the skeleton HDBSCAN builds on). Input: undirected weighted
+    * edges (a < b, w), deduped; output: the chosen backbone edges.
+    *
+    * Borůvka is THE distributed MST algorithm (GHS '83 lineage): each
+    * round every component picks its best incident edge under the
+    * TOTAL order (w DESC, a, b) — totality makes the pick
+    * deterministic AND guarantees the picked comp-graph has no cycles
+    * beyond mutual 2-cycles — then components contract by hooking each
+    * comp to its pick's other endpoint, breaking 2-cycles toward the
+    * smaller id, and pointer-jumping `jumps` times. Component count at
+    * least halves per round, so `rounds = ceil(log2 n) + 1` fully
+    * converges and `jumps` of the same size covers any hook-chain
+    * depth (callers derive both from the node count — the
+    * ext_mst_backbone lazy oracle derives the SAME numbers, so the
+    * unrolled SQL twin is bit-identical by construction). A converged
+    * round picks nothing and every later round is a no-op, so the
+    * Spark loop may early-exit while the fixed-round oracle cannot —
+    * same output.
+    *
+    * Scale shape: per round, two node-keyed joins to map endpoints to
+    * comps, one comp-keyed window for the pick, `jumps` self-joins of
+    * the COMP-sized parent table (components, not rows — it shrinks
+    * geometrically), and a localCheckpoint cut (the CC/BFS loop
+    * discipline). Nothing global, nothing driver-side; O(log n) rounds
+    * of keyed shuffles at any scale. */
+  def maxSpanningBackbone(undw: DataFrame, rounds: Int, jumps: Int)
+      : DataFrame = {
+    require(rounds >= 1 && jumps >= 1)
+    // localCheckpoint + DROP origin statistics. Spark 4's LogicalRDD
+    // carries originStats THROUGH localCheckpoint, so the multiplicative
+    // join-size estimates of this loop (per-round pick joins + `jumps`
+    // parent self-joins) snowball across rounds — by round ~5 the BigInt
+    // sizeInBytes exceeds BigInteger's supported range and stats
+    // estimation itself throws. Rebuilding from the checkpointed RDD
+    // resets the estimate to the default; the tables this guards are
+    // component-sized, so the extra row-codec hop is noise.
+    def cut(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint()
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    var comp = cut(undw.select(col("a").as("node"))
+      .unionAll(undw.select(col("b").as("node")))
+      .distinct().withColumn("comp", col("node")))
+    val e = cut(undw.select("a", "b", "w"))
+    var chosen: DataFrame = null
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val ce = e
+        .join(comp.select(col("node").as("a"), col("comp").as("ca")), "a")
+        .join(comp.select(col("node").as("b"), col("comp").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+      val dir = ce.select(col("ca").as("c"), col("cb").as("oc"),
+          col("a"), col("b"), col("w"))
+        .unionAll(ce.select(col("cb").as("c"), col("ca").as("oc"),
+          col("a"), col("b"), col("w")))
+      val best = dir.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("c")
+            .orderBy(col("w").desc, col("a"), col("b"))))
+        .filter(col("rn") === 1)
+        .select("c", "oc", "a", "b", "w")
+      val bestCut = cut(best)
+      val picked = cut(bestCut.select("a", "b", "w").distinct())
+      done = picked.isEmpty
+      if (!done) {
+        // picks are already checkpointed; the union of <= `rounds` of
+        // them accumulates additively (no estimate snowball, no deep
+        // lineage), so it needs no checkpoint job of its own
+        chosen =
+          if (chosen == null) picked
+          else chosen.unionAll(picked)
+        // hook every comp to its pick's other comp (self if none picked)
+        var par = comp.select(col("comp").as("c")).distinct()
+          .join(bestCut.select(col("c"), col("oc").as("p")), Seq("c"), "left")
+          .withColumn("p", coalesce(col("p"), col("c")))
+        // break the mutual 2-cycles toward the smaller comp id
+        par = cut(par.as("x")
+          .join(par.as("y"), col("x.p") === col("y.c"))
+          .select(col("x.c").as("c"),
+            when(col("y.p") === col("x.c") && col("x.c") < col("x.p"),
+              col("x.c")).otherwise(col("x.p")).as("p")))
+        for (_ <- 1 to jumps) {
+          par = cut(par.as("x").join(par.as("y"), col("x.p") === col("y.c"))
+            .select(col("x.c").as("c"), col("y.p").as("p")))
+        }
+        comp = cut(comp.as("m")
+          .join(par, col("m.comp") === col("c"))
+          .select(col("m.node").as("node"), col("p").as("comp")))
+      }
+      r += 1
+    }
+    if (chosen == null) e.filter(lit(false)) else chosen.distinct()
+  }
 }

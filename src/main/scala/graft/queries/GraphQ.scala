@@ -676,6 +676,145 @@ object GraphQ {
       graft.ext.Graph.randomWalks(knnUnd(s, d), steps = WalkSteps,
           startMod = 5)
         .orderBy("walk_id", "step")
+    },
+
+    // Maximum-affinity spanning backbone (r15): Borůvka over the
+    // weighted supplier co-order kNN graph — the single-linkage
+    // clustering skeleton (threshold the backbone and the components
+    // ARE the single-link clusters; HDBSCAN builds on the same tree).
+    // The distributed algorithm lives in ext/Graph.maxSpanningBackbone
+    // (per-round comp-keyed picks + hook + pointer-jump contraction,
+    // O(log n) rounds); the LAZY oracle unrolls the IDENTICAL
+    // truncated algorithm as MATERIALIZED CTEs — round and jump
+    // budgets derive from the node count the same way on both sides,
+    // so convergence (and any truncation) is shared bit-for-bit, the
+    // ext_kcore/ext_bfs_distance discipline. Determinism: every pick
+    // uses the TOTAL edge order (w DESC, a, b); totality is also what
+    // limits pick-graph cycles to mutual 2-cycles, so the smaller-id
+    // break yields a forest each round. MstSpec pins the result
+    // against in-JVM Prim on the same edges.
+    QueryDef.lazyOracle("ext_mst_backbone") { (s, d) =>
+      val budget = mstBudget(knnNodeCount(s, d))
+      mstOracleSql(budget, budget)
+    } { (s, d) =>
+      val undw = knnUndW(s, d)
+      val budget = mstBudget(
+        undw.select(col("a").as("n")).unionAll(undw.select(col("b").as("n")))
+          .distinct().count())
+      graft.ext.Graph.maxSpanningBackbone(undw, budget, budget)
+        .orderBy("a", "b")
     }
   )
+
+  /** Weighted twin of [[knnUnd]]: keeps the co-order count as the edge
+    * affinity w (symmetric by construction, MAX is a no-op collapse of
+    * the two directions). */
+  private def knnUndW(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val co = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_suppkey") =!= col("y.l_suppkey"))
+      .groupBy(col("x.l_suppkey").as("u"), col("y.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val knnw = co
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("c").desc, col("v"))))
+      .filter(col("rn") <= 3)
+    knnw.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"), col("c"))
+      .groupBy("a", "b").agg(max(col("c")).as("w"))
+      .localCheckpoint()
+  }
+
+  /** Node count of the weighted kNN graph — the shared input to
+    * [[mstBudget]] on both the Spark and oracle sides. */
+  private def knnNodeCount(s: org.apache.spark.sql.SparkSession,
+      d: String): Long = {
+    val undw = knnUndW(s, d)
+    undw.select(col("a").as("n")).unionAll(undw.select(col("b").as("n")))
+      .distinct().count()
+  }
+
+  /** ceil(log2 n) + 1: Borůvka component count at least halves per
+    * round, and hook-chains are depth-bounded by the component count —
+    * so this budget serves both rounds and jumps. */
+  private def mstBudget(n: Long): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(n, 2).toDouble) / math.log(2.0)).toInt + 1)
+
+  /** One unrolled Borůvka round over CTEs `undw` (a, b, w) and
+    * `cmp{r-1}` (node, comp): per-comp best pick under the total order
+    * (w DESC, a, b), hook, 2-cycle break toward the smaller comp id,
+    * `jumps` pointer jumps, contracted `cmp{r}`. MATERIALIZED — every
+    * stage is referenced at least twice. */
+  private def mstRoundSql(r: Int, jumps: Int): String = {
+    val prev = s"cmp${r - 1}"
+    val jumpCtes = (1 to jumps).map { j =>
+      val pj = if (j == 1) s"parc$r" else s"parj${r}_${j - 1}"
+      s"""parj${r}_$j AS MATERIALIZED (
+         |  SELECT x.c AS c, y.p AS p FROM $pj x JOIN $pj y ON x.p = y.c)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""ce$r AS MATERIALIZED (
+       |  SELECT e.a, e.b, e.w, x.comp AS ca, y.comp AS cb
+       |  FROM undw e JOIN $prev x ON e.a = x.node
+       |              JOIN $prev y ON e.b = y.node
+       |  WHERE x.comp <> y.comp),
+       |best$r AS MATERIALIZED (
+       |  SELECT c, oc, a, b, w FROM (
+       |    SELECT c, oc, a, b, w,
+       |           ROW_NUMBER() OVER (PARTITION BY c
+       |                              ORDER BY w DESC, a, b) AS rn
+       |    FROM (SELECT ca AS c, cb AS oc, a, b, w FROM ce$r
+       |          UNION ALL SELECT cb AS c, ca AS oc, a, b, w FROM ce$r))
+       |  WHERE rn = 1),
+       |pick$r AS MATERIALIZED (SELECT DISTINCT a, b, w FROM best$r),
+       |par${r}_0 AS MATERIALIZED (
+       |  SELECT ac.comp AS c, COALESCE(bs.oc, ac.comp) AS p
+       |  FROM (SELECT DISTINCT comp FROM $prev) ac
+       |  LEFT JOIN best$r bs ON ac.comp = bs.c),
+       |parc$r AS MATERIALIZED (
+       |  SELECT x.c AS c,
+       |         CASE WHEN y.p = x.c AND x.c < x.p THEN x.c ELSE x.p END AS p
+       |  FROM par${r}_0 x JOIN par${r}_0 y ON x.p = y.c),
+       |$jumpCtes,
+       |cmp$r AS MATERIALIZED (
+       |  SELECT m.node, j.p AS comp
+       |  FROM $prev m JOIN parj${r}_$jumps j ON m.comp = j.c)""".stripMargin
+  }
+
+  /** Full unrolled-Borůvka oracle: weighted-graph prologue + `rounds`
+    * rounds + the deduped union of every round's picks. */
+  private def mstOracleSql(rounds: Int, jumps: Int): String = {
+    val prologue =
+      """WITH co AS MATERIALIZED (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+        |         COUNT(DISTINCT a.l_orderkey) AS c
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        |  GROUP BY 1, 2),
+        |knnw AS (SELECT u, v, c FROM (
+        |  SELECT u, v, c, ROW_NUMBER() OVER (PARTITION BY u
+        |                                     ORDER BY c DESC, v) AS rn
+        |  FROM co) WHERE rn <= 3),
+        |undw AS MATERIALIZED (
+        |  SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b, MAX(c) AS w
+        |  FROM knnw GROUP BY 1, 2),
+        |cmp0 AS MATERIALIZED (
+        |  SELECT node, node AS comp FROM (
+        |    SELECT a AS node FROM undw UNION SELECT b AS node FROM undw))"""
+        .stripMargin
+    val body = (1 to rounds).map(mstRoundSql(_, jumps)).mkString(",\n")
+    val union = (1 to rounds).map(r => s"SELECT a, b, w FROM pick$r")
+      .mkString("\n  UNION ALL ")
+    s"""$prologue,
+       |$body
+       |SELECT a, b, CAST(w AS BIGINT) AS w FROM (
+       |  SELECT DISTINCT a, b, w FROM (
+       |  $union))
+       |ORDER BY a, b""".stripMargin
+  }
 }
