@@ -189,7 +189,15 @@ object ScaleStress {
     // graph — disjoint replicas keep per-round pick joins linear; the
     // budget grows only as ceil(log2 n)+1, so total cost must track
     // n log n (the rounds are keyed shuffles of the shrinking comp set)
-    "ext_mst_backbone")
+    "ext_mst_backbone",
+    // r15 part 2: Theil–Sen (pair mass is series-length-bounded —
+    // expected FLAT like acf/cross_corr), Gini + equi-depth deciles
+    // (GlobalRank two-passes over user-/order-sized frames — linear),
+    // assortativity (degree-join over 3n edges — linear)
+    "ts_theil_sen",
+    "evt_gini",
+    "profile_histogram_eqdepth",
+    "ext_assortativity")
 
   /** Replicated (l_orderkey, l_suppkey) lineitem projection — replica
     * i shifts orderkey by i·10⁹ and suppkey by i·10⁷, so the supplier
@@ -413,12 +421,14 @@ object ScaleStress {
     // does not replicate — build the 2-column projection on demand
     val graphNames = Set("ext_triangle_count", "ext_clustering_coeff",
       "ext_kcore", "kcore_scale", "ext_link_prediction", "ext_bfs_distance",
-      "ext_random_walk", "ext_copurchase_pairs", "ext_mst_backbone")
+      "ext_random_walk", "ext_copurchase_pairs", "ext_mst_backbone",
+      "ext_assortativity")
     if (names.exists(graphNames)) buildLineitemFixture(spark, src, out, factor)
     // r15 audit/skyline rows: header + detail-money + part fixtures
     if (names.contains("etl_reconcile_totals"))
       buildLineitemFixture(spark, src, out, factor)
-    if (names.contains("etl_snapshot_diff") || names.contains("etl_reconcile_totals"))
+    if (names.contains("etl_snapshot_diff") || names.contains("etl_reconcile_totals")
+        || names.contains("profile_histogram_eqdepth"))
       buildOrdersFixture(spark, src, out, factor)
     if (names.contains("ext_skyline"))
       buildPartFixture(spark, src, out, factor)

@@ -399,6 +399,52 @@ object EventsQ {
           when(tot >= 13, "champion").when(tot >= 10, "loyal")
             .when(tot <= 5, "at_risk").otherwise("regular").as("segment"))
         .orderBy("user_id")
+    },
+
+    // Gini concentration of per-user event volume (r15): the
+    // inequality summary every abuse/engagement dashboard carries —
+    // G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx) over counts ranked ascending
+    // (the closed rank form of the Lorenz-curve integral). Every term
+    // is an exact BIGINT sum (rn ≤ users, x ≤ events per user — the
+    // product stays far inside long range at any plausible scale), so
+    // only the final division is floating point (one IEEE op,
+    // identical cross-engine, emitted on the u6 grid). The ORACLE
+    // spells the rank as the global ROW_NUMBER window; the Spark side
+    // rides the GlobalRank two-pass — no single-partition window
+    // (the rfm/quality_threshold discipline).
+    QueryDef(
+      "evt_gini",
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY user_id),
+        |rk AS (
+        |  SELECT cnt,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS BIGINT) AS rn
+        |  FROM u),
+        |ag AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         CAST(SUM(cnt) AS BIGINT) AS total_events,
+        |         CAST(SUM(rn * cnt) AS BIGINT) AS rnx
+        |  FROM rk)
+        |SELECT n_users, total_events,
+        |       CAST(FLOOR(CAST(2 * rnx - (n_users + 1) * total_events AS DOUBLE)
+        |                  / CAST(n_users * total_events AS DOUBLE)
+        |                  * 1e6 + 0.5) AS BIGINT) AS gini6u
+        |FROM ag""".stripMargin) { (s, d) =>
+      import graft.operators.GlobalRank
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val (ranked, _) = GlobalRank.withGlobalRowNumber(
+        u, Seq(col("cnt"), col("user_id")), "_rn")
+      ranked.agg(
+          count(lit(1)).cast("long").as("n_users"),
+          sum(col("cnt")).cast("long").as("total_events"),
+          sum(col("_rn") * col("cnt")).cast("long").as("rnx"))
+        .select(col("n_users"), col("total_events"),
+          floor((lit(2L) * col("rnx")
+              - (col("n_users") + 1) * col("total_events")).cast("double")
+            / (col("n_users") * col("total_events")).cast("double")
+            * lit(1e6) + lit(0.5)).cast("long").as("gini6u"))
     }
   )
 }

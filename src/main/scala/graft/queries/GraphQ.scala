@@ -703,6 +703,63 @@ object GraphQ {
           .distinct().count())
       graft.ext.Graph.maxSpanningBackbone(undw, budget, budget)
         .orderBy("a", "b")
+    },
+
+    // Degree assortativity (r15): Pearson correlation of endpoint
+    // degrees over the directed edge list (each undirected edge counted
+    // both ways — Newman 2002's convention) on the supplier kNN graph.
+    // The one-number structural summary beside triangles/coreness: do
+    // hubs attach to hubs (r > 0) or to leaves (r < 0)? kNN graphs are
+    // typically disassortative — the top-3 rule caps out-degree, so
+    // high-degree nodes are the popular TARGETS of many low-degree
+    // pickers. All moments are exact BIGINT sums of degree products
+    // (deg ≤ n, m ≤ 3n — far inside long range at any scale); the only
+    // floating point is the final covariance/sqrt-variance expression,
+    // pointwise IEEE on both engines, emitted on the u6 grid.
+    QueryDef(
+      "ext_assortativity",
+      knnUndSql +
+      """,
+        |adj AS (SELECT a AS u, b AS v FROM und
+        |        UNION ALL SELECT b AS u, a AS v FROM und),
+        |dg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+        |       FROM adj GROUP BY u),
+        |de AS (
+        |  SELECT x.d AS dx, y.d AS dy
+        |  FROM adj e JOIN dg x ON e.u = x.node JOIN dg y ON e.v = y.node),
+        |ag AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+        |         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+        |         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+        |         CAST(SUM(dy * dy) AS BIGINT) AS syy
+        |  FROM de)
+        |SELECT m,
+        |       CAST(FLOOR(CAST(m * sxy - sx * sy AS DOUBLE)
+        |                  / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+        |                     * SQRT(CAST(m * syy - sy * sy AS DOUBLE)))
+        |                  * 1e6 + 0.5) AS BIGINT) AS assort6u
+        |FROM ag""".stripMargin) { (s, d) =>
+      val und = knnUnd(s, d)
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      val dg = adj.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).cast("long").as("d"))
+      val de = adj
+        .join(dg.select(col("node").as("u"), col("d").as("dx")), "u")
+        .join(dg.select(col("node").as("v"), col("d").as("dy")), "v")
+      de.agg(
+          count(lit(1)).cast("long").as("m"),
+          sum(col("dx")).cast("long").as("sx"),
+          sum(col("dy")).cast("long").as("sy"),
+          sum(col("dx") * col("dy")).cast("long").as("sxy"),
+          sum(col("dx") * col("dx")).cast("long").as("sxx"),
+          sum(col("dy") * col("dy")).cast("long").as("syy"))
+        .select(col("m"),
+          floor((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double")))
+            * lit(1e6) + lit(0.5)).cast("long").as("assort6u"))
     }
   )
 

@@ -288,6 +288,41 @@ object ProfileQ {
         .unionAll(row("customer.acctbal_not_null", cu, "v_null"))
         .withColumn("pass", col("n_violations") === 0)
         .orderBy("chk")
+    },
+
+    // Equi-DEPTH histogram (r15): decile summary of o_totalprice — the
+    // quantile sibling of agg_histogram_equi's fixed-width bins, and
+    // the statistic a query optimizer or drift monitor actually wants
+    // (equal mass per bucket, data-driven edges). The ORACLE spells
+    // NTILE(10) as the global window; the Spark side derives the SAME
+    // bucket ids from a GlobalRank two-pass + the closed-form
+    // ntileFromRn (first n%k buckets one row larger — the standard
+    // NTILE law) — no single-partition window touches the row-scaled
+    // frame (the rfm/gini discipline). Ordering is total via the
+    // (price, orderkey) tiebreak; sums on the exact decimal grid.
+    QueryDef(
+      "profile_histogram_eqdepth",
+      """WITH b AS (
+        |  SELECT o_totalprice AS x,
+        |         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MIN(x) AS lo, MAX(x) AS hi,
+        |       CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sum_x
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      import graft.operators.GlobalRank
+      val o = Tables.orders(s, d)
+        .select(col("o_totalprice").as("x"), col("o_orderkey"))
+      val (ranked, n) = GlobalRank.withGlobalRowNumber(
+        o, Seq(col("x"), col("o_orderkey")), "_rn")
+      ranked
+        .withColumn("bucket", GlobalRank.ntileFromRn(col("_rn"), n, 10))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          min(col("x")).as("lo"), max(col("x")).as("hi"),
+          graft.Det.dsum2(col("x")).as("sum_x"))
+        .orderBy("bucket")
     }
   )
 

@@ -656,6 +656,60 @@ object TimeSeriesQ {
             .otherwise(floor(col("num").cast("double")
               / (sqrt(col("dena").cast("double")) * sqrt(col("denb").cast("double")))
               * lit(1e6) + lit(0.5)).cast("long")).as("xcorr6u"))
+    },
+
+    // Theil–Sen robust trend (r15): the median of all pairwise slopes
+    // of the hourly count series, per event type — the breakdown-point-
+    // 29% trend estimator a monitoring loop prefers over least squares
+    // (one crawler outage hour cannot move it). The pair join is over
+    // the HOURLY series, whose length is span-bounded (~720 points on
+    // this fixture) and invariant to event volume — the same constant-
+    // series law as ts_acf/ts_cross_corr — so the C(n,2) pair mass is a
+    // fixed ~260k rows per type at ANY corpus scale. Slopes quantize to
+    // the 1e-6 integer grid BEFORE the median (integer Δcnt over
+    // integer Δhr is one IEEE division, identical cross-engine), and
+    // the median is percentile_disc over BIGINTs — an actual data
+    // element, exact on both engines (the evt_anomaly_mad discipline).
+    QueryDef(
+      "ts_theil_sen",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |hb AS (
+        |  SELECT event_type,
+        |         CAST(FLOOR(epoch(hr) / 3600) AS BIGINT) AS hb, cnt
+        |  FROM hourly),
+        |pr AS (
+        |  SELECT i.event_type,
+        |         CAST(FLOOR(CAST(j.cnt - i.cnt AS DOUBLE)
+        |                    / CAST(j.hb - i.hb AS DOUBLE) * 1e6 + 0.5)
+        |              AS BIGINT) AS slope_u
+        |  FROM hb i JOIN hb j
+        |    ON i.event_type = j.event_type AND i.hb < j.hb)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_u)
+        |            AS BIGINT) AS sen_slope_u
+        |FROM pr GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val hb = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .select(col("event_type"),
+          floor(unix_timestamp(col("hr")) / lit(3600)).cast("long").as("hb"),
+          col("cnt"))
+      val i = hb.select(col("event_type"), col("hb").as("hi"), col("cnt").as("ci"))
+      val j = hb.select(col("event_type").as("et_j"), col("hb").as("hj"),
+        col("cnt").as("cj"))
+      i.join(j, col("event_type") === col("et_j") && col("hi") < col("hj"))
+        .select(col("event_type"),
+          floor((col("cj") - col("ci")).cast("double")
+            / (col("hj") - col("hi")).cast("double") * lit(1e6) + lit(0.5))
+            .cast("long").as("slope_u"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_u)")
+            .cast("long").as("sen_slope_u"))
+        .orderBy("event_type")
     }
   )
 

@@ -508,6 +508,35 @@ class PlanSpec extends SparkSpec {
         p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("equi-depth histogram: decile ids from GlobalRank, never a global NTILE") {
+    val p = plan("profile_histogram_eqdepth")
+    assert(!p.toLowerCase.contains("ntile"),
+      s"bucket ids must come from the closed form, not a window NTILE:\n${p.take(1500)}")
+    assert(p.contains("_gr_pid"),
+      s"ranking must ride the partition-local GlobalRank window:\n${p.take(1500)}")
+  }
+
+  test("gini: rank window partition-local, moments two-phase") {
+    val p = plan("evt_gini")
+    assert(p.contains("_gr_pid"),
+      s"global rank must be the two-pass form:\n${p.take(1500)}")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2,
+      s"per-user counts must partial-aggregate, got $hashAggs:\n${p.take(1500)}")
+  }
+
+  test("theil-sen: pair join equi-keyed on event_type, never cartesian") {
+    val p = plan("ts_theil_sen")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair formation must join on the series key:\n${p.take(1500)}")
+  }
+
+  test("assortativity: degree joins equi-keyed, moments one scalar agg") {
+    val p = plan("ext_assortativity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"degree decoration must stay equi-keyed:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
