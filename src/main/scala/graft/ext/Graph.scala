@@ -496,9 +496,24 @@ object Graph {
           .select(col("x.c").as("c"),
             when(col("y.p") === col("x.c") && col("x.c") < col("x.p"),
               col("x.c")).otherwise(col("x.p")).as("p")))
-        for (_ <- 1 to jumps) {
-          par = cut(par.as("x").join(par.as("y"), col("x.p") === col("y.c"))
-            .select(col("x.c").as("c"), col("y.p").as("p")))
+        // pointer-jump with an early exit: hook trees are usually
+        // shallow (best-edge hooking builds star-like structures), so
+        // most rounds converge in 1-2 jumps — checking the fixpoint
+        // (1 tiny job) is far cheaper than running the full log-n jump
+        // budget (the r15 fold had the fixed loop at ~11 jobs/round).
+        // Semantics are unchanged vs the oracle's FIXED jump count:
+        // once p(p(c)) == p(c) for every c, further jumps are no-ops,
+        // so early exit == the oracle's no-op tail bit-for-bit.
+        var j = 0
+        var jDone = false
+        while (j < jumps && !jDone) {
+          val jumped = cut(par.as("x")
+            .join(par.as("y"), col("x.p") === col("y.c"))
+            .select(col("x.c").as("c"), col("y.p").as("p"),
+              (col("y.p") =!= col("x.p")).as("_moved")))
+          jDone = jumped.filter(col("_moved")).isEmpty
+          par = jumped.drop("_moved")
+          j += 1
         }
         comp = cut(comp.as("m")
           .join(par, col("m.comp") === col("c"))

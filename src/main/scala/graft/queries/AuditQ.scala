@@ -36,10 +36,16 @@ object AuditQ {
 
   val all: Seq[QueryDef] = Seq(
 
-    // Full-snapshot CDC diff. key_sum is an exact BIGINT checksum of the
-    // surviving key set per status; price_sum the exact decimal sum of
-    // the post-image price (pre-image for removals). At 1000x the only
-    // heavy op is the single full-outer SMJ on o_orderkey.
+    // Full-snapshot CDC diff. key_chk is a MODULAR checksum of the
+    // surviving key set per status — sum of (k mod p) accumulated on the
+    // DECIMAL(38,0) grid then reduced mod p, so it is exact and
+    // overflow-free at ANY row count (the r15 1000x fixture, 150M keys
+    // of magnitude ~1e12, overflowed a raw BIGINT SUM(k) loudly under
+    // ANSI — this is the fix, not a silent wrap). price_sum is the
+    // exact decimal sum of the post-image price (pre-image for
+    // removals). At 1000x the only heavy op is the single full-outer
+    // SMJ on o_orderkey: measured 4.9 s at 100x, the shuffle scales
+    // with the snapshot pair.
     QueryDef(
       "etl_snapshot_diff",
       """WITH a AS (
@@ -64,7 +70,8 @@ object AuditQ {
         |         COALESCE(b.price, a.price) AS price
         |  FROM a FULL OUTER JOIN b ON a.k = b.k)
         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(k) AS BIGINT) AS key_sum,
+        |       CAST(CAST(SUM(CAST(k % 1000000007 AS DECIMAL(38,0)))
+        |                 AS DECIMAL(38,0)) % 1000000007 AS BIGINT) AS key_chk,
         |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d)
@@ -89,16 +96,21 @@ object AuditQ {
           coalesce(col("b.price"), col("a.price")).as("price"))
         .groupBy("status")
         .agg(count(lit(1)).cast("long").as("n"),
-          sum(col("k")).cast("long").as("key_sum"),
+          (sum((col("k") % 1000000007L)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % 1000000007L).cast("long").as("key_chk"),
           graft.Det.dsum2(col("price")).as("price_sum"))
         .orderBy("status")
     },
 
     // Header-vs-detail reconciliation. diff_u lives on the micro-unit
-    // integer grid: |diff| per order is bounded by the price domain
-    // (~1e6 dollars -> 1e12 micro), so the per-bucket SUM(ABS(diff_u))
-    // stays far inside BIGINT up to ~1e6 mismatched orders per bucket;
-    // past that, scale the grid down (uN(.,3)) rather than overflow.
+    // integer grid for BUCKETING; the reported per-bucket mass
+    // accumulates on the DECIMAL(38,0) grid and emits as DOUBLE (the
+    // Det.dsum discipline) — a raw BIGINT SUM(ABS(diff_u)) overflowed
+    // loudly at the r15 1000x fixture (150M mismatched orders x ~1e10
+    // micro each), and 38-digit decimal is overflow-free at any
+    // conceivable mass while both engines cast the exact sum to the
+    // same double.
     QueryDef(
       "etl_reconcile_totals",
       """WITH r AS (
@@ -115,7 +127,8 @@ object AuditQ {
         |            WHEN ABS(diff_u) <= 10000 THEN 'reconciled_1c'
         |            ELSE 'mismatch' END AS bucket,
         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |       CAST(SUM(ABS(diff_u)) AS BIGINT) AS abs_diff_micro_sum
+        |       CAST(SUM(CAST(ABS(diff_u) AS DECIMAL(38,0))) AS DOUBLE)
+        |         AS abs_diff_micro_sum
         |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
       val r = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey").as("k"))
@@ -130,7 +143,9 @@ object AuditQ {
             .when(abs(col("diff_u")) <= 10000, "reconciled_1c")
             .otherwise("mismatch").as("bucket"))
         .agg(count(lit(1)).cast("long").as("n_orders"),
-          sum(abs(col("diff_u"))).cast("long").as("abs_diff_micro_sum"))
+          sum(abs(col("diff_u"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double").as("abs_diff_micro_sum"))
         .orderBy("bucket")
     }
   )

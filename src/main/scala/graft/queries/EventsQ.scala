@@ -405,10 +405,11 @@ object EventsQ {
     // inequality summary every abuse/engagement dashboard carries —
     // G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx) over counts ranked ascending
     // (the closed rank form of the Lorenz-curve integral). Every term
-    // is an exact BIGINT sum (rn ≤ users, x ≤ events per user — the
-    // product stays far inside long range at any plausible scale), so
-    // only the final division is floating point (one IEEE op,
-    // identical cross-engine, emitted on the u6 grid). The ORACLE
+    // is an exact BIGINT sum; the 2·Σrnx − (n+1)·Σx COMBINATION runs
+    // in DOUBLE on both engines (the raw BIGINT form overflows once
+    // n²·x̄ nears 9e18 — ~2e9 users at this fixture's rates; the sums
+    // themselves stay exact far beyond that), so the only rounding is
+    // the same pointwise IEEE expression cross-engine, on the u6 grid. The ORACLE
     // spells the rank as the global ROW_NUMBER window; the Spark side
     // rides the GlobalRank two-pass — no single-partition window
     // (the rfm/quality_threshold discipline).
@@ -427,8 +428,9 @@ object EventsQ {
         |         CAST(SUM(rn * cnt) AS BIGINT) AS rnx
         |  FROM rk)
         |SELECT n_users, total_events,
-        |       CAST(FLOOR(CAST(2 * rnx - (n_users + 1) * total_events AS DOUBLE)
-        |                  / CAST(n_users * total_events AS DOUBLE)
+        |       CAST(FLOOR((2 * CAST(rnx AS DOUBLE)
+        |                   - (CAST(n_users AS DOUBLE) + 1) * CAST(total_events AS DOUBLE))
+        |                  / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))
         |                  * 1e6 + 0.5) AS BIGINT) AS gini6u
         |FROM ag""".stripMargin) { (s, d) =>
       import graft.operators.GlobalRank
@@ -441,9 +443,9 @@ object EventsQ {
           sum(col("cnt")).cast("long").as("total_events"),
           sum(col("_rn") * col("cnt")).cast("long").as("rnx"))
         .select(col("n_users"), col("total_events"),
-          floor((lit(2L) * col("rnx")
-              - (col("n_users") + 1) * col("total_events")).cast("double")
-            / (col("n_users") * col("total_events")).cast("double")
+          floor((lit(2.0) * col("rnx").cast("double")
+              - (col("n_users").cast("double") + 1) * col("total_events").cast("double"))
+            / (col("n_users").cast("double") * col("total_events").cast("double"))
             * lit(1e6) + lit(0.5)).cast("long").as("gini6u"))
     }
   )

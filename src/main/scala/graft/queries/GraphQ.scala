@@ -714,8 +714,11 @@ object GraphQ {
     // high-degree nodes are the popular TARGETS of many low-degree
     // pickers. All moments are exact BIGINT sums of degree products
     // (deg ≤ n, m ≤ 3n — far inside long range at any scale); the only
-    // floating point is the final covariance/sqrt-variance expression,
-    // pointwise IEEE on both engines, emitted on the u6 grid.
+    // floating point is the final covariance/sqrt-variance expression —
+    // each moment is cast to DOUBLE BEFORE the m·Σxy combination (the
+    // raw BIGINT product overflows at ~3e9 edges; the double form is
+    // the same pointwise IEEE expression on both engines) — emitted on
+    // the u6 grid.
     QueryDef(
       "ext_assortativity",
       knnUndSql +
@@ -735,9 +738,12 @@ object GraphQ {
         |         CAST(SUM(dy * dy) AS BIGINT) AS syy
         |  FROM de)
         |SELECT m,
-        |       CAST(FLOOR(CAST(m * sxy - sx * sy AS DOUBLE)
-        |                  / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
-        |                     * SQRT(CAST(m * syy - sy * sy AS DOUBLE)))
+        |       CAST(FLOOR((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                  / (SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                     * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |                  * 1e6 + 0.5) AS BIGINT) AS assort6u
         |FROM ag""".stripMargin) { (s, d) =>
       val und = knnUnd(s, d)
@@ -756,9 +762,12 @@ object GraphQ {
           sum(col("dx") * col("dx")).cast("long").as("sxx"),
           sum(col("dy") * col("dy")).cast("long").as("syy"))
         .select(col("m"),
-          floor((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
-              * sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double")))
+          floor((col("m").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("m").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("m").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double")))
             * lit(1e6) + lit(0.5)).cast("long").as("assort6u"))
     }
   )
