@@ -197,7 +197,10 @@ object ScaleStress {
     "ts_theil_sen",
     "evt_gini",
     "profile_histogram_eqdepth",
-    "ext_assortativity")
+    "ext_assortativity",
+    // r15 part 3: winsorized summary — two agg passes + a |types|-row
+    // broadcast (the MAD shape); expected linear in the scan
+    "profile_winsorize")
 
   /** Replicated (l_orderkey, l_suppkey) lineitem projection — replica
     * i shifts orderkey by i·10⁹ and suppkey by i·10⁷, so the supplier

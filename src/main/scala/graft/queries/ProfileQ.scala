@@ -323,6 +323,51 @@ object ProfileQ {
           min(col("x")).as("lo"), max(col("x")).as("hi"),
           graft.Det.dsum2(col("x")).as("sum_x"))
         .orderBy("bucket")
+    },
+
+    // Winsorized summary (r15): cap event values at the per-type
+    // P05/P95 before aggregating — the outlier-capping sibling of
+    // evt_anomaly_mad's outlier FLAGGING (a metrics pipeline winsorizes
+    // before averaging so one hot row cannot own the mean). Percentiles
+    // are percentile_disc — actual data elements, exact on both engines
+    // (the MAD discipline); the cap is pointwise LEAST/GREATEST, and
+    // the capped sum rides the exact decimal grid. Plan shape: one
+    // partial-aggregable percentile pass producing a |event types|-row
+    // stats table, broadcast back over one more scan — never a per-row
+    // sort or global window.
+    QueryDef(
+      "profile_winsorize",
+      """WITH st AS (
+        |  SELECT event_type,
+        |         percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+        |         percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN e.value < st.lo THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_low,
+        |       CAST(SUM(CASE WHEN e.value > st.hi THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_high,
+        |       CAST(SUM(CAST(LEAST(GREATEST(e.value, st.lo), st.hi)
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS wsum
+        |FROM events e JOIN st USING (event_type)
+        |WHERE e.value IS NOT NULL
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val st = e.groupBy("event_type").agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("hi"))
+      e.join(broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+            .cast("long").as("n_low"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+            .cast("long").as("n_high"),
+          graft.Det.dsum2(least(greatest(col("value"), col("lo")), col("hi")))
+            .as("wsum"))
+        .orderBy("event_type")
     }
   )
 

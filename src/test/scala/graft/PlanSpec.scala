@@ -537,6 +537,14 @@ class PlanSpec extends SparkSpec {
       s"degree decoration must stay equi-keyed:\n${p.take(1500)}")
   }
 
+  test("winsorize: stats table broadcasts back, no sort of raw rows") {
+    val p = plan("profile_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |types|-row stats table must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"cap join must stay keyed:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
