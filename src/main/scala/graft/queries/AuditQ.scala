@@ -58,7 +58,7 @@ object AuditQ {
         |         o_orderstatus AS st
         |  FROM orders WHERE o_orderkey % 97 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 1000000000 AS k, o_totalprice AS price,
+        |  SELECT -o_orderkey AS k, o_totalprice AS price,
         |         o_orderstatus AS st
         |  FROM orders WHERE o_orderkey % 89 = 0),
         |d AS (
@@ -82,8 +82,13 @@ object AuditQ {
           when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.5)
             .otherwise(col("o_totalprice")).as("price"),
           col("o_orderstatus").as("st"))
+        // Synthetic 'added' keys are NEGATED originals — disjoint from any
+        // positive key space by construction. (A +1e9 shift collided with
+        // ScaleStress's 1e9 replica stride at factor >= 2: shifted keys
+        // matched replica-1 reals, fanning out the full-outer join and
+        // silently absorbing the 'added' class on both engine sides.)
         .unionAll(o.filter(col("o_orderkey") % 89 === 0)
-          .select((col("o_orderkey") + 1000000000L).as("k"),
+          .select((-col("o_orderkey")).as("k"),
             col("o_totalprice").as("price"), col("o_orderstatus").as("st")))
       a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
         .select(

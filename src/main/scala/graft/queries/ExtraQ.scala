@@ -90,6 +90,11 @@ object ExtraQ {
       import org.apache.spark.sql.expressions.Window
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), "\\s+").as("arr"))
+        // Docs with < 4 tokens have no 4-gram; the greatest(..., 1) floor
+        // below would otherwise index past the array end (ANSI
+        // INVALID_ARRAY_INDEX). The oracle drops them via NULL-concat, and
+        // the p >= 5 window gate excludes any doc under 8 tokens anyway.
+        .filter(size(col("arr")) >= 4)
         .select(col("doc_id"), posexplode(expr(
           """transform(sequence(1, greatest(size(arr) - 3, 1)),
             |  i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1), ' ',

@@ -150,7 +150,8 @@ object SetSimQ {
       // 4 bands × 2 rows over the SAME (doc_id, shingle) rows; cost is
       // Σ bucket² over 2-long band keys, never all-pairs. The
       // verification below is unchanged and exact, so this branch can
-      // only LOSE pairs (band recall ≈ 1-(1-t⁴)⁴ at b=2 rows/band;
+      // only LOSE pairs (band recall ≈ 1-(1-t²)⁴ ≈ 0.983 at t=0.8 with
+      // 4 bands × 2 rows/band, matching the setSimJoin scaladoc;
       // measured in SCALE.md), never emit a false positive.
       graft.ext.Dedup.candidatesFromSignatures(
         graft.ext.Dedup.bandSignaturesFrom(sh))

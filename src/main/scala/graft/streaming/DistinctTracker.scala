@@ -95,7 +95,16 @@ class DistinctProcessor(
       if (reg(i) == 0) zeros += 1
       i += 1
     }
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // Per-m bias constants from Flajolet et al. 2007 §4: the closed form
+    // 0.7213/(1+1.079/m) holds only for m >= 128; smaller register counts
+    // use the paper's tabulated alpha_16/32/64 so the ~1.04/sqrt(m) error
+    // contract holds across the full accepted p range (p >= 4).
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
     val e = alpha * m * m / sum
     val corrected =
       if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e

@@ -78,6 +78,32 @@ class StreamingDistinctSpec extends SparkSpec {
     assert(rel < 0.05, s"estimate ${fin.estimate} off truth $n by ${rel * 100}%%")
   }
 
+  test("small-m bias constants: p=6 (m=64) estimate within 3 sigma") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedRecord]
+    // m = 64 uses the tabulated alpha_64 = 0.709 (Flajolet et al. 2007
+    // §4), not the large-m closed form — rel. std error 1.04/8 = 13%;
+    // assert 3x that so the single deterministic draw stays robust
+    // while a systematically-biased constant would still trip it.
+    val out = DistinctTracker(input.toDS(), exactCap = 32, p = 6)
+      .writeStream.format("memory").queryName("dst_smallm_out")
+      .option("checkpointLocation", tmp("ckpt-dst-smallm"))
+      .outputMode("append")
+      .start()
+    val n = 20000
+    (1 to n).map(i => s"v$i").grouped(5000).foreach { g =>
+      input.addData(g.map(rec("s0", _)).toSeq)
+      out.processAllAvailable()
+    }
+    out.stop()
+    val snaps = spark.table("dst_smallm_out").as[DistinctSnapshot].collect()
+    val fin = snaps.filter(_.nSeen == snaps.map(_.nSeen).max).head
+    assert(!fin.exact)
+    val rel = math.abs(fin.estimate - n).toDouble / n
+    assert(rel < 0.39, s"estimate ${fin.estimate} off truth $n by ${rel * 100}%%")
+  }
+
   test("exact regime across batches; nulls skipped; cap fails loud") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
