@@ -71,7 +71,7 @@ object Caches {
     * (caught by cc_scale rep 2, regression-tested in DedupSpec). A
     * projection-wrapped frame frees its CacheManager entry only; the
     * wrapped checkpoint's lifecycle belongs to whoever created it. */
-  private[ext] def hardUnpersist(df: DataFrame): Unit = {
+  private[graft] def hardUnpersist(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
     @scala.annotation.tailrec
