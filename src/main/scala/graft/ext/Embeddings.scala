@@ -606,6 +606,16 @@ object Embeddings {
     val vecs = emb.select(col("embedding")).rdd
       .map(r => r.getSeq[Float](0).toArray)
     val d = vecs.first().length
+    // The treeAggregate accumulator is 1 + d + d(d+1)/2 doubles — ~16 MB
+    // per task at d=2048, quadratic beyond. Past this bound the full
+    // dense covariance itself is the wrong object: sketch first
+    // (randomized SVD / JL projection to a few hundred dims, both
+    // one distributed pass), then factor the reduced matrix.
+    require(d <= 2048,
+      s"meanAndCovariance builds a dense d x d covariance, refusing d=$d" +
+        " (> 2048): the per-task accumulator grows quadratically. Sketch" +
+        " to a lower dim first (randomized SVD / JL projection), then" +
+        " factor the reduced matrix.")
     val tri = d * (d + 1) / 2
     // acc layout: [0]=n, [1..d]=sums, [d+1 ..]=upper-triangle product sums
     val zero = new Array[Double](1 + d + tri)
@@ -657,6 +667,20 @@ object Embeddings {
   def jacobiEigen(m: Array[Array[Double]], maxSweeps: Int = 50,
       tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
     val d = m.length
+    // Driver-side O(d^3 * sweeps) with an O(d^2) dense matrix: exact and
+    // fast at model-embedding dims (64..512 take well under a second),
+    // but a 4096-dim call would burn ~minutes of DRIVER cpu serially —
+    // the wrong tool. Refuse loudly instead of degrading: past this
+    // bound use a DISTRIBUTED factorization (power iteration / Lanczos
+    // for the top-k pairs, or randomized SVD: project onto a k+p dim
+    // Gaussian sketch with one distributed pass, then factor the small
+    // matrix — Halko et al. 2011), none of which this operator needs at
+    // the dims its callers (PCA whiten / SemDeDup prep) run at.
+    require(d <= 1024,
+      s"jacobiEigen is a driver-side O(d^3) factorization, refusing d=$d" +
+        " (> 1024). Use a distributed top-k method instead: power" +
+        " iteration / Lanczos, or randomized SVD (one distributed sketch" +
+        " pass + small-matrix factor).")
     val a = Array.tabulate(d, d)((i, j) => m(i)(j))
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0

@@ -21,6 +21,47 @@ import org.apache.spark.sql.functions._
   */
 object CurateQ {
 
+  /** TPC-H Q1 (r15, VERDICT r14 item 7): the canonical wide-aggregate
+    * shape — one scan, one low-cardinality groupBy, six exact-decimal
+    * sums + three derived averages. ONE SQL text run verbatim by both
+    * engines; every money sum rides the DECIMAL(24,6) grid (the
+    * Det.dsum6 discipline), averages divide the exact-decimal-derived
+    * double by the group count (pure IEEE, identical both sides). */
+  private val SqlTpchQ1: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |       CAST(SUM(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |       CAST(COUNT(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q19 shape (r15, VERDICT r14 item 7): disjunctive
+    * OR-of-ANDs predicate mixing both join sides — the one pushdown
+    * shape no other row exercises. Catalyst must (a) keep the equi
+    * key (no BNLJ) and (b) derive per-side disjunctive filters via
+    * extractPredicatesWithinOutputSet so both scans prune before the
+    * join (pinned in PlanSpec). Clauses adapted to the fixture's
+    * columns (no p_container/l_shipmode in the synthetic schema) but
+    * preserve Q19's brand+size+quantity band structure. */
+  private val SqlTpchQ19: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+      |       CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
   /** TPC-H Q10 over the fixture's 1995–2001 date range — ONE SQL text
     * run verbatim by both engines (the q3 dual-dialect discipline). */
   private val SqlTpchQ10: String =
@@ -108,13 +149,14 @@ object CurateQ {
   private val wDoc = Window.partitionBy("doc_id").orderBy("pos")
 
   /** DuckDB CTE block reproducing [[graft.ext.Dedup.repeatedSpans]]
-    * (k=8, minDf=2) over `documents`, ending in
-    * `spans(doc_id, span_start, span_end, span_len)`. Shared by the
-    * three span-dedup oracles so the gram/merge semantics live once.
-    * Use as `WITH $spanCtes[, more CTEs] SELECT ... FROM spans`. */
-  private val spanCtes =
-    """arrs AS (
-      |  SELECT doc_id, string_split_regex(text, '\s+') AS arr FROM documents),
+    * (k=8, minDf=2) over `src` (any relation with doc_id, text), ending
+    * in `spans(doc_id, span_start, span_end, span_len)`. Shared by the
+    * three span-dedup oracles and the corpus-build composite so the
+    * gram/merge semantics live once.
+    * Use as `WITH ${spanCtesOver(src)}[, more CTEs] SELECT ... FROM spans`. */
+  private def spanCtesOver(src: String): String =
+    s"""arrs AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS arr FROM $src),
       |g0 AS (
       |  SELECT doc_id,
       |         unnest(list_transform(range(1, len(arr) - 6),
@@ -141,6 +183,8 @@ object CurateQ {
       |  SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
       |         MAX(e) - MIN(s) + 1 AS span_len
       |  FROM i GROUP BY doc_id, span_no)""".stripMargin
+
+  private val spanCtes = spanCtesOver("documents")
 
   val all: Seq[QueryDef] = Seq(
 
@@ -528,6 +572,28 @@ object CurateQ {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       Tables.load(s, d, "part").createOrReplaceTempView("part")
       s.sql(SqlTpchQ14)
+    },
+
+    // TPC-H Q1 (r15): the canonical pricing-summary wide aggregate —
+    // see SqlTpchQ1 scaladoc. Whole plan is scan -> partial agg ->
+    // 2-key exchange -> final agg: the shape that carries any scan
+    // volume (map-side combine collapses to |flag x status| rows).
+    QueryDef(
+      "sql_tpch_q1",
+      SqlTpchQ1) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlTpchQ1)
+    },
+
+    // TPC-H Q19 shape (r15): disjunctive predicate pushdown — see
+    // SqlTpchQ19 scaladoc; PlanSpec pins the pushed per-side
+    // disjunction and the absence of a nested-loop join.
+    QueryDef(
+      "sql_tpch_q19",
+      SqlTpchQ19) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.load(s, d, "part").createOrReplaceTempView("part")
+      s.sql(SqlTpchQ19)
     },
 
     // Null-preserving explode (explode_outer): rows with NULL or empty
@@ -1119,11 +1185,119 @@ object CurateQ {
     // The WHOLE corpus-build recipe as one call (r8,
     // ext/CorpusBuild): quality filter -> span-cut/drop -> exact dedup
     // -> LSH-verified near-dup dedup -> sequence packing. Output = the
-    // funnel report (one row). No oracle — each constituent stage is
-    // already oracle-verified by its registry twin; the composition's
+    // funnel report (one row). Oracle-paired since r15 (VERDICT r14
+    // item 3): the SQL composes the already-green stage oracles —
+    // quality bounds, spanCtesOver the quality subset, the
+    // doc_span_cut token anti-join, normalized-text exact dedup, and
+    // the doc_lsh_verified_dedup MinHash/band/verify/closure block —
+    // into one end-to-end funnel, so the COMPOSITION is hash-checked,
+    // not just each stage. (n_packed = survivor count by construction:
+    // packing assigns seq ids, it never drops a doc.) The composition
     // invariants (monotone funnel, unique survivors, packing bounds,
-    // determinism) are asserted in CorpusBuildSpec.
-    QueryDef.noOracle("pipeline_corpus_build") { (s, d) =>
+    // determinism) remain asserted in CorpusBuildSpec.
+    QueryDef(
+      "pipeline_corpus_build",
+      s"""WITH RECURSIVE qdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split_regex(text, '\\s+')) BETWEEN 20 AND 1000
+        |    AND CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
+        |        / len(string_split_regex(text, '\\s+')) >= CAST(0.2 AS DOUBLE)),
+        |${spanCtesOver("qdocs")},
+        |cov AS (SELECT doc_id, SUM(span_len) AS covered
+        |        FROM spans GROUP BY doc_id),
+        |keptdocs AS (
+        |  SELECT q.doc_id FROM qdocs q LEFT JOIN cov ON cov.doc_id = q.doc_id
+        |  WHERE CAST(COALESCE(cov.covered, 0) AS DOUBLE)
+        |        / len(string_split_regex(q.text, '\\s+')) < CAST(0.5 AS DOUBLE)),
+        |tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(text, '\\s+')) AS t,
+        |         generate_subscripts(string_split_regex(text, '\\s+'), 1) - 1 AS pos
+        |  FROM qdocs),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.t, tok.pos FROM tok
+        |  JOIN keptdocs kd ON kd.doc_id = tok.doc_id
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans
+        |    WHERE spans.doc_id = tok.doc_id
+        |      AND tok.pos BETWEEN spans.span_start AND spans.span_end)),
+        |cutagg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id),
+        |cut AS (
+        |  SELECT kd.doc_id, COALESCE(c.text, '') AS text
+        |  FROM keptdocs kd LEFT JOIN cutagg c ON c.doc_id = kd.doc_id),
+        |exact AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           MIN(doc_id) OVER (PARTITION BY lower(trim(text))) AS cn
+        |    FROM cut) WHERE doc_id = cn),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(string_split_regex(text, '\\s+')) - 1, 1)),
+        |      i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+        |           string_split_regex(text, '\\s+')[i+1] || ' ' ||
+        |           string_split_regex(text, '\\s+')[i+2]))) AS shingle
+        |  FROM exact),
+        |base AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+        |           % 2147483647 AS h0
+        |  FROM sh),
+        |mins AS (
+        |  SELECT doc_id,
+        |         MIN((1 * h0 + 0) % 2147483647) AS m0,
+        |         MIN((2 * h0 + 999999937) % 2147483647) AS m1,
+        |         MIN((3 * h0 + 1999999874) % 2147483647) AS m2,
+        |         MIN((4 * h0 + 852516164) % 2147483647) AS m3,
+        |         MIN((5 * h0 + 1852516101) % 2147483647) AS m4,
+        |         MIN((6 * h0 + 705032391) % 2147483647) AS m5,
+        |         MIN((7 * h0 + 1705032328) % 2147483647) AS m6,
+        |         MIN((8 * h0 + 557548618) % 2147483647) AS m7
+        |  FROM base GROUP BY doc_id),
+        |sig AS (
+        |            SELECT doc_id, 0 AS band, m0 AS b0, m1 AS b1 FROM mins
+        |  UNION ALL SELECT doc_id, 1 AS band, m2 AS b0, m3 AS b1 FROM mins
+        |  UNION ALL SELECT doc_id, 2 AS band, m4 AS b0, m5 AS b1 FROM mins
+        |  UNION ALL SELECT doc_id, 3 AS band, m6 AS b0, m7 AS b1 FROM mins),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b
+        |    ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+        |       AND a.doc_id < b.doc_id),
+        |nsh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        |        FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN nsh na ON na.doc_id = doc_a
+        |  JOIN nsh nb ON nb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common)
+        |        >= CAST(0.5 AS DOUBLE)),
+        |nedges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS r FROM nedges
+        |  UNION
+        |  SELECT e.a AS node, reach.r AS r
+        |  FROM nedges e JOIN reach ON e.b = reach.node),
+        |canon AS (SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node),
+        |dropset AS (SELECT node FROM canon WHERE canonical_id <> node),
+        |surv AS (
+        |  SELECT e.doc_id FROM exact e
+        |  WHERE NOT EXISTS (SELECT 1 FROM dropset x WHERE x.node = e.doc_id))
+        |SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+        |       CAST((SELECT COUNT(*) FROM qdocs) AS BIGINT) AS n_quality,
+        |       CAST((SELECT COUNT(*) FROM keptdocs) AS BIGINT) AS n_after_span,
+        |       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+        |       CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_neardup,
+        |       CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_packed"""
+        .stripMargin) { (s, d) =>
       import s.implicits._
       val (packed, r) = graft.ext.CorpusBuild.run(Tables.documents(s, d))
       val nPacked = packed.count()

@@ -803,20 +803,35 @@ object GraphQ {
 
     private def build(s: SparkSession, d: String): Seq[DataFrame] = {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      // Adaptive reduce width for the pair aggregate: ~3 co-order pairs
-      // per distinct (order, supplier) row at TPC-H supplier density,
-      // budgeted to ~4M pair-rows per reduce task. count() on a parquet
-      // scan is metadata-cheap next to the self-join it sizes.
+      // Adaptive reduce width: the session's 32 shuffle partitions put
+      // ~19M fact rows / ~56M pair rows in each task at the 1000x
+      // fixture — the measured heap-OOM. Budget ~2M rows per reduce
+      // task instead; count() on a parquet scan is metadata-cheap next
+      // to the shuffles it sizes.
       val nLi = Tables.lineitem(s, d).count()
       val defP = s.sessionState.conf.numShufflePartitions
-      val p = math.max(defP,
-        math.min(4096L, nLi * 3L / 4000000L + 1L).toInt)
-      val co = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey")
-            && col("x.l_suppkey") =!= col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("u"), col("y.l_suppkey").as("v"))
+      val p = math.max(defP, math.min(4096L, nLi / 2000000L + 1L).toInt)
+      // Co-order counts WITHOUT the fact self-join: group the fact to
+      // per-order DISTINCT supplier sets (collect_set dedups, bounded
+      // by the per-order supplier fan-out — single digits at any TPC-H
+      // scale), then explode the unordered pairs NARROWLY. The former
+      // self-join shape sorted 600M rows twice for an SMJ whose output
+      // (1.8B pair rows) then re-shuffled; this shape pays ONE fact
+      // shuffle (hash by orderkey) and the pair stream never shuffles
+      // at all — partial aggregation collapses it map-side before the
+      // (u, v) exchange. Per-order set cardinality bounds both the
+      // row width and the pair fan-out, so task memory is flat in
+      // corpus size once p tracks the row count.
+      val sets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .repartition(p, col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(collect_set(col("l_suppkey")).as("ss"))
+        .filter(size(col("ss")) >= 2)
+      val co = sets
+        .select(explode(col("ss")).as("u"), col("ss"))
+        .select(col("u"), explode(col("ss")).as("v"))
+        .filter(col("u") =!= col("v"))
         .repartition(p, col("u"), col("v"))
         .groupBy("u", "v")
         .agg(count(lit(1)).as("c"))

@@ -32,6 +32,65 @@ object PipelineQ {
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.TextShingles.shingle3(toks)).as("shingle"))
 
+  /** Shared DuckDB CTE prefix: banded-MinHash LSH candidates ->
+    * exact-Jaccard verify -> recursive-CTE closure, ending in
+    * `canon(node, canonical_id)`. Used by doc_lsh_verified_dedup and
+    * doc_leakage_safe_split so the hash/band/verify semantics live
+    * once. */
+  private val LshCanonPrefix: String =
+    """WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+         |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+         |           string_split_regex(text, '\s+')[i+2]))) AS shingle
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+         |           % 2147483647 AS h0
+         |  FROM sh),
+         |mins AS (
+         |  SELECT doc_id,
+         |         MIN((1 * h0 + 0) % 2147483647) AS m0,
+         |         MIN((2 * h0 + 999999937) % 2147483647) AS m1,
+         |         MIN((3 * h0 + 1999999874) % 2147483647) AS m2,
+         |         MIN((4 * h0 + 852516164) % 2147483647) AS m3,
+         |         MIN((5 * h0 + 1852516101) % 2147483647) AS m4,
+         |         MIN((6 * h0 + 705032391) % 2147483647) AS m5,
+         |         MIN((7 * h0 + 1705032328) % 2147483647) AS m6,
+         |         MIN((8 * h0 + 557548618) % 2147483647) AS m7
+         |  FROM base GROUP BY doc_id),
+         |sig AS (
+         |            SELECT doc_id, 0 AS band, m0 AS b0, m1 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 1 AS band, m2 AS b0, m3 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 2 AS band, m4 AS b0, m5 AS b1 FROM mins
+         |  UNION ALL SELECT doc_id, 3 AS band, m6 AS b0, m7 AS b1 FROM mins),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+         |       AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN n na ON na.doc_id = doc_a
+         |  JOIN n nb ON nb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node),
+         |canon AS (SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ----------------------------------------------------------------- //
@@ -438,63 +497,49 @@ object PipelineQ {
     // closure — so this is hash-verified end to end.
     QueryDef(
       "doc_lsh_verified_dedup",
-      """WITH RECURSIVE sh AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |    list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
-         |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
-         |           string_split_regex(text, '\s+')[i+1] || ' ' ||
-         |           string_split_regex(text, '\s+')[i+2]))) AS shingle
-         |  FROM documents),
-         |base AS (
-         |  SELECT doc_id,
-         |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
-         |           % 2147483647 AS h0
-         |  FROM sh),
-         |mins AS (
-         |  SELECT doc_id,
-         |         MIN((1 * h0 + 0) % 2147483647) AS m0,
-         |         MIN((2 * h0 + 999999937) % 2147483647) AS m1,
-         |         MIN((3 * h0 + 1999999874) % 2147483647) AS m2,
-         |         MIN((4 * h0 + 852516164) % 2147483647) AS m3,
-         |         MIN((5 * h0 + 1852516101) % 2147483647) AS m4,
-         |         MIN((6 * h0 + 705032391) % 2147483647) AS m5,
-         |         MIN((7 * h0 + 1705032328) % 2147483647) AS m6,
-         |         MIN((8 * h0 + 557548618) % 2147483647) AS m7
-         |  FROM base GROUP BY doc_id),
-         |sig AS (
-         |            SELECT doc_id, 0 AS band, m0 AS b0, m1 AS b1 FROM mins
-         |  UNION ALL SELECT doc_id, 1 AS band, m2 AS b0, m3 AS b1 FROM mins
-         |  UNION ALL SELECT doc_id, 2 AS band, m4 AS b0, m5 AS b1 FROM mins
-         |  UNION ALL SELECT doc_id, 3 AS band, m6 AS b0, m7 AS b1 FROM mins),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sig a JOIN sig b
-         |    ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
-         |       AND a.doc_id < b.doc_id),
-         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-         |  GROUP BY c.doc_a, c.doc_b),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN n na ON na.doc_id = doc_a
-         |  JOIN n nb ON nb.doc_id = doc_b
-         |  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.5),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT a AS node, a AS r FROM edges
-         |  UNION
-         |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node),
-         |canon AS (SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node)
+      LshCanonPrefix + """
          |SELECT d.doc_id,
          |       COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
          |       COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
          |FROM documents d LEFT JOIN canon c ON c.node = d.doc_id""".stripMargin) { (s, d) =>
       graft.ext.Dedup.lshVerifiedCanonicalDocs(Tables.documents(s, d))
+    },
+
+    // Leakage-safe train/val/test split (r15): the split decision keys
+    // on the near-dup CANONICAL id, not the document id — so a whole
+    // near-duplicate group lands in ONE split and eval can never see a
+    // paraphrase of a training doc (the contamination mode a plain
+    // per-doc hash split ships silently; Lee et al. 2107.06499 §6.2
+    // measure exactly this train-test overlap). Composition of two
+    // already-verified operators: the LSH-verified canonical map and
+    // the salted-md5 coin ('split:' salt keeps it independent of the
+    // sampling stages' coins). 80/10/10 on the canonical hash; every
+    // stage is the one-shuffle shape of its parent operator.
+    QueryDef(
+      "doc_leakage_safe_split",
+      LshCanonPrefix + """,
+         |cmap AS (
+         |  SELECT d.doc_id,
+         |         COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN canon c ON c.node = d.doc_id)
+         |SELECT doc_id, canonical_id,
+         |       CASE WHEN b < 80 THEN 'train'
+         |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, canonical_id,
+         |         CAST(concat('0x', substr(md5('split:' || CAST(canonical_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+         |  FROM cmap)""".stripMargin) { (s, d) =>
+      val canon = graft.ext.Dedup
+        .lshVerifiedCanonicalDocs(Tables.documents(s, d))
+        .select(col("doc_id"), col("canonical_id"))
+      canon
+        .withColumn("b", pmod(expr(
+          "cast(conv(substring(md5(cast(concat('split:', cast(canonical_id AS string)) AS binary)), 1, 15), 16, 10) AS bigint)"),
+          lit(100L)))
+        .select(col("doc_id"), col("canonical_id"),
+          when(col("b") < 80, "train")
+            .when(col("b") < 90, "val")
+            .otherwise("test").as("split"))
     },
 
     // Incremental near-dup ingest (even doc_ids = existing corpus, odd =

