@@ -213,14 +213,19 @@ object ScaleStress {
     * (graph names requested). */
   def buildLineitemFixture(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
-    // v2 marker (r15): the fixture gained the money columns — a v1
-    // 3-column fixture on disk rebuilds rather than failing the audit
-    // rows with a missing-column error
-    val fs = new java.io.File(s"$out/_built_li_v2_x$factor")
+    // v3 marker (r15 part 4): + l_quantity/l_shipdate/l_returnflag/
+    // l_linestatus (the TPC-H Q1/Q19 columns), and l_partkey now
+    // strides by the SAME 1e9 as buildPartFixture's p_partkey — the old
+    // 1e7 stride meant a lineitem-part join at factor >= 2 silently
+    // matched only replica 0. Older fixtures on disk rebuild rather
+    // than failing rows with a missing-column error.
+    val fs = new java.io.File(s"$out/_built_li_v3_x$factor")
     if (fs.exists()) return
     val base = spark.read.parquet(s"$src/lineitem.parquet")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
-        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_quantity"), col("l_shipdate"),
+        col("l_returnflag"), col("l_linestatus"))
     val replicated = (0 until factor).map { i =>
       base.select(
         (col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
@@ -228,11 +233,15 @@ object ScaleStress {
         // r14 part 3b: partkey rides along (same disjoint-shift law) so
         // the basket-mining row can ride this fixture; the kNN rows
         // project it away at the parquet scan
-        (col("l_partkey") + lit(i.toLong * 10000000L)).as("l_partkey"),
+        (col("l_partkey") + lit(i.toLong * 1000000000L)).as("l_partkey"),
         // r15: money columns ride unchanged (the reconciliation row
         // recomputes per-order totals from them; replicas keep the base
         // per-order arithmetic exactly, keyed under the shifted order)
-        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        // r15 part 4: Q1/Q19 predicate + aggregate columns ride
+        // unchanged — replicas repeat the base date/flag distribution
+        col("l_quantity"), col("l_shipdate"),
+        col("l_returnflag"), col("l_linestatus"))
     }.reduce(_ unionByName _)
     replicated.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     fs.createNewFile(): Unit
@@ -266,15 +275,18 @@ object ScaleStress {
     * under test) grows identically. */
   private def buildPartFixture(spark: SparkSession, src: String,
       out: String, factor: Int): Unit = {
-    val fs = new java.io.File(s"$out/_built_part_x$factor")
+    // v2 marker (r15 part 4): + p_brand (the Q19 clause key; replicas
+    // repeat the base brand distribution under shifted part keys)
+    val fs = new java.io.File(s"$out/_built_part_v2_x$factor")
     if (fs.exists()) return
     new java.io.File(out).mkdirs()
     val base = spark.read.parquet(s"$src/part.parquet")
-      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+        col("p_brand"))
     val replicated = (0 until factor).map { i =>
       base.select(
         (col("p_partkey") + lit(i.toLong * 1000000000L)).as("p_partkey"),
-        col("p_retailprice"), col("p_size"))
+        col("p_retailprice"), col("p_size"), col("p_brand"))
     }.reduce(_ unionByName _)
     replicated.write.mode("overwrite").parquet(s"$out/part.parquet")
     fs.createNewFile(): Unit
@@ -428,12 +440,13 @@ object ScaleStress {
       "ext_assortativity")
     if (names.exists(graphNames)) buildLineitemFixture(spark, src, out, factor)
     // r15 audit/skyline rows: header + detail-money + part fixtures
-    if (names.contains("etl_reconcile_totals"))
+    if (names.contains("etl_reconcile_totals") || names.contains("sql_tpch_q1")
+        || names.contains("sql_tpch_q19"))
       buildLineitemFixture(spark, src, out, factor)
     if (names.contains("etl_snapshot_diff") || names.contains("etl_reconcile_totals")
         || names.contains("profile_histogram_eqdepth"))
       buildOrdersFixture(spark, src, out, factor)
-    if (names.contains("ext_skyline"))
+    if (names.contains("ext_skyline") || names.contains("sql_tpch_q19"))
       buildPartFixture(spark, src, out, factor)
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,

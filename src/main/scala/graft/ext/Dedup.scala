@@ -50,8 +50,10 @@ object Dedup {
     bandSignaturesFrom(distinctShingles(docs))
 
   /** [[bandSignatures]] from an already-materialized (doc_id, shingle)
-    * frame — lets [[lshVerifiedCanonicalDocs]] shingle the corpus ONCE
-    * for both the signature and the verification sides. */
+    * frame — callers that already hold shingles (SetSimQ's fallback)
+    * skip the re-shingle. (lshVerifiedEdges deliberately shingles
+    * twice since r15: persisting the string frame to share one pass
+    * was the 1000x storage-pinning hazard — see its comment.) */
   private[graft] def bandSignaturesFrom(sh: DataFrame): DataFrame = {
     val p = 2147483647L
     val base = sh.withColumn("h0", expr(
@@ -69,15 +71,51 @@ object Dedup {
   def minhashCandidates(docs: DataFrame): DataFrame =
     candidatesFromSignatures(bandSignatures(docs))
 
-  /** Banded self-join over signature rows: (doc_a < doc_b) pairs that
-    * share any full band. */
-  private[graft] def candidatesFromSignatures(sig: DataFrame): DataFrame = {
-    val l = sig.select(col("doc_id").as("doc_a"), col("band"), col("b0"), col("b1"))
-    val r = sig.select(col("doc_id").as("doc_b"), col("band").as("band_r"),
+  /** Banded candidate pairs with the Σ bucket² mega-bucket guard (r15).
+    *
+    * A WEB-SHAPED corpus plants mega duplicate groups (boilerplate,
+    * templated spam): members share band signatures, so a bucket of g
+    * docs contributes C(g, 2) pairs — the 1000x fixture's ~1000-member
+    * groups produced a ~200M-row verified edge set whose CC rounds and
+    * verify shuffles filled the local disk (caught live by
+    * doc_leakage_safe_split; the erMatches fixed-key blocking hazard,
+    * recurring one level down at the LSH-bucket granularity).
+    *
+    * Buckets <= `maxBucket` emit EXACT all-pairs (identical to the
+    * pre-r15 behavior — every sf0.01/sf0.1 oracle bucket is <= 4, so
+    * the hash-checked rows are pair-identical). An OVERSIZED bucket
+    * emits the STAR (bucket-min -> member) instead: candidate count
+    * drops from C(g, 2) to g-1 per bucket while dedup CONNECTIVITY is
+    * preserved whenever members verify against the bucket min — the
+    * mega-group case by construction (they are all near-copies of one
+    * another); a borderline member similar to a sibling but not to the
+    * min loses that one edge, with 4 bands (4 different mins) as
+    * retries. The recall tradeoff is the same bounded one erMatches
+    * documents for over-cap blocks, measured in SCALE.md. The default
+    * cap of 8 bounds per-doc candidate fan-out at 4 bands x 7 + 4 star
+    * links, which in turn bounds the verify join's row mass at
+    * ~32 x |shingles| per doc — the knob that kept the 1000x corpus
+    * (where ~8% of docs sit in ~1000-member mutual near-dup groups)
+    * inside one box's memory and disk. */
+  private[graft] def candidatesFromSignatures(
+      sig: DataFrame, maxBucket: Int = 8): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val stats = sig.groupBy("band", "b0", "b1")
+      .agg(count(lit(1)).as("bn"), min("doc_id").as("bmin"))
+    val tagged = sig.join(stats, Seq("band", "b0", "b1"))
+    val small = tagged.filter(col("bn") <= maxBucket)
+    val l = small.select(col("doc_id").as("doc_a"), col("band"), col("b0"), col("b1"))
+    val r = small.select(col("doc_id").as("doc_b"), col("band").as("band_r"),
       col("b0").as("b0_r"), col("b1").as("b1_r"))
-    l.join(r, col("band") === col("band_r") && col("b0") === col("b0_r")
+    val exact = l.join(r, col("band") === col("band_r") && col("b0") === col("b0_r")
         && col("b1") === col("b1_r") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
+    // bmin is the bucket MIN, so bmin < doc_id holds on every emitted
+    // row — the (doc_a < doc_b) orientation is preserved
+    val star = tagged
+      .filter(col("bn") > maxBucket && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    exact.unionAll(star).distinct()
   }
 
   /** Incremental near-dup ingest: LSH candidates BETWEEN `batch` and
@@ -460,30 +498,80 @@ object Dedup {
     * the persists pay). */
   private def lshVerifiedEdges(
       docs: DataFrame, threshold: Double): (DataFrame, () => Unit) = {
-    // shingle ONCE: the compiled-UDF shingle pass feeds both the
-    // signature side and the verification side (it used to run twice —
-    // the single hottest redundant work in the flagship pipeline)
-    val shAll = distinctShingles(docs).persist()
-    val cands = candidatesFromSignatures(bandSignaturesFrom(shAll)).persist()
+    // Two scale hazards fixed live at the 1000x fixture (5M docs,
+    // ~300M shingle rows — a decade the 100x curves never reached;
+    // caught by doc_leakage_safe_split, r15):
+    //  1. an in-memory persist of the shingle frame pinned the unified
+    //     pool's protected storage fraction until execution memory hit
+    //     UNABLE_TO_ACQUIRE -> storage level is SIZE-ADAPTIVE
+    //     (DISK_ONLY past 1M docs; the small candidate table stays in
+    //     memory);
+    //  2. the verify join shuffled ~40-byte shingle STRINGS twice
+    //     (~20 GB a side at 5M docs — filled the local disk with SMJ
+    //     spills) -> the verify side hashes shingles to 8-byte longs
+    //     first (xxhash64), exactly what a production MinHash-verify
+    //     ships over the wire. Intersection counts over hashed distinct
+    //     shingles equal counts over the strings up to 64-bit
+    //     collisions (P ~ 1e-16 per doc at 60 shingles) — far below
+    //     any observable effect; the SIGNATURE pipeline still hashes
+    //     the strings themselves (its md5/LCG family is the
+    //     oracle-reproducible contract).
+    // The shingle pass runs twice (signatures + verify) — compiled-UDF
+    // shingling is ~2 us/shingle, noise next to the shuffles it feeds;
+    // persisting the string frame to avoid the second pass is what
+    // caused hazard 1. The doc-count probe is one metadata-cheap
+    // parquet count.
+    val lvl =
+      if (docs.count() > 1000000L)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cands = candidatesFromSignatures(
+      bandSignaturesFrom(distinctShingles(docs))).persist()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
-    val sh = shAll
+    val sh = distinctShingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .persist()
+      .persist(lvl)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
-    val edges = inter
+    val verified = inter
       .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .filter(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
         >= threshold)
       .select("doc_a", "doc_b")
-    (edges, () => { shAll.unpersist(); cands.unpersist(); sh.unpersist() })
+    // Third 1000x hazard (same live catch): a web-shaped corpus's TRUE
+    // near-dup graph is mega-CLIQUE-shaped — ~250 boilerplate groups of
+    // ~1000 members each verified to ~125M edges, and the CC rounds on
+    // that graph heap-OOM'd long after the candidate guard had done its
+    // job. CC needs CONNECTIVITY, not every edge: keep each doc_b's
+    // `MaxPartnersPerDoc` SMALLEST verified partners (bounded-heap
+    // aggregate — map-side combinable, never a window). In a verified
+    // clique every member keeps its edge toward the group MIN (the
+    // smallest partner is always kept), so mega-group membership is
+    // EXACT; only a node with > MaxPartnersPerDoc partners in a
+    // non-clique chain can lose a link, the bounded-recall tradeoff the
+    // bucket star documents. No fixture doc has > 16 verified partners,
+    // so every oracle row is edge-identical.
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val edges = verified
+      .groupBy(col("doc_b"))
+      .agg(expr(s"topk_by_score(cast(-doc_a as double), doc_a, " +
+        s"$MaxPartnersPerDoc)").as("top"))
+      .select(col("doc_b"), explode(col("top")).as("t"))
+      .select(col("t.id").as("doc_a"), col("doc_b"))
+    (edges, () => { cands.unpersist(); sh.unpersist() })
   }
+
+  /** Verified-partner cap per doc in [[lshVerifiedEdges]] — see the
+    * connectivity argument there. 16 keeps every fixture edge and
+    * bounds CC input at 16 rows/doc at any corpus scale. */
+  private val MaxPartnersPerDoc = 16
 
   /** Embedding-cosine near-dup dedup, EXACT all-pairs path: edges =
     * pairs with cosine(a, b) >= `threshold`, then connected components,

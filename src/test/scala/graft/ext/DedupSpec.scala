@@ -145,6 +145,37 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH-verified dedup split ${missed.size} exact groups: ${missed.take(2)}")
   }
 
+  test("mega-bucket guard: oversized buckets emit the min-star, groups still dedup whole") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a planted mega duplicate group: 50 copies of one text (ids 100+)
+    // plus a small unrelated pair — with maxBucket = 8 the mega group's
+    // buckets are oversized (star candidates), the pair's are not
+    val mega = (0 until 50).map(i =>
+      (100L + i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val pair = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"))
+    val other = Seq((3L, "wholly unrelated text with its own tokens only here"))
+    val docs = (mega ++ pair ++ other).toDF("doc_id", "text")
+    val sig = Dedup.bandSignatures(docs)
+    val cand = Dedup.candidatesFromSignatures(sig, maxBucket = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the mega group's candidates are STARS on the bucket min (100):
+    // 49 rows, not C(50,2) = 1225
+    val megaCand = cand.filter { case (a, b) => a >= 100L || b >= 100L }
+    assert(megaCand == (101L to 149L).map(i => (100L, i)).toSet,
+      s"expected the 49-row min-star, got ${megaCand.size} rows")
+    // the small bucket keeps exact all-pairs
+    assert(cand.contains((1L, 2L)))
+    // end to end: the mega group still collapses to ONE canonical
+    val canon = Dedup.lshVerifiedCanonicalDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L to 149L).map(canon).toSet == Set(100L),
+      "mega group must dedup to its min through star edges")
+    assert(canon(1L) == 1L && canon(2L) == 1L && canon(3L) == 3L)
+  }
+
   test("embedding-cosine dedup: LSH path matches exact on planted near-dups AND prunes") {
     import org.apache.spark.sql.functions._
     // the fixture has no embedding near-dups (max offdiag cosine ~0.5),
