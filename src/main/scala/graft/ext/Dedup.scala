@@ -534,9 +534,30 @@ object Dedup {
       .join(candDocs, Seq("doc_id"), "left_semi")
       .persist(lvl)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // Join ORDER is load-bearing at mega-group scale: the first join's
+    // buffered SMJ side must be the one with BOUNDED per-key
+    // multiplicity. doc_b receives <= 4 star + 4x(maxBucket-1) exact
+    // candidates by construction, while doc_a is the star HUB (a
+    // mega bucket's min can carry its whole bucket) — joining on doc_a
+    // first buffered the hub's entire candidate group per key
+    // (BufferedRowIterator OOM, caught at the 1000x corpus). Keyed on
+    // doc_b first, then (doc_a, shingle) (unique per key on the sh
+    // side), every buffered group is bounded; the hub's fan-out
+    // STREAMS through the second join into the partial aggregate.
+    // Row-budgeted reduce width for the verify exchange: the join-1
+    // output carries |pairs| x |shingles/doc| rows (1.19B at the 1000x
+    // corpus — intrinsic to exact verification), and the session's 32
+    // partitions put ~37M of them in each reduce task (heap-OOM at the
+    // default 8g/32-thread config). cands is persisted and reused by
+    // everything below, so the count() here just materializes it early.
+    val nPairs = cands.count()
+    val defP = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val p2 = math.max(defP,
+      math.min(4096L, nPairs * 60L / 2000000L + 1L).toInt)
     val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "doc_b")
+      .repartition(p2, col("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
     val verified = inter
