@@ -120,6 +120,13 @@ class QuantileProcessor(
     // downward by re-anchoring lo a full range lower
     def widenToFit(v: Double): Unit = {
       while (v >= lo + width * bins || v < lo) {
+        // progress guard: doubling a positive finite width always grows
+        // it, so a non-positive width here means the grid is corrupt and
+        // the loop could spin forever — fail loud instead of hanging the
+        // streaming task.
+        if (!(width > 0.0) || !java.lang.Double.isFinite(width))
+          throw new IllegalStateException(
+            s"quantile grid width degenerate ($width) while widening to fit $v")
         val merged = new Array[Long](bins)
         if (v >= lo) {
           var i = 0
@@ -136,6 +143,13 @@ class QuantileProcessor(
     buf.foreach { r =>
       if (r.value != null) {
         val v = r.value.toDouble // non-numeric fails loud by contract
+        // NaN/Infinity parse fine via toDouble but have no place on an
+        // equi-width grid (an Infinity would make every widening step a
+        // no-op) — contract violation, fail loud like non-numeric.
+        if (!java.lang.Double.isFinite(v))
+          throw new IllegalArgumentException(
+            s"non-finite value '${r.value}' for key '$key' — " +
+              "quantile tracking requires finite numerics")
         n = Math.addExact(n, 1L)
         tMin = math.min(tMin, v); tMax = math.max(tMax, v)
         if (counts.isEmpty) {
@@ -145,7 +159,15 @@ class QuantileProcessor(
             val mn = vals.min; val mx = vals.max
             val pad = math.max((mx - mn) * 0.25, 1e-9)
             lo = mn - pad
-            width = (mx + pad - lo) / bins
+            // Floor the seam width at 2 ulps of the largest magnitude in
+            // play: for near-constant values with |v| >~ 2e7 the 1e-9 pad
+            // is absorbed by double rounding (lo == mn, mx + pad == mx)
+            // and the raw quotient is 0.0 — a zero-width grid makes
+            // widenToFit non-terminating. The ulp floor keeps the grid
+            // representable at any magnitude.
+            val ulpFloor =
+              2.0 * math.ulp(math.max(math.max(math.abs(mn), math.abs(mx)), 1.0))
+            width = math.max((mx + pad - lo) / bins, ulpFloor)
             counts = new Array[Long](bins)
             vals.foreach(v0 => counts(binOf(lo, width, bins, v0)) += 1L)
             vals.clear()

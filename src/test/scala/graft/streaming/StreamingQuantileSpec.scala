@@ -101,6 +101,40 @@ class StreamingQuantileSpec extends SparkSpec {
     }
   }
 
+  test("degenerate seam: constant large-magnitude values terminate with an ulp-floored grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // |v| ~ 3e7: at this magnitude the 1e-9 seam pad is absorbed by
+    // double rounding (lo == mn, mx + pad == mx) so the raw bin width is
+    // 0.0 — before the ulp floor, the first post-seam value spun
+    // widenToFit forever (width *= 2 stays 0). Assert the stream now
+    // terminates and the histogram still answers the constant exactly.
+    val in = MemoryStream[KeyedRecord]
+    val out = QuantileTracker(in.toDS(), exactCap = 4, bins = 16)
+      .writeStream.format("memory").queryName("q_degen_out")
+      .option("checkpointLocation", tmp("ckpt-q-degen"))
+      .outputMode("append")
+      .start()
+    in.addData((0 until 50).map(_ => rec("c0", "30000000")))
+    out.processAllAvailable()
+    val snaps = spark.table("q_degen_out").as[QuantileSnapshot].collect()
+    val fin = snaps.filter(_.nSeen == snaps.map(_.nSeen).max).head
+    assert(!fin.exact && fin.nSeen == 50L)
+    // interpolation is clamped to [trueMin, trueMax] = the constant
+    assert(fin.p50 == 3.0e7 && fin.p90 == 3.0e7 && fin.p99 == 3.0e7,
+      s"constant stream must report the constant: $fin")
+    // non-finite values have no grid position — contract violation
+    in.addData(Seq(rec("c0", "Infinity")))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      out.processAllAvailable()
+    }
+    assert(Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(t => t.getMessage != null &&
+        t.getMessage.contains("non-finite")),
+      s"Infinity must fail loud: ${e.getMessage}")
+    out.stop()
+  }
+
   test("state rows stay group-bounded through the seam; null skip; non-numeric loud") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
