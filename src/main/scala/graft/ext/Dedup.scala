@@ -68,8 +68,19 @@ object Dedup {
         "stack(4, 0, m0, m1, 1, m2, m3, 2, m4, m5, 3, m6, m7) AS (band, b0, b1)")
   }
 
-  def minhashCandidates(docs: DataFrame): DataFrame =
-    candidatesFromSignatures(bandSignatures(docs))
+  /** Banded-MinHash candidate pairs, EXACT semantics: every pair of
+    * docs sharing at least one band signature, no bucket cap — this is
+    * the published LSH-candidate contract and what the oracle-paired
+    * registry rows (`doc_minhash_candidates`, the est-vs-true row)
+    * hash-verify. Callers who must survive web-shaped mega duplicate
+    * groups (a g-member bucket costs C(g, 2) pairs here) pass
+    * `maxBucket` to opt into the min-star bucket cap documented on
+    * [[candidatesFromSignatures]] — the r16 gate: exactness is the
+    * DEFAULT, the recall-bounded cap is an explicit scale decision, so
+    * no future fixture growing a 9+-member bucket can silently flip an
+    * exact oracle (ADVICE r15). */
+  def minhashCandidates(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame =
+    candidatesFromSignatures(bandSignatures(docs), maxBucket)
 
   /** Banded candidate pairs with the Σ bucket² mega-bucket guard (r15).
     *
@@ -98,8 +109,19 @@ object Dedup {
     * (where ~8% of docs sit in ~1000-member mutual near-dup groups)
     * inside one box's memory and disk. */
   private[graft] def candidatesFromSignatures(
-      sig: DataFrame, maxBucket: Int = 8): DataFrame = {
+      sig: DataFrame, maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    if (maxBucket == Int.MaxValue) {
+      // uncapped = exact all band collisions: skip the bucket-stats
+      // groupBy + join entirely — it can never bind, and at sub-mega
+      // corpus sizes it was a pure bench tax (VERDICT r15 item 3)
+      val l = sig.select(col("doc_id").as("doc_a"), col("band"), col("b0"), col("b1"))
+      val r = sig.select(col("doc_id").as("doc_b"), col("band").as("band_r"),
+        col("b0").as("b0_r"), col("b1").as("b1_r"))
+      return l.join(r, col("band") === col("band_r") && col("b0") === col("b0_r")
+          && col("b1") === col("b1_r") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }
     val stats = sig.groupBy("band", "b0", "b1")
       .agg(count(lit(1)).as("bn"), min("doc_id").as("bmin"))
     val tagged = sig.join(stats, Seq("band", "b0", "b1"))
@@ -468,8 +490,10 @@ object Dedup {
     * Every stage is DuckDB-expressible (md5/LCG hashing + recursive-CTE
     * closure), so the registry twin `doc_lsh_verified_dedup`
     * hash-verifies the whole composition. */
-  def lshVerifiedCanonicalDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val (edges, release) = lshVerifiedEdges(docs, threshold)
+  def lshVerifiedCanonicalDocs(
+      docs: DataFrame, threshold: Double = 0.5,
+      scaleGuardMinDocs: Long = DefaultScaleGuardMinDocs): DataFrame = {
+    val (edges, release) = lshVerifiedEdges(docs, threshold, scaleGuardMinDocs)
     val out = labelAll(docs, connectedComponents(edges))
     release()
     out
@@ -481,8 +505,10 @@ object Dedup {
     * skips the corpus-sized labelAll join entirely: the result is
     * near-dup-graph-sized (tiny relative to the corpus), so the
     * caller's anti-join broadcasts. */
-  def lshVerifiedNonCanonical(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val (edges, release) = lshVerifiedEdges(docs, threshold)
+  def lshVerifiedNonCanonical(
+      docs: DataFrame, threshold: Double = 0.5,
+      scaleGuardMinDocs: Long = DefaultScaleGuardMinDocs): DataFrame = {
+    val (edges, release) = lshVerifiedEdges(docs, threshold, scaleGuardMinDocs)
     val out = connectedComponents(edges)
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
@@ -497,7 +523,8 @@ object Dedup {
     * downstream CC has materialized — CC's first action is what makes
     * the persists pay). */
   private def lshVerifiedEdges(
-      docs: DataFrame, threshold: Double): (DataFrame, () => Unit) = {
+      docs: DataFrame, threshold: Double,
+      scaleGuardMinDocs: Long = DefaultScaleGuardMinDocs): (DataFrame, () => Unit) = {
     // Two scale hazards fixed live at the 1000x fixture (5M docs,
     // ~300M shingle rows — a decade the 100x curves never reached;
     // caught by doc_leakage_safe_split, r15):
@@ -521,12 +548,26 @@ object Dedup {
     // persisting the string frame to avoid the second pass is what
     // caused hazard 1. The doc-count probe is one metadata-cheap
     // parquet count.
+    // r16 gate (VERDICT r15 item 3): every robustness guard below —
+    // the bucket-stats join inside the star cap, the eager candidate
+    // count that sizes the verify exchange, the per-doc partner cap —
+    // exists for web-shaped mega duplicate groups, which can only bind
+    // past ~1M docs; below the threshold they were a pure sf0.1 bench
+    // tax (doc_lsh_verified_dedup 3.72 -> 5.83 s). The doc-count probe
+    // is one metadata-cheap parquet count and gates all three at once.
+    // Ungated output is a SUPERSET of guarded edges (exact all-pairs
+    // candidates, no partner cap) feeding the same exact verify, so
+    // small-corpus recall can only be HIGHER; DedupSpec force-enables
+    // the guards via a low `scaleGuardMinDocs` to pin their behavior.
+    val nDocs = docs.count()
+    val guarded = nDocs >= scaleGuardMinDocs
     val lvl =
-      if (docs.count() > 1000000L)
+      if (nDocs > 1000000L)
         org.apache.spark.storage.StorageLevel.DISK_ONLY
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cands = candidatesFromSignatures(
-      bandSignaturesFrom(distinctShingles(docs))).persist()
+      bandSignaturesFrom(distinctShingles(docs)),
+      if (guarded) GuardedMaxBucket else Int.MaxValue).persist()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
     val sh = distinctShingles(docs)
@@ -550,13 +591,25 @@ object Dedup {
     // partitions put ~37M of them in each reduce task (heap-OOM at the
     // default 8g/32-thread config). cands is persisted and reused by
     // everything below, so the count() here just materializes it early.
-    val nPairs = cands.count()
+    // r16 (VERDICT r15 item 2): budget ~250k rows per reduce task with
+    // a 32768-partition ceiling — the r15 budget (~2M rows/task, cap
+    // 4096) assumed 24g/16t's ~1.5 GB-per-thread; the DEFAULT 8g/32t
+    // config gives each of the 32 concurrent tasks ~250 MB, so the
+    // task's row slice must shrink ~8x for the SMJ sort buffers + the
+    // partial (doc_a, doc_b) hash aggregate to fit without thrashing
+    // the spill path. Below the gate the joins plan their own
+    // exchanges at the session default — no eager count at all.
     val defP = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val p2 = math.max(defP,
-      math.min(4096L, nPairs * 60L / 2000000L + 1L).toInt)
-    val inter = cands
+    val joined1 = cands
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "doc_b")
-      .repartition(p2, col("doc_a"), col("shingle"))
+    val exchanged =
+      if (guarded) {
+        val nPairs = cands.count()
+        val p2 = math.max(defP,
+          math.min(32768L, nPairs * 60L / 250000L + 1L).toInt)
+        joined1.repartition(p2, col("doc_a"), col("shingle"))
+      } else joined1
+    val inter = exchanged
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
@@ -579,13 +632,23 @@ object Dedup {
     // non-clique chain can lose a link, the bounded-recall tradeoff the
     // bucket star documents. No fixture doc has > 16 verified partners,
     // so every oracle row is edge-identical.
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val edges = verified
-      .groupBy(col("doc_b"))
-      .agg(expr(s"topk_by_score(cast(-doc_a as double), doc_a, " +
-        s"$MaxPartnersPerDoc)").as("top"))
-      .select(col("doc_b"), explode(col("top")).as("t"))
-      .select(col("t.id").as("doc_a"), col("doc_b"))
+    // NOTE: the "smallest partners" selection scores by
+    // cast(-doc_a as double) — doc ids above 2^53 collide in double
+    // space, degrading the selection to the id-ASC tiebreak (which
+    // also prefers smaller ids, so connectivity is unaffected; the
+    // ordering among >2^53 hash-derived ids is what blurs). Fixture
+    // ids are far below 2^53; external callers with 64-bit hash ids
+    // inherit the tiebreak, documented here (ADVICE r15).
+    val edges = if (!guarded) verified
+    else {
+      graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+      verified
+        .groupBy(col("doc_b"))
+        .agg(expr(s"topk_by_score(cast(-doc_a as double), doc_a, " +
+          s"$MaxPartnersPerDoc)").as("top"))
+        .select(col("doc_b"), explode(col("top")).as("t"))
+        .select(col("t.id").as("doc_a"), col("doc_b"))
+    }
     (edges, () => { cands.unpersist(); sh.unpersist() })
   }
 
@@ -593,6 +656,16 @@ object Dedup {
     * connectivity argument there. 16 keeps every fixture edge and
     * bounds CC input at 16 rows/doc at any corpus scale. */
   private val MaxPartnersPerDoc = 16
+
+  /** Corpus size at which [[lshVerifiedEdges]] turns on its mega-group
+    * robustness guards (star-capped candidates, row-budgeted verify
+    * exchange, per-doc partner cap). Below this the guards cannot bind
+    * on any realistic bucket profile and only cost bench time. */
+  private[graft] val DefaultScaleGuardMinDocs = 1000000L
+
+  /** Star-cap bucket size used by the guarded path — see
+    * [[candidatesFromSignatures]]. */
+  private[graft] val GuardedMaxBucket = 8
 
   /** Embedding-cosine near-dup dedup, EXACT all-pairs path: edges =
     * pairs with cosine(a, b) >= `threshold`, then connected components,

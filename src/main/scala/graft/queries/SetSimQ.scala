@@ -153,8 +153,12 @@ object SetSimQ {
       // only LOSE pairs (band recall ≈ 1-(1-t²)⁴ ≈ 0.983 at t=0.8 with
       // 4 bands × 2 rows/band, matching the setSimJoin scaladoc;
       // measured in SCALE.md), never emit a false positive.
+      // maxBucket = 8 explicitly: this branch only fires when candidate
+      // mass is already quadratic, exactly where the min-star cap's
+      // bounded-recall tradeoff is the point (ADVICE r15 made the cap
+      // an explicit caller decision rather than a default)
       graft.ext.Dedup.candidatesFromSignatures(
-        graft.ext.Dedup.bandSignaturesFrom(sh))
+        graft.ext.Dedup.bandSignaturesFrom(sh), maxBucket = 8)
     }
     val arrs = ids.groupBy("doc_id")
       .agg(sort_array(collect_list(col("sid"))).as("arr"))

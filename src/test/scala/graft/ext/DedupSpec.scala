@@ -168,9 +168,12 @@ class DedupSpec extends SparkSpec {
       s"expected the 49-row min-star, got ${megaCand.size} rows")
     // the small bucket keeps exact all-pairs
     assert(cand.contains((1L, 2L)))
-    // end to end: the mega group still collapses to ONE canonical
-    val canon = Dedup.lshVerifiedCanonicalDocs(docs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // end to end THROUGH THE GUARDED PATH: scaleGuardMinDocs = 1 forces
+    // the star cap + partner cap + budgeted exchange on this tiny
+    // corpus (the r16 size gate would otherwise run it exact), and the
+    // mega group still collapses to ONE canonical
+    val canon = Dedup.lshVerifiedCanonicalDocs(docs, scaleGuardMinDocs = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((100L to 149L).map(canon).toSet == Set(100L),
       "mega group must dedup to its min through star edges")
     assert(canon(1L) == 1L && canon(2L) == 1L && canon(3L) == 3L)
