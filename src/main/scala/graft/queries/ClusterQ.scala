@@ -24,6 +24,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ClusterQ {
 
+  /** emb_pca_project_highdim knobs: lift the 64-dim fixture to 1536
+    * dims (well past jacobiEigen's 1024 routing bound, inside a real
+    * model-embedding range) and keep the top 4 components. */
+  private val PcaHiD = 1536
+  private val PcaHiK = 4
+
   val all: Seq[QueryDef] = Seq(
 
     // Lloyd's k-means, k=8, one full assign+update sweep then the final
@@ -226,6 +232,73 @@ object ClusterQ {
             .cast("long").as("zw1_u6"),
           floor(col("pc").getItem(1) * lit(sc1) * lit(1e6) + lit(0.5))
             .cast("long").as("zw2_u6"))
+        .orderBy("vec_id")
+    },
+
+    // HIGH-DIMENSIONAL PCA (r16, VERDICT r15 item 1): the d > 1024
+    // regime real embedding models live in (768..4096 dims), where
+    // jacobiEigen's driver-side O(d^3) refusal used to be a dead end.
+    // The fixture is LIFTED to d = 1536 by a deterministic md5-derived
+    // expansion matrix (both engines re-derive the identical doubles
+    // from the same formula — no 98k-literal R in the SQL), then the
+    // top-4 components come from DISTRIBUTED subspace iteration: each
+    // Cov·Q product is one treeAggregate pass with a d x k accumulator,
+    // the d x d covariance never exists anywhere. LAZY oracle in the
+    // emb_pca_project pattern: mean + components inlined as exact
+    // E-notation literals, DuckDB re-lifts the corpus and reproduces
+    // the index-ordered projection folds bit-for-bit on the u6 grid.
+    // The eigen ACCURACY is pinned in ClusterSpec (power-iteration
+    // factors vs exact jacobiEigen at d = 64; planted spectrum at
+    // d = 1200 where only the distributed path can run).
+    QueryDef.lazyOracle("emb_pca_project_highdim") { (s, d) =>
+      val emb = graft.ext.Embeddings.jlExpand(Tables.embeddings(s, d), PcaHiD, 64)
+      val (_, mu, _, comps, explained) =
+        graft.ext.Embeddings.topKComponentsPowerIteration(emb, k = PcaHiK)
+      def lst(a: Array[Double]) = a.map(VecOracle.dbl).mkString("[", ", ", "]")
+      def pc(w: String, alias: String) =
+        s"""CAST(FLOOR(list_reduce(list_transform(range(1, ${PcaHiD + 1}),
+           |    i -> (vh[i] - mu[i]) * $w[i]), (a, b) -> a + b)
+           |    * 1e6 + 0.5) AS BIGINT) AS $alias""".stripMargin
+      val ws = (0 until PcaHiK).map(c => s"${lst(comps(c))} AS w$c").mkString(",\n  ")
+      s"""WITH rtab AS (
+         |  SELECT i, list_transform(range(0, 64), j ->
+         |    CAST(CAST(concat('0x', substr(md5(concat('r_', i, '_', j)), 1, 15))
+         |       AS BIGINT) % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS rrow
+         |  FROM range(0, $PcaHiD) AS t(i)),
+         |rmat AS (SELECT list(rrow ORDER BY i) AS rm FROM rtab),
+         |consts AS (
+         |  SELECT ${lst(mu)} AS mu,
+         |  $ws),
+         |e AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |eh AS (
+         |  SELECT vec_id, label,
+         |         list_transform(range(1, ${PcaHiD + 1}), i ->
+         |           list_reduce(list_transform(range(1, 65), j -> rm[i][j] * v[j]),
+         |             (a, b) -> a + b)) AS vh
+         |  FROM e CROSS JOIN rmat)
+         |SELECT vec_id, label,
+         |  ${(0 until PcaHiK).map(c => pc(s"w$c", s"pc${c + 1}_u6")).mkString(",\n  ")},
+         |  CAST(${math.floor(explained * 1e6 + 0.5).toLong} AS BIGINT) AS var_explained_u6
+         |FROM eh CROSS JOIN consts""".stripMargin
+    } { (s, d) =>
+      // persist the lifted frame (tracked — Bench/Verify releaseAll
+      // cleans it): the fit's materialization, the dim probe, and the
+      // output projection all read it, so the 1536-wide lift UDF runs
+      // once per row instead of three times
+      val emb = graft.ext.Caches.track(
+        graft.ext.Embeddings.jlExpand(Tables.embeddings(s, d), PcaHiD, 64)
+          .persist())
+      // routes through pcaProject's d > 1024 branch — the registry row
+      // exercises the production entry point, not the internal fitter
+      val (proj, explained) = graft.ext.Embeddings.pcaProject(emb, k = PcaHiK)
+      proj.select(
+        Seq(col("vec_id"), col("label")) ++
+          (0 until PcaHiK).map(c =>
+            graft.Det.u6(col("pc").getItem(c)).as(s"pc${c + 1}_u6")) :+
+          lit(math.floor(explained * 1e6 + 0.5).toLong).as("var_explained_u6"): _*)
         .orderBy("vec_id")
     },
 

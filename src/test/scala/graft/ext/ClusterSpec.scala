@@ -393,6 +393,123 @@ class ClusterSpec extends SparkSpec {
     assert(e2.getMessage.contains("2048"), e2.getMessage)
   }
 
+  test("power iteration matches the exact eigen path on the fixture (d=64)") {
+    val emb = graft.Tables.embeddings(spark, sf())
+    val (_, muE, covE) = Embeddings.meanAndCovariance(emb)
+    val (valsE, vecsE) = Embeddings.jacobiEigen(covE)
+    val (n, muP, theta, comps, explained) =
+      Embeddings.topKComponentsPowerIteration(emb, k = 4)
+    assert(n == emb.count())
+    // the mean pass is the same fold — agree to fp noise
+    muE.zip(muP).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // Rayleigh-Ritz values converge quadratically in the subspace angle;
+    // gaps on real data are uncontrolled, so pin the dominant component
+    // tightly and the rest within 2% — mixing across a near-degenerate
+    // pair keeps theta between the true values, inside this band
+    assert(math.abs(theta(0) - valsE(0)) < 0.01 * valsE(0),
+      s"theta0 ${theta(0)} vs exact ${valsE(0)}")
+    val dot0 = math.abs(vecsE(0).zip(comps(0)).map(p => p._1 * p._2).sum)
+    assert(dot0 > 0.99, s"dominant component misaligned: $dot0")
+    (1 until 4).foreach { c =>
+      assert(theta(c) <= theta(c - 1) + 1e-12, "theta must be nonincreasing")
+      assert(math.abs(theta(c) - valsE(c)) < 0.02 * math.max(valsE(0), 1e-12),
+        s"theta($c)=${theta(c)} vs exact ${valsE(c)}")
+    }
+    // a k-dim subspace never explains MORE variance than the exact top-k
+    val totalE = valsE.map(math.max(_, 0.0)).sum
+    val exactFrac = valsE.take(4).map(math.max(_, 0.0)).sum / totalE
+    assert(explained <= exactFrac + 1e-9 && explained > exactFrac - 0.02,
+      s"explained=$explained vs exact top-4 $exactFrac")
+  }
+
+  test("power iteration: planted rank-3 spectrum at d=1200 recovered exactly") {
+    // data lives in a 3-dim subspace of R^1200 — only the DISTRIBUTED
+    // path can run here (jacobiEigen refuses d > 1024). Rank-3 input
+    // makes subspace iteration converge exactly: the predicted spectrum
+    // is the 3x3 coefficient covariance's, computable locally.
+    val d = 1200; val n = 400
+    val rnd = new scala.util.Random(11)
+    val u = Array.fill(3, d)(rnd.nextGaussian())
+    // local Gram-Schmidt over the 3 planted directions
+    for (c <- 0 until 3) {
+      for (p <- 0 until c) {
+        val dot = (0 until d).map(i => u(p)(i) * u(c)(i)).sum
+        (0 until d).foreach(i => u(c)(i) -= dot * u(p)(i))
+      }
+      val nm = math.sqrt((0 until d).map(i => u(c)(i) * u(c)(i)).sum)
+      (0 until d).foreach(i => u(c)(i) /= nm)
+    }
+    val lam = Array(100.0, 25.0, 4.0)
+    // deterministic Rademacher coefficients
+    def s(t: Int, c: Int): Double =
+      if (((t * 2654435761L + c * 40503L) >>> 16 & 1L) == 0L) 1.0 else -1.0
+    val coef = Array.tabulate(n, 3)((t, c) => math.sqrt(lam(c)) * s(t, c))
+    val rows = (0 until n).map { t =>
+      (t.toLong, Array.tabulate(d) { i =>
+        (0 until 3).map(c => coef(t)(c) * u(c)(i)).sum.toFloat
+      }, 0)
+    }
+    val emb = embDf(rows)
+    val (_, _, theta, comps, explained) =
+      Embeddings.topKComponentsPowerIteration(emb, k = 3)
+    // predicted spectrum: eigen of the 3x3 sample covariance of the
+    // coefficients AS STORED (float rounding included via re-derivation
+    // is unnecessary at these magnitudes — tolerances absorb it)
+    val mean = Array.tabulate(3)(c => coef.map(_(c)).sum / n)
+    val c3 = Array.tabulate(3, 3) { (a, b) =>
+      (0 until n).map(t => (coef(t)(a) - mean(a)) * (coef(t)(b) - mean(b))).sum / (n - 1)
+    }
+    val (predVals, _) = Embeddings.jacobiEigen(c3)
+    (0 until 3).foreach { c =>
+      assert(math.abs(theta(c) - predVals(c)) < 1e-3 * predVals(0),
+        s"theta($c)=${theta(c)} vs planted ${predVals(c)}")
+    }
+    // components lie in the planted span: projection norm ~ 1
+    (0 until 3).foreach { c =>
+      val pn = math.sqrt((0 until 3).map { p =>
+        val dot = (0 until d).map(i => comps(c)(i) * u(p)(i)).sum
+        dot * dot
+      }.sum)
+      assert(pn > 0.999, s"component $c leaks out of the planted span: $pn")
+    }
+    // rank-3 data: top-3 explain everything
+    assert(explained > 0.999, s"explained=$explained")
+    // ADVICE r15 guard-mismatch closed: pcaProject ROUTES high dims to
+    // the distributed path instead of paying the covariance pass and
+    // then throwing on the driver
+    val (proj, exp2) = Embeddings.pcaProject(emb, k = 2)
+    assert(proj.count() == n && exp2 > 0.9)
+  }
+
+  test("power iteration is deterministic across refits (lazy-oracle contract)") {
+    // Verify's lazy oracle refits in the SQL generator and the query
+    // closure separately — the two fits must agree bit-for-bit on the
+    // same session/partitioning
+    val emb = graft.Tables.embeddings(spark, sf())
+    val (_, mu1, t1, c1, e1) = Embeddings.topKComponentsPowerIteration(emb, k = 3)
+    val (_, mu2, t2, c2, e2) = Embeddings.topKComponentsPowerIteration(emb, k = 3)
+    assert(mu1.sameElements(mu2) && t1.sameElements(t2) && e1 == e2)
+    assert(c1.zip(c2).forall(p => p._1.sameElements(p._2)))
+  }
+
+  test("jlExpandMatrix matches the SQL md5 derivation entry-for-entry") {
+    // the highdim oracle re-derives R inside DuckDB from
+    // md5('r_i_j') — pin the Scala derivation against Spark SQL's
+    // identical conv/md5 formula (the same equivalence the minhash
+    // family's oracle pairing already rests on)
+    val r = Embeddings.jlExpandMatrix(4, 4)
+    val got = spark.sql(
+      """SELECT i, j,
+        |  CAST(cast(conv(substring(md5(cast(concat('r_', i, '_', j) AS binary)),
+        |     1, 15), 16, 10) AS bigint) % 2001 - 1000 AS DOUBLE)
+        |    / CAST(1000 AS DOUBLE) AS r
+        |FROM (SELECT explode(sequence(0, 3)) AS i)
+        |CROSS JOIN (SELECT explode(sequence(0, 3)) AS j)""".stripMargin)
+      .collect().map(row => (row.getInt(0), row.getInt(1)) -> row.getDouble(2)).toMap
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(got((i, j)) == r(i)(j), s"R[$i][$j]: sql ${got((i, j))} vs scala ${r(i)(j)}")
+  }
+
   test("emb_silhouette: separated label blobs near 1, scrambled labels near 0") {
     val dir = java.nio.file.Files.createTempDirectory("silh").toString
     embDf(blobs(20)).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
