@@ -212,13 +212,16 @@ object Similarity {
     val planes = lshPlanes(dim, numTables, hashesPerTable)
     val bc = spark.sparkContext.broadcast(planes)
     val bl = bucketLength
-    val buckets = udf { (e: Seq[Float]) =>
-      if (e == null) Array.empty[Long]
+    val buckets = udf { (e0: Seq[Float]) =>
+      if (e0 == null) Array.empty[Long]
       else {
       // fail loudly on heterogeneous dimensions — a prefix-hash would
       // silently degrade neighbor quality instead
-      require(e.length == dim,
-        s"LSH bucketing: embedding of length ${e.length} in a corpus sampled at dim $dim")
+      require(e0.length == dim,
+        s"LSH bucketing: embedding of length ${e0.length} in a corpus sampled at dim $dim")
+      // one bulk copy: this UDF runs tables x hashes x dim indexed reads
+      // per CORPUS row, and the Seq a UDF receives indexes in linear time
+      val e = e0.toArray
       var n = 0.0; var i = 0
       while (i < e.length) { n += e(i).toDouble * e(i); i += 1 }
       val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)

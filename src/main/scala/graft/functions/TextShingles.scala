@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions.udf
   * mismatching rows over sf0.1).
   */
 object TextShingles {
-  private val shingle3Udf = udf { (toks: Seq[String]) =>
-    if (toks == null || toks.length < 3) Array.empty[String]
+  private val shingle3Udf = udf { (toks0: Seq[String]) =>
+    if (toks0 == null || toks0.length < 3) Array.empty[String]
     else {
+      // bulk-copy first: the Seq a UDF receives indexes in linear time
+      // in this Spark version, and this loop reads 3 positions per
+      // shingle over every doc in every dedup pass
+      val toks = toks0.toArray
       val seen = new scala.collection.mutable.LinkedHashSet[String]
       val sb = new StringBuilder
       var i = 0
@@ -37,10 +41,11 @@ object TextShingles {
   /** Distinct word 3-grams of `tokens` (array<string>), first-seen order. */
   def shingle3(tokens: Column): Column = shingle3Udf(tokens)
 
-  private val kgram8Udf = udf { (toks: Seq[String]) =>
+  private val kgram8Udf = udf { (toks0: Seq[String]) =>
     val k = 8
-    if (toks == null || toks.length < k) Array.empty[String]
+    if (toks0 == null || toks0.length < k) Array.empty[String]
     else {
+      val toks = toks0.toArray // linear-indexed UDF Seq — copy once
       val out = new Array[String](toks.length - k + 1)
       val sb = new StringBuilder
       var i = 0

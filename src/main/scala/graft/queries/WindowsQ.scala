@@ -317,7 +317,8 @@ object WindowsQ {
         |         (acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc) AS ewma
         |FROM rn r JOIN ls l ON l.user_id = r.user_id
         |ORDER BY r.user_id, r.event_id""".stripMargin) { (s, d) =>
-      val scan = udf { (vals: Seq[Double]) =>
+      val scan = udf { (vals0: Seq[Double]) =>
+        val vals = vals0.toArray // linear-indexed UDF Seq — copy once
         val out = new Array[Double](vals.length)
         var acc = 0.0
         var i = 0
