@@ -124,6 +124,79 @@ object CurateQ {
       |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
 
+  /** TPC-H Q17 shape (r16, VERDICT r15 item 4): small-quantity-order
+    * revenue via a CORRELATED SCALAR AGGREGATE — the one Catalyst
+    * rewrite family (`RewriteCorrelatedScalarSubquery`) no other row
+    * exercised: the per-part avg-quantity subquery must decorrelate
+    * into an aggregate-then-join, never a per-row re-scan (pinned in
+    * PlanSpec). Fixture adaptations: p_size < 15 stands in for the
+    * missing p_container; the inner avg rides the exact-decimal-sum
+    * discipline so the filter boundary is engine-deterministic. */
+  private val SqlTpchQ17: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND p_size < 15
+      |  AND l_quantity < (
+      |    SELECT 0.5 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q21 shape (r16): suppliers-who-kept-orders-waiting — the
+    * nested correlated EXISTS + NOT EXISTS pair over the same fact
+    * table, Catalyst's semi- AND anti-join decorrelation in ONE query
+    * (each must become a join, pinned in PlanSpec). Fixture
+    * adaptation: "this supplier's line failed and no co-supplier's
+    * did" is expressed with l_returnflag = 'R' (the fixture has no
+    * l_receiptdate/l_commitdate pair). */
+  private val SqlTpchQ21: String =
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND n_name = 'NATION_3'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 shape (r16): the global-customer-insight query — an
+    * UNCORRELATED scalar subquery (global average balance) feeding a
+    * filter PLUS a correlated NOT EXISTS anti join, grouped by a
+    * derived country code. Fixture adaptations: cntrycode is
+    * c_nationkey % 5 (no c_phone column), and the anti join excludes
+    * customers with FINALIZED orders (every fixture customer has some
+    * order). Balance sums ride the exact-decimal discipline. */
+  private val SqlTpchQ22: String =
+    """SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal, c_custkey
+      |  FROM customer
+      |  WHERE c_nationkey % 5 IN (0, 1, 2)
+      |    AND c_acctbal > (
+      |      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |      FROM customer c2
+      |      WHERE c2.c_acctbal > 0.00 AND c2.c_nationkey % 5 IN (0, 1, 2))) cs
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = cs.c_custkey AND o_orderstatus = 'F')
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
   /** Whitespace tokens — same tokenizer as PipelineQ. */
   private def toks = split(col("text"), "\\s+")
 
@@ -594,6 +667,38 @@ object CurateQ {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       Tables.load(s, d, "part").createOrReplaceTempView("part")
       s.sql(SqlTpchQ19)
+    },
+
+    // TPC-H Q17 (r16): correlated scalar aggregate — see SqlTpchQ17
+    // scaladoc; PlanSpec pins the decorrelated aggregate-join.
+    QueryDef(
+      "sql_tpch_q17",
+      SqlTpchQ17) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.load(s, d, "part").createOrReplaceTempView("part")
+      s.sql(SqlTpchQ17)
+    },
+
+    // TPC-H Q21 (r16): nested EXISTS / NOT EXISTS — see SqlTpchQ21
+    // scaladoc; PlanSpec pins the semi + anti join pair.
+    QueryDef(
+      "sql_tpch_q21",
+      SqlTpchQ21) { (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(SqlTpchQ21)
+    },
+
+    // TPC-H Q22 (r16): uncorrelated scalar subquery + anti join — see
+    // SqlTpchQ22 scaladoc.
+    QueryDef(
+      "sql_tpch_q22",
+      SqlTpchQ22) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SqlTpchQ22)
     },
 
     // Null-preserving explode (explode_outer): rows with NULL or empty

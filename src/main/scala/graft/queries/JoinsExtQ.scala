@@ -313,6 +313,52 @@ object JoinsExtQ {
           && col("pts") < col("vts") + expr("INTERVAL 1 HOUR"))
         .select("user_id", "view_id", "purchase_id")
         .orderBy("view_id", "purchase_id")
+    },
+
+    // SALTED skew join (r16, VERDICT r15 item 5): the hand-rolled
+    // hot-key treatment for when AQE's OptimizeSkewedJoin can't help —
+    // a shuffle-HASH join (no sort to split) or a key so hot one
+    // partition exceeds every split threshold. A deterministic remap
+    // plants the skew (30% of events collapse onto user 7 — the
+    // one-mega-customer shape), then the dim side REPLICATES over 8
+    // salt values while the fact side scatters each hot key across
+    // salts by event_id — the (uid, salt) exchange spreads the hot
+    // key's rows over 8 reduce tasks instead of one straggler. Salt
+    // values never reach the output, so the oracle is the PLAIN
+    // join+aggregate: salting must be invisible to semantics. PlanSpec
+    // pins the salted exchange + shuffle-hash join; the AQE
+    // OptimizeSkewedJoin twin (sort-merge splits, no manual salt) is
+    // pinned in PlanSpec on a forced-threshold plan. SCALE.md carries
+    // the straggler-vs-salted curve.
+    QueryDef(
+      "join_skew_salted",
+      """WITH ev AS (
+        |  SELECT CASE WHEN event_id % 10 < 3 THEN 7 ELSE user_id END AS uid,
+        |         value
+        |  FROM events)
+        |SELECT c_mktsegment,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM ev JOIN customer ON c_custkey = uid
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val salts = 8
+      val ev = Tables.events(s, d).select(
+        when(col("event_id") % 10 < 3, lit(7L))
+          .otherwise(col("user_id")).as("uid"),
+        pmod(col("event_id"), lit(salts)).cast("int").as("salt"),
+        col("value"))
+      val users = Tables.customer(s, d)
+        .select(col("c_custkey").as("uid"), col("c_mktsegment"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      // SHUFFLE_HASH pins the scenario: the dim is small enough to
+      // broadcast here (where salting would be moot), but the planted
+      // shape is the 100 TB one where BOTH sides shuffle on the key
+      ev.join(users.hint("SHUFFLE_HASH"), Seq("uid", "salt"))
+        .groupBy("c_mktsegment")
+        .agg(graft.Det.dsum2(col("value")).as("revenue"),
+          count(lit(1)).cast("long").as("n_events"))
+        .orderBy("c_mktsegment")
     }
   )
 }

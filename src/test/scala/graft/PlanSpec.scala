@@ -571,6 +571,130 @@ class PlanSpec extends SparkSpec {
         p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("tpch q17: correlated scalar aggregate decorrelates to an aggregate-join") {
+    // RewriteCorrelatedScalarSubquery must turn the per-part avg
+    // subquery into groupBy(l_partkey)+join — never a per-row re-scan
+    // (no nested-loop, no subquery left in the physical plan)
+    val p = plan("sql_tpch_q17")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q17's correlated avg must decorrelate to an equi join:\n${p.take(1500)}")
+    assert(!p.toLowerCase.contains("scalarsubquery") || !p.contains("l_partkey = p_partkey"),
+      s"no correlated subquery may survive to execution:\n${p.take(1500)}")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2,
+      s"the per-part avg should be a standalone aggregate, got $hashAggs:\n${p.take(1500)}")
+  }
+
+  test("tpch q21: nested EXISTS / NOT EXISTS become semi + anti joins") {
+    val p = plan("sql_tpch_q21")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q21 must stay equi-keyed on l_orderkey:\n${p.take(1500)}")
+    val lower = p.toLowerCase
+    assert(lower.contains("leftsemi") || lower.contains("left semi"),
+      s"the EXISTS must plan as a semi join:\n${p.take(1500)}")
+    assert(lower.contains("leftanti") || lower.contains("left anti"),
+      s"the NOT EXISTS must plan as an anti join:\n${p.take(1500)}")
+  }
+
+  test("tpch q22: scalar subquery once, NOT EXISTS as an anti join") {
+    val p = plan("sql_tpch_q22")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q22 must stay keyed:\n${p.take(1500)}")
+    val lower = p.toLowerCase
+    assert(lower.contains("leftanti") || lower.contains("left anti"),
+      s"the NOT EXISTS must plan as an anti join:\n${p.take(1500)}")
+    // the global-average scalar subquery is UNcorrelated: it executes
+    // once and lands in the plan as a Subquery/scalar-subquery node,
+    // never a join per row
+    assert(lower.contains("subquery"),
+      s"the uncorrelated average should remain a one-shot scalar subquery:\n${p.take(1500)}")
+  }
+
+  test("salted skew join: exchange keyed on (uid, salt), shuffle-hash, no broadcast") {
+    val p = plan("join_skew_salted")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the skew demo must exercise the shuffle join path:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"broadcasting the dim would make the salt moot:\n${p.take(1500)}")
+    // the join keys (and so the exchanges) must include the salt — that
+    // IS the mechanism: the hot uid's rows spread across 8 reduce tasks.
+    // Formatted explain puts keys in the details section ("Left keys
+    // [2]: [uid#.., salt#..]"), not on the tree line.
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys") && l.contains("[")).mkString("\n")
+    assert(keyLines.contains("salt"),
+      s"salt must be part of the join key:\n$keyLines")
+  }
+
+  test("AQE OptimizeSkewedJoin splits the planted hot partition (forced thresholds)") {
+    // the AQE twin of join_skew_salted: no manual salt — a sort-merge
+    // join over the same planted hot key, with the skew thresholds
+    // forced low enough that the sf-scale hot partition qualifies. The
+    // assertion is on the EXECUTED adaptive plan: the join must carry
+    // the skew=true marker (OptimizeSkewedJoin fired and split the
+    // partition into parallel sub-reads).
+    import org.apache.spark.sql.functions._
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      // split even where it costs an extra shuffle before the aggregate
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // coalescing would re-merge the small partitions and blur sizes
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // sf0.01 (10k events) with 60% of rows on ONE key: the hot
+      // partition is ~6x the median. The skew detector reads COMPRESSED
+      // shuffle-block sizes, and a constant-key/no-payload row deflates
+      // to nothing — carry the incompressible value/props payload so
+      // the hot block's bytes actually reflect its row count.
+      // ~160 B of per-row INCOMPRESSIBLE payload (md5 of the row id):
+      // the detector reads compressed shuffle-block bytes, and a
+      // constant-key partition otherwise deflates below any threshold
+      val ev = Tables.events(spark, sf("sf0.01")).select(
+        when(col("event_id") % 10 < 6, lit(7L))
+          .otherwise(col("user_id")).as("uid"),
+        col("value"),
+        concat(md5(col("event_id").cast("string")),
+          md5(concat(col("event_id").cast("string"), lit("x"))),
+          md5(concat(col("event_id").cast("string"), lit("y"))),
+          md5(concat(col("event_id").cast("string"), lit("z"))),
+          md5(concat(col("event_id").cast("string"), lit("w")))).as("props"))
+        // skew splits are MAP-GRANULAR (each split reads a subset of map
+        // outputs): the sf0.01 parquet is ONE map task, which makes the
+        // hot reduce partition unsplittable however large — spread the
+        // scan over 16 map tasks first (at cluster scale this is the
+        // natural state; debugged live via OptimizeSkewedJoin's logs,
+        // which detected max/median = 7x yet reported 0 skewed)
+        .repartition(16)
+      val users = Tables.customer(spark, sf("sf0.01"))
+        .select(col("c_custkey").as("uid"), col("c_mktsegment"))
+      // aggregate over the payload columns so column pruning cannot
+      // strip them before the shuffle — the skew detector needs the hot
+      // block's bytes to reflect its row count
+      val joined = ev.join(users, "uid")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+          max("props").as("mp"))
+      joined.collect()
+      val executed = joined.queryExecution.executedPlan.toString
+      assert(executed.contains("skew=true") || executed.contains("skewed"),
+        s"OptimizeSkewedJoin should have split the hot partition:\n${executed.take(2500)}")
+    } finally restore()
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
