@@ -781,6 +781,18 @@ object GraphQ {
     }
 
     def get(s: SparkSession, d: String): Seq[DataFrame] = synchronized {
+      // purge entries whose owning session has stopped (common in test
+      // suites that cycle sessions): their checkpoint RDDs died with the
+      // context — serving them would fail, and unpersisting them throws
+      // (ADVICE r15). Nothing to release; the context took the blocks
+      // with it. NOTE the residual staleness seam: entries are keyed by
+      // (session, dir), so a fixture REWRITTEN under an unchanged path
+      // mid-session (a _built_* marker-version bump) would serve the old
+      // frames — marker bumps ship with code changes (fresh JVM, empty
+      // memo), so the seam is unreachable in practice; rebuilders that
+      // hit it must cycle the session.
+      memo.keys.filter(_._1.sparkContext.isStopped).toList
+        .foreach(memo.remove)
       val k = (s, d)
       memo.remove(k) match {
         case Some(e) => memo.put(k, e); e.cutFrames   // refresh LRU position
@@ -791,7 +803,13 @@ object GraphQ {
           if (memo.size > maxEntries) {
             val (oldK, oldE) = memo.head
             memo.remove(oldK)
-            oldE.backing.foreach(graft.ext.Caches.hardUnpersist)
+            // eviction must never fail the CURRENT query: a concurrent
+            // stop between the purge above and here still throws inside
+            // hardUnpersist, so best-effort it
+            try {
+              if (!oldK._1.sparkContext.isStopped)
+                oldE.backing.foreach(graft.ext.Caches.hardUnpersist)
+            } catch { case _: Exception => () }
           }
           e.cutFrames
       }

@@ -59,4 +59,115 @@ class StreamingIngestDedupSpec extends SparkSpec {
       s"streamed new-docs ${gotNew.size} vs batch ${expectedNew.size}")
     corpus.unpersist()
   }
+
+  test("FOURTEENTH pair: persisted-index ingest — replay parity, growing index, bounded state") {
+    import graft.streaming.IngestDedup
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text").localCheckpoint()
+    val odds = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val b1 = odds.filter(col("doc_id") % 6 === 1).localCheckpoint()
+    val b2 = odds.filter(col("doc_id") % 6 === 3).localCheckpoint()
+
+    // batch-operator truth for the FIRST ingest step (replay parity
+    // with the oracle-paired doc_incremental_neardups, composed with
+    // the exact-hash prefilter the operator documents)
+    val fresh1 = b1.join(
+      corpus.select(xxhash64(col("text")).as("h")),
+      xxhash64(col("text")) === col("h"), "left_anti")
+    val expPairs1 = Dedup.incrementalNearDups(corpus, fresh1)
+      .select("doc_corpus", "doc_new").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expAcc1 = fresh1.select("doc_id").collect().map(_.getLong(0)).toSet --
+      expPairs1.map(_._2)
+
+    // planted batch 3: a NEAR-dup of a batch-1 ACCEPTED doc (tail token
+    // dropped — high 3-shingle overlap) and an EXACT copy of another.
+    // Both must resolve against the GROWN index, not the seed corpus —
+    // that is what makes this a streaming operator and not a replayed
+    // batch. Pick accepted docs with long texts so the near-dup stays
+    // over threshold.
+    val accTexts = b1.filter(col("doc_id").isin(expAcc1.toSeq: _*))
+      .filter(size(split(col("text"), "\\s+")) >= 30)
+      .orderBy("doc_id").limit(2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(accTexts.length == 2, "fixture should offer two long accepted docs")
+    val (nearSrcId, nearSrcText) = accTexts(0)
+    val (exactSrcId, exactSrcText) = accTexts(1)
+    val nearText = nearSrcText.split("\\s+").dropRight(1).mkString(" ")
+    val b3 = Seq((9000001L, nearText), (9000002L, exactSrcText))
+      .toDF("doc_id", "text")
+
+    val tmp = java.nio.file.Files.createTempDirectory("ingest-14").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    // one flat FILE per micro-batch with strictly increasing mtimes:
+    // FileStreamSource orders new files by (timestamp, path), so this +
+    // maxFilesPerTrigger=1 pins batch order b0 -> b3
+    def addFile(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory(s"stage$n").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val target = java.nio.file.Paths.get(s"$tmp/in/b$n.parquet")
+      java.nio.file.Files.move(part.toPath, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + n * 60000L))
+    }
+    addFile(corpus, 0) // bootstrap batch
+    addFile(b1, 1)
+    addFile(b2, 2)
+    addFile(b3, 3)
+
+    val results = scala.collection.mutable.Map[Long, (Set[(Long, Long)], Set[Long])]()
+    val stateCurve = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val r = IngestDedup.ingestStep(b.sparkSession, s"$tmp/store", b)
+        results.synchronized {
+          results(id) = (
+            r.pairs.select("doc_corpus", "doc_new").collect()
+              .map(x => (x.getLong(0), x.getLong(1))).toSet,
+            r.accepted.select("doc_id").collect().map(_.getLong(0)).toSet)
+          val (sigRows, hashRows) = IngestDedup.stateRows(b.sparkSession, s"$tmp/store")
+          stateCurve += ((id, sigRows, hashRows))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(results.size == 4, s"expected 4 micro-batches, got ${results.keySet}")
+
+    // micro-batch ids follow file order (b0..b3: one file per trigger)
+    val ids = results.keys.toSeq.sorted
+    val (p0, a0) = results(ids(0))
+    assert(p0.isEmpty && a0 == corpus.collect().map(_.getLong(0)).toSet,
+      "bootstrap batch must accept the whole seed corpus with no pairs")
+    // REPLAY PARITY: step 1 == the batch composition exactly
+    val (p1, a1) = results(ids(1))
+    assert(p1 == expPairs1, s"step-1 pairs ${p1.size} vs batch ${expPairs1.size}")
+    assert(a1 == expAcc1, s"step-1 accepted ${a1.size} vs batch ${expAcc1.size}")
+    // GROWN INDEX: the planted near-dup pairs against the batch-1 doc
+    // (odd, not in the seed corpus); the exact copy is silently dropped
+    val (p3, a3) = results(ids(3))
+    assert(p3.exists(p => p._1 == nearSrcId && p._2 == 9000001L),
+      s"planted near-dup must hit the batch-1 accepted doc $nearSrcId: $p3")
+    assert(!a3.contains(9000001L), "near-dup must be rejected")
+    assert(!a3.contains(9000002L) &&
+      !p3.exists(_._2 == 9000002L),
+      "exact copy must be dropped by the hash index before LSH")
+    // BOUNDED STATE across >= 3 micro-batches: standing rows track the
+    // ACCEPTED corpus exactly — 4 signature rows + 1 hash row per
+    // accepted doc; rejected duplicates contribute nothing
+    var cumAccepted = 0L
+    ids.zipWithIndex.foreach { case (id, i) =>
+      cumAccepted += results(id)._2.size
+      val (_, sig, hash) = stateCurve(i)
+      assert(sig == 4 * cumAccepted && hash == cumAccepted,
+        s"batch $id state (sig=$sig, hash=$hash) vs accepted $cumAccepted")
+    }
+  }
 }
