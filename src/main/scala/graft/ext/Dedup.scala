@@ -570,52 +570,53 @@ object Dedup {
       if (guarded) GuardedMaxBucket else Int.MaxValue).persist()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
-    val sh = distinctShingles(docs)
+    // r16 (VERDICT r15 item 2, second iteration): verify via CO-GROUPED
+    // SHINGLE ARRAYS, not exploded (pair, shingle) rows. The r15 shape
+    // exchanged |pairs| x |shingles/doc| rows (1.19B rows / ~45 GB of
+    // shuffle at the 1000x corpus) into a (doc_a, shingle)-keyed join +
+    // (doc_a, doc_b) aggregate; widening its reduce budget for the
+    // default 8g/32t config fixed the HEAP but the exchange bytes then
+    // overran this box's ~60 GB of shuffle disk (measured live: "No
+    // space left on device" with the heap holding). Collapsing each
+    // doc's hashed shingles to ONE array row first makes every later
+    // exchange PAIRS-sized: cands joins arr(doc_b) then arr(doc_a)
+    // (~0.5 KB/row at web-doc shingle counts, ~10 GB total at 1000x vs
+    // 45+), and the intersection count is a single array_intersect per
+    // pair — no post-join aggregate, no third exchange, nothing to
+    // row-budget. Per-key SMJ buffering stays bounded by the same join
+    // order as before (doc_b first: <= 4 star + 4x(maxBucket-1) rows
+    // per key; the star-hub doc_a side streams, and even a 1000-member
+    // hub buffers only ~4k pair rows x ~0.5 KB). Arrays are per-doc
+    // DISTINCT hashed shingles, so intersect size == exact common
+    // count; array order is irrelevant to size().
+    val arrs = distinctShingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("arr"))
       .persist(lvl)
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // Join ORDER is load-bearing at mega-group scale: the first join's
-    // buffered SMJ side must be the one with BOUNDED per-key
-    // multiplicity. doc_b receives <= 4 star + 4x(maxBucket-1) exact
-    // candidates by construction, while doc_a is the star HUB (a
-    // mega bucket's min can carry its whole bucket) — joining on doc_a
-    // first buffered the hub's entire candidate group per key
-    // (BufferedRowIterator OOM, caught at the 1000x corpus). Keyed on
-    // doc_b first, then (doc_a, shingle) (unique per key on the sh
-    // side), every buffered group is bounded; the hub's fan-out
-    // STREAMS through the second join into the partial aggregate.
-    // Row-budgeted reduce width for the verify exchange: the join-1
-    // output carries |pairs| x |shingles/doc| rows (1.19B at the 1000x
-    // corpus — intrinsic to exact verification), and the session's 32
-    // partitions put ~37M of them in each reduce task (heap-OOM at the
-    // default 8g/32-thread config). cands is persisted and reused by
-    // everything below, so the count() here just materializes it early.
-    // r16 (VERDICT r15 item 2): budget ~250k rows per reduce task with
-    // a 32768-partition ceiling — the r15 budget (~2M rows/task, cap
-    // 4096) assumed 24g/16t's ~1.5 GB-per-thread; the DEFAULT 8g/32t
-    // config gives each of the 32 concurrent tasks ~250 MB, so the
-    // task's row slice must shrink ~8x for the SMJ sort buffers + the
-    // partial (doc_a, doc_b) hash aggregate to fit without thrashing
-    // the spill path. Below the gate the joins plan their own
-    // exchanges at the session default — no eager count at all.
-    val defP = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // Guarded width budget, now in PAIR rows: each carries a ~0.5 KB
+    // shingle array, so ~150k rows/task keeps a reduce task's SMJ sort
+    // pages near ~75 MB — 32 concurrent tasks fit the default 8 GB heap
+    // with room for the arr build side. (At 32 session partitions the
+    // 1000x corpus put ~620k array-rows per task; 32 x ~300 MB of sort
+    // pages OOM'd the default config — measured live.)
     val joined1 = cands
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "doc_b")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("ab")), "doc_b")
     val exchanged =
       if (guarded) {
+        val defP = docs.sparkSession.sessionState.conf.numShufflePartitions
         val nPairs = cands.count()
         val p2 = math.max(defP,
-          math.min(32768L, nPairs * 60L / 250000L + 1L).toInt)
-        joined1.repartition(p2, col("doc_a"), col("shingle"))
+          math.min(32768L, nPairs / 150000L + 1L).toInt)
+        joined1.repartition(p2, col("doc_a"))
       } else joined1
-    val inter = exchanged
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    val verified = inter
-      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+    val verified = exchanged
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("aa")), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("aa"), col("ab"))).cast("long").as("n_common"),
+        size(col("aa")).cast("long").as("na"),
+        size(col("ab")).cast("long").as("nb"))
       .filter(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
         >= threshold)
       .select("doc_a", "doc_b")
@@ -649,7 +650,7 @@ object Dedup {
         .select(col("doc_b"), explode(col("top")).as("t"))
         .select(col("t.id").as("doc_a"), col("doc_b"))
     }
-    (edges, () => { cands.unpersist(); sh.unpersist() })
+    (edges, () => { cands.unpersist(); arrs.unpersist() })
   }
 
   /** Verified-partner cap per doc in [[lshVerifiedEdges]] — see the
