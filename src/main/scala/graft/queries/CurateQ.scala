@@ -197,6 +197,102 @@ object CurateQ {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 
+  /** TPC-H Q4 shape (r16 part 2): priority counting — an EXISTS semi
+    * join gating an aggregate over a date slice ("late line" adapted to
+    * l_returnflag = 'R'; no receipt/commit dates in the fixture). */
+  private val SqlTpchQ4: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7 (volume shipping): the 6-table snowflake with a
+    * SYMMETRIC two-nation disjunction and a year-extract group key —
+    * nation dims broadcast twice under different aliases. */
+  private val SqlTpchQ7: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+      |         l_extendedprice * (1 - l_discount) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 (market share): 8-table star through region, the
+    * share-of-total conditional ratio per year. p_type = 'PROMO'
+    * stands in for the fixture's flat type vocabulary. */
+  private val SqlTpchQ8: String =
+    """SELECT o_year,
+      |       CAST(SUM(CASE WHEN nation = 'NATION_3'
+      |             THEN CAST(volume AS DECIMAL(24,6))
+      |             ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+      |       / CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |         l_extendedprice * (1 - l_discount) AS volume,
+      |         n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    AND p_type = 'PROMO') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q13 (customer distribution): LEFT join with a join-side
+    * predicate, count-of-counts histogram — the one OUTER-join
+    * aggregate shape in the TPC-H set (zero-order customers must
+    * survive as c_count = 0). Status filter stands in for the
+    * comment LIKE. */
+  private val SqlTpchQ13: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer
+      |  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 (top supplier): a derived revenue view consumed twice —
+    * once joined, once under a scalar MAX subquery; the equality filter
+    * is safe because both sides are the same exact-decimal-sum double. */
+  private val SqlTpchQ15: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Whitespace tokens — same tokenizer as PipelineQ. */
   private def toks = split(col("text"), "\\s+")
 
@@ -699,6 +795,60 @@ object CurateQ {
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.orders(s, d).createOrReplaceTempView("orders")
       s.sql(SqlTpchQ22)
+    },
+
+    // TPC-H Q4 (r16 part 2): EXISTS-gated priority counts.
+    QueryDef(
+      "sql_tpch_q4",
+      SqlTpchQ4) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlTpchQ4)
+    },
+
+    // TPC-H Q7 (r16 part 2): two-nation volume snowflake.
+    QueryDef(
+      "sql_tpch_q7",
+      SqlTpchQ7) { (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(SqlTpchQ7)
+    },
+
+    // TPC-H Q8 (r16 part 2): 8-table market-share ratio.
+    QueryDef(
+      "sql_tpch_q8",
+      SqlTpchQ8) { (s, d) =>
+      Tables.load(s, d, "part").createOrReplaceTempView("part")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.load(s, d, "region").createOrReplaceTempView("region")
+      s.sql(SqlTpchQ8)
+    },
+
+    // TPC-H Q13 (r16 part 2): outer-join count-of-counts histogram.
+    QueryDef(
+      "sql_tpch_q13",
+      SqlTpchQ13) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SqlTpchQ13)
+    },
+
+    // TPC-H Q15 (r16 part 2): top supplier via a scalar MAX over a
+    // shared derived view.
+    QueryDef(
+      "sql_tpch_q15",
+      SqlTpchQ15) { (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlTpchQ15)
     },
 
     // Null-preserving explode (explode_outer): rows with NULL or empty
