@@ -589,9 +589,25 @@ object Dedup {
     // hub buffers only ~4k pair rows x ~0.5 KB). Arrays are per-doc
     // DISTINCT hashed shingles, so intersect size == exact common
     // count; array order is irrelevant to size().
-    val arrs = distinctShingles(docs)
+    // Guarded arr-build width: the collect_list aggregate over the
+    // ~60x|docs| shingle rows otherwise runs its PARTIAL pass at the
+    // session's 32 partitions — object-agg falls back to sort-based
+    // over ~10M rows/task and its 128 MB page allocations race the
+    // DISK_ONLY block PUTs across 32 threads (UNABLE_TO_ACQUIRE at the
+    // default 8g/32t, observed twice at 1000x). Pre-partitioning BY
+    // doc_id at ~2M shingle rows per task makes the groupBy a single
+    // final aggregate over small slices — no partial pass, no big sort.
+    val shingled = distinctShingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .join(candDocs, Seq("doc_id"), "left_semi")
+    val shWide =
+      if (guarded) {
+        val defP0 = docs.sparkSession.sessionState.conf.numShufflePartitions
+        val p3 = math.max(defP0,
+          math.min(32768L, nDocs * 60L / 2000000L + 1L).toInt)
+        shingled.repartition(p3, col("doc_id"))
+      } else shingled
+    val arrs = shWide
       .groupBy("doc_id")
       .agg(collect_list(col("shingle")).as("arr"))
       .persist(lvl)
@@ -607,6 +623,14 @@ object Dedup {
       if (guarded) {
         val defP = docs.sparkSession.sessionState.conf.numShufflePartitions
         val nPairs = cands.count()
+        // STAGE the arr persist before the verify joins: letting the
+        // DISK_ONLY block PUTs race the pair-join's 64 MB sort-page
+        // allocations across 32 tasks is what turned a run that fits
+        // into a marginal UNABLE_TO_ACQUIRE at the default 8g/32t
+        // (observed once at 1000x on a sibling row of the same plan —
+        // the identical computation passed solo). One cheap pass; the
+        // disk write happens either way.
+        arrs.count()
         val p2 = math.max(defP,
           math.min(32768L, nPairs / 150000L + 1L).toInt)
         joined1.repartition(p2, col("doc_a"))

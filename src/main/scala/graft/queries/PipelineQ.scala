@@ -621,6 +621,64 @@ object PipelineQ {
           lit(0L), (a, b) => a + b).as("sum_tok_len"))
     },
 
+    // PII redaction (r16): the scrubbing stage every production corpus
+    // build runs before training — emails, simple phone forms, and
+    // IPv4s replaced with typed placeholders, with per-doc counts for
+    // the compliance report. Pure regexp_replace/regexp_extract_all
+    // (codegen'd, no UDF), so at 100 TB this is a map-only scan.
+    // The fixture vocabulary contains no real PII, so deterministic
+    // synthetic PII is INJECTED first (keyed on doc_id, identical
+    // expressions in both engines) — the redaction then has real work
+    // on ~2/3 of docs and provably leaves clean docs untouched. The
+    // regex subset used (char classes, bounded repetition, \b, \d) has
+    // identical semantics in Java regex (Spark) and RE2 (DuckDB).
+    QueryDef(
+      "doc_pii_redact",
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN
+        |                concat(text, ' contact user', doc_id, '@example.com now')
+        |              WHEN doc_id % 3 = 1 THEN
+        |                concat(text, ' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |                       ' or ping 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1')
+        |              ELSE text END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(txt,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+        |       CAST(len(regexp_extract_all(txt,
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |       regexp_replace(regexp_replace(regexp_replace(txt,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM injected""".stripMargin) { (s, d) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+      val txt = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" or ping 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), txt.as("txt"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("txt"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0))).as("n_phones"),
+          size(regexp_extract_all(col("txt"), lit(ipRe), lit(0))).as("n_ips"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+              ipRe, "<IP>"),
+            phoneRe, "<PHONE>").as("redacted"))
+    },
+
     // Shannon entropy of the per-doc token histogram (H = ln N -
     // (Σ c·ln c)/N) + distinct ratio: the gibberish/boilerplate signal
     // a pretraining quality filter thresholds on (repeated-phrase spam

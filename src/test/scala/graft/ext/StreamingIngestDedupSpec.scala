@@ -60,6 +60,22 @@ class StreamingIngestDedupSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("ingestStep: an empty micro-batch is a no-op on the store") {
+    import graft.streaming.IngestDedup
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("ingest-empty").toString
+    val seed = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    IngestDedup.ingestStep(spark, store, seed) // bootstrap
+    val before = IngestDedup.stateRows(spark, store)
+    val empty = seed.filter(col("doc_id") < 0)
+    val r = IngestDedup.ingestStep(spark, store, empty)
+    assert(r.pairs.count() == 0 && r.accepted.count() == 0)
+    assert(IngestDedup.stateRows(spark, store) == before,
+      "an empty batch must not grow the standing state")
+  }
+
   test("FOURTEENTH pair: persisted-index ingest — replay parity, growing index, bounded state") {
     import graft.streaming.IngestDedup
     import spark.implicits._
