@@ -198,6 +198,10 @@ object ScaleStress {
     "evt_gini",
     "profile_histogram_eqdepth",
     "ext_assortativity",
+    // r16: PII redaction — pure regexp map over the corpus, expected
+    // strictly linear (the no-shuffle baseline the other curves are
+    // judged against)
+    "doc_pii_redact",
     // r15 part 3: winsorized summary — two agg passes + a |types|-row
     // broadcast (the MAD shape); expected linear in the scan
     "profile_winsorize")

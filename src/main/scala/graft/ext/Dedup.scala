@@ -522,7 +522,7 @@ object Dedup {
     * plus a release thunk for the internal persists (call after the
     * downstream CC has materialized — CC's first action is what makes
     * the persists pay). */
-  private def lshVerifiedEdges(
+  private[graft] def lshVerifiedEdges(
       docs: DataFrame, threshold: Double,
       scaleGuardMinDocs: Long = DefaultScaleGuardMinDocs): (DataFrame, () => Unit) = {
     // Two scale hazards fixed live at the 1000x fixture (5M docs,

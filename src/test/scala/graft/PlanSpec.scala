@@ -695,6 +695,38 @@ class PlanSpec extends SparkSpec {
     } finally restore()
   }
 
+  test("LSH verify runs over co-grouped arrays, never exploded pair-shingle rows") {
+    // the r16 rewrite that took the 1000x family to default config:
+    // intersection counts come from ONE array_intersect per candidate
+    // pair — the plan must show the intersect and must NOT re-grow a
+    // (doc_a, doc_b)-keyed aggregate after the candidate joins (the
+    // signature of the old |pairs| x |shingles| exchange). The
+    // composite row materializes eagerly (CC checkpoints cut lineage),
+    // so pin the EDGES frame the family shares, pre-materialization.
+    spark.catalog.clearCache()
+    val (edges, release) = graft.ext.Dedup.lshVerifiedEdges(
+      Tables.documents(spark, sf()), threshold = 0.5)
+    try {
+      val p = edges.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("array_intersect"),
+        s"verification must intersect per-doc shingle arrays:\n${p.take(1500)}")
+      val aggLines = p.linesIterator
+        .filter(l => l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
+        .filter(l => l.contains("doc_a") && l.contains("doc_b")).toList
+      assert(aggLines.isEmpty,
+        s"no post-join (doc_a, doc_b) aggregate may reappear:\n${aggLines.mkString("\n")}")
+    } finally release()
+  }
+
+  test("pii redaction is a map-only scan: no exchange, regexp stays in codegen") {
+    val p = plan("doc_pii_redact")
+    assert(!p.contains("Exchange"),
+      s"redaction must not shuffle:\n${p.take(1200)}")
+    assert(p.contains("WholeStageCodegen") || !p.contains("BatchEvalPython"),
+      s"regexp chain should stay native:\n${p.take(800)}")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences
