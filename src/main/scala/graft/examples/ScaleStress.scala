@@ -3,6 +3,7 @@ package graft.examples
 import graft.{SparkEntry, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ext.Checkpoints.CutOps
 
 /** Scale-stress harness: measures the heavy dedup/ANN/curation queries
   * on a DERIVED fixture `factor`× the size of the driver's largest one
@@ -954,7 +955,7 @@ object ScaleStress {
       val cliques = spark.range(half / bs).crossJoin(pairsDf)
         .select((lit(half) + col("id") * bs + col("i")).as("doc_a"),
           (lit(half) + col("id") * bs + col("j")).as("doc_b"))
-      val edges = chains.unionByName(cliques).localCheckpoint()
+      val edges = chains.unionByName(cliques).cutLineage()
       val expected = (half + 999) / 1000 + half / bs
       var best = Double.MaxValue
       var rounds = -1
@@ -1042,7 +1043,7 @@ object ScaleStress {
         .filter(col("rn") <= 3)
         .select(least(col("u"), col("v")).as("a"),
           greatest(col("u"), col("v")).as("b"))
-        .distinct().localCheckpoint()
+        .distinct().cutLineage()
       val nEdges = und.count()
       var best = Double.MaxValue
       (1 to 2).foreach { _ =>

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Checkpoints.CutOps
 
 /** On-cluster byte-pair-encoding tokenizer training (Sennrich et al.
   * 1508.07909 — the subword vocabulary construction GPT-2/sentencepiece
@@ -119,7 +120,7 @@ object Bpe {
   def train(docs: DataFrame, nMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges >= 1)
-    var seq = initSeq(wordCounts(docs)).localCheckpoint(false)
+    var seq = initSeq(wordCounts(docs)).cutLineageLazy()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var s = 1
     while (s <= nMerges) {
@@ -127,7 +128,7 @@ object Bpe {
         s"Bpe.train: vocabulary exhausted at merge $s of $nMerges — " +
         "lower nMerges (the unrolled oracle runs a fixed step count)"))
       merges += ((s, a, b, c))
-      seq = mergeStep(seq, a, b).localCheckpoint(false)
+      seq = mergeStep(seq, a, b).cutLineageLazy()
       s += 1
     }
     (merges.result(), seq)
@@ -158,7 +159,7 @@ object Bpe {
     * learned order, no pair-count argmax per step. */
   def applyMerges(docs: DataFrame,
       merges: Seq[(Int, String, String, Long)]): DataFrame =
-    merges.foldLeft(initSeq(wordCounts(docs)).localCheckpoint(false)) {
-      case (seq, (_, a, b, _)) => mergeStep(seq, a, b).localCheckpoint(false)
+    merges.foldLeft(initSeq(wordCounts(docs)).cutLineageLazy()) {
+      case (seq, (_, a, b, _)) => mergeStep(seq, a, b).cutLineageLazy()
     }
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ext.Checkpoints.CutOps
 
 /** One-call corpus build — the public LLM pretraining-data recipe end
   * to end, each stage one of this library's own operators (every stage
@@ -84,14 +85,14 @@ object CorpusBuild {
     val quality = docs.select(col("doc_id"), col("text"))
       .filter(size(toks).between(cfg.minTokens, cfg.maxTokens)
         && size(array_distinct(toks)).cast("double") / size(toks) >= cfg.minTtr)
-    val qualityC = Caches.track(timed("1 quality ckpt")(quality.localCheckpoint()))
+    val qualityC = Caches.track(timed("1 quality ckpt")(quality.cutLineage()))
     val nQuality = timed("1 quality")(qualityC.count())
 
     // 2. span policy: coverage ≥ threshold -> drop doc; else cut spans.
     // spans feeds BOTH the coverage policy and the token anti-join —
     // cache it or the whole gram/df/merge pipeline runs twice.
     val spans = Caches.track(timed("2 spans ckpt")(
-      Dedup.repeatedSpans(qualityC, cfg.spanK, cfg.spanMinDf).localCheckpoint()))
+      Dedup.repeatedSpans(qualityC, cfg.spanK, cfg.spanMinDf).cutLineage()))
     val cov = spans.groupBy("doc_id").agg(sum("span_len").as("covered"))
     val tok = qualityC.select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
     val keptDocs = qualityC
@@ -118,12 +119,12 @@ object CorpusBuild {
       .select(col("doc_id"),
         coalesce(col("text"), lit("")).as("text"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-    val cutC = Caches.track(timed("2 span policy+cut ckpt")(cut.localCheckpoint()))
+    val cutC = Caches.track(timed("2 span policy+cut ckpt")(cut.cutLineage()))
     val nAfterSpan = timed("2 span policy+cut")(cutC.count())
 
     // 3. exact dedup on normalized cut text — min-id canonical survives
     val exactC = Caches.track(
-      timed("3 exact dedup ckpt")(exactDedupCanonical(cutC).localCheckpoint()))
+      timed("3 exact dedup ckpt")(exactDedupCanonical(cutC).cutLineage()))
     val nExact = timed("3 exact dedup")(exactC.count())
 
     // 4. near-dup dedup (LSH candidates -> exact verify -> CC); only
@@ -134,7 +135,7 @@ object CorpusBuild {
     val drop = timed("4 lsh+cc (eager CC actions)")(
       Dedup.lshVerifiedNonCanonical(exactC, cfg.nearDupThreshold))
     val deduped = Caches.track(timed("4 near-dup ckpt")(
-      exactC.join(drop, Seq("doc_id"), "left_anti").localCheckpoint()))
+      exactC.join(drop, Seq("doc_id"), "left_anti").cutLineage()))
     val nNearDup = timed("4 near-dup dedup")(deduped.count())
 
     // 5. sequence packing over the survivors

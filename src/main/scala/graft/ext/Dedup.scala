@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ext.Checkpoints.CutOps
 
 /** End-to-end corpus deduplication (the LLM-pipeline north star): near-dup
   * edges -> connected components -> one canonical document per group.
@@ -75,11 +76,12 @@ object Dedup {
     * hash-verify. Callers who must survive web-shaped mega duplicate
     * groups (a g-member bucket costs C(g, 2) pairs here) pass
     * `maxBucket` to opt into the min-star bucket cap documented on
-    * [[candidatesFromSignatures]] — the r16 gate: exactness is the
-    * DEFAULT, the recall-bounded cap is an explicit scale decision, so
-    * no future fixture growing a 9+-member bucket can silently flip an
-    * exact oracle (ADVICE r15). */
-  def minhashCandidates(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame =
+    * [[candidatesFromSignatures]]. There is deliberately NO default
+    * (ADVICE r16): `Int.MaxValue` is exact but quadratic per bucket
+    * (a 1000-member mega group costs 499,500 pairs), a finite cap is
+    * linear but recall-bounded — the caller must make that scale
+    * decision visibly rather than inherit either regime silently. */
+  def minhashCandidates(docs: DataFrame, maxBucket: Int): DataFrame =
     candidatesFromSignatures(bandSignatures(docs), maxBucket)
 
   /** Banded candidate pairs with the Σ bucket² mega-bucket guard (r15).
@@ -281,7 +283,7 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).cutLineage()
       // hardUnpersist frees the RDD blocks BACKING the checkpointed
       // frame (plain Dataset.unpersist is a silent no-op on
       // localCheckpoint storage — CacheHygieneSpec lesson)
@@ -303,7 +305,7 @@ object Dedup {
         .union(e.select(col("dst").as("node"), col("dst").as("label")))
         .groupBy("node")
         .agg(min("label").as("label"), countDistinct("label").as("k"))
-        .localCheckpoint()
+        .cutLineage()
       prevCand.foreach(Caches.hardUnpersist)
       prevCand = Some(cand)
       converged = cand.filter(col("k") > 1).isEmpty
@@ -330,7 +332,7 @@ object Dedup {
       else Caches.track(starLabels
         .unionByName(selfOnly.join(starLabels, Seq("node"), "left_anti")
           .select(col("node"), col("node").as("label")))
-        .localCheckpoint())
+        .cutLineage())
     // the result's checkpoint IS its storage (lineage was cut
     // upstream, so it cannot be recomputed). Caches.releaseAll frees
     // it — and the round/input intermediates — once the caller is done

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.ext.Checkpoints.CutOps
 
 /** Distributed linear-algebra primitives over an embedding corpus:
   * Lloyd's k-means and covariance/PCA. Part of the declared extension
@@ -516,7 +517,7 @@ object Embeddings {
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     // residual PQ codebook (IVFADC: bits spent within-cell)
-    val resid = Caches.track(ivfPqResiduals(e, coarse).localCheckpoint())
+    val resid = Caches.track(ivfPqResiduals(e, coarse).cutLineage())
     val (cbRows, subLen) =
       pqTrainArrays(resid.select("vec_id", "v"), dim, m, ksub, iters = 2)
     (IvfPqModel(nc, np, dim, subLen, coarse,
@@ -963,7 +964,15 @@ object Embeddings {
     * matrix. Production 768..4096-dim model embeddings therefore work
     * out of the box; d <= 1024 keeps the exact eigendecomposition. */
   def pcaProject(emb: DataFrame, k: Int): (DataFrame, Double) = {
-    val d0 = emb.select(col("embedding")).first().getSeq[Any](0).length
+    // dimension probe: limit(1) (a one-partition job), fail-loud on the
+    // empty/null cases a bare .first() would surface as
+    // NoSuchElementException/NPE (ADVICE r16)
+    val probe = emb.select(col("embedding")).limit(1).collect()
+    require(probe.nonEmpty,
+      "pcaProject: input has no rows — cannot infer the embedding dimension")
+    require(!probe(0).isNullAt(0),
+      "pcaProject: first embedding is NULL — filter nulls upstream")
+    val d0 = probe(0).getSeq[Any](0).length
     if (d0 > 1024) {
       val (_, mu, _, comps, explained) =
         topKComponentsPowerIteration(emb, math.min(k, d0))
@@ -982,7 +991,7 @@ object Embeddings {
     * the lazy oracles reproduce bit-for-bit. Declared over array<double>
     * so array<float> inputs arrive through Spark's exact float->double
     * upcast — identical values to the old Seq[Float] signature. */
-  private def projectOnto(
+  private[graft] def projectOnto(
       emb: DataFrame, mu: Array[Double],
       comps: Array[Array[Double]]): DataFrame = {
     val sc = emb.sparkSession.sparkContext

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.ext.Checkpoints.CutOps
 
 /** Iterative link-graph analytics. The concrete consumer is web-corpus
   * curation: link centrality is a standard document-quality prior at
@@ -40,7 +41,7 @@ object Graph {
     // (upstream joins/distincts would otherwise re-execute per sweep).
     // At cluster scale this is persist-to-memory-and-disk of the edge
     // relation — the standard iterative-graph discipline.
-    val e = edges.localCheckpoint()
+    val e = edges.cutLineage()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val n = deg.count()
     require(n > 0, "pageRank needs a non-empty edge list")
@@ -67,7 +68,7 @@ object Graph {
       it += 1
       // bound lineage/plan depth on long runs (analyzed-tree growth is
       // multiplicative per sweep — same lesson as CorpusBuild r9)
-      if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint()
+      if (it % 4 == 0 && it < iters) ranks = ranks.cutLineage()
     }
     ranks
   }
@@ -88,7 +89,7 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val e = edges.localCheckpoint()
+    val e = edges.cutLineage()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = deg.select(col("src").as("id"))
     // VERDICT r10 item 3: nodes ⋈ seed-set is LOOP-INVARIANT —
@@ -104,7 +105,7 @@ object Graph {
         seeds.select(col("id")).distinct().withColumn("is_seed", lit(true)),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint()
+      .cutLineage()
     val nS = base0.filter(col("is_seed")).count()
     require(nS > 0,
       "personalized PageRank needs ≥1 seed that appears as an edge source")
@@ -127,7 +128,7 @@ object Graph {
           (col("tp") +
             lit(damping) * coalesce(col("mass"), lit(0.0))).as("r"))
       it += 1
-      if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint()
+      if (it % 4 == 0 && it < iters) ranks = ranks.cutLineage()
     }
     ranks
   }
@@ -151,7 +152,7 @@ object Graph {
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val e = edges.localCheckpoint()
+    val e = edges.cutLineage()
     var labs = nodes.select(col("node"), col("node").cast("long").as("lab"))
     var it = 0
     while (it < iters) {
@@ -170,7 +171,7 @@ object Graph {
       labs = labs.join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("wlab"), col("lab")).as("lab"))
       it += 1
-      if (it % 4 == 0 && it < iters) labs = labs.localCheckpoint()
+      if (it % 4 == 0 && it < iters) labs = labs.cutLineage()
     }
     labs
   }
@@ -328,7 +329,7 @@ object Graph {
     * round is the edge list itself, never a driver collection. */
   def kcoreNodes(und: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var e = und.select(col("a"), col("b")).localCheckpoint()
+    var e = und.select(col("a"), col("b")).cutLineage()
     var before = e.count()
     var r = 0
     var done = false
@@ -338,7 +339,7 @@ object Graph {
       val keep = deg.filter(col("deg") >= k).select("node")
       val e2 = e.join(keep.select(col("node").as("a")), "a")
         .join(keep.select(col("node").as("b")), "b")
-        .select("a", "b").localCheckpoint()
+        .select("a", "b").cutLineage()
       val after = e2.count()
       done = after == before
       before = after
@@ -371,7 +372,7 @@ object Graph {
     require(steps >= 1 && startMod >= 1)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
+      .cutLineage()
     val starts = adj.select(col("u")).distinct()
       .filter(col("u") % startMod === 0)
       .select(col("u").as("walk_id"))
@@ -386,7 +387,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("walk_id"), col("v").as("node"))
-        .localCheckpoint()
+        .cutLineage()
       traj += cur.withColumn("step", lit(r))
     }
     traj.reduce(_ unionAll _)
@@ -452,7 +453,7 @@ object Graph {
     // resets the estimate to the default; the tables this guards are
     // component-sized, so the extra row-codec hop is noise.
     def cut(df: DataFrame): DataFrame = {
-      val cp = df.localCheckpoint()
+      val cp = df.cutLineage()
       cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
     }
     var comp = cut(undw.select(col("a").as("node"))

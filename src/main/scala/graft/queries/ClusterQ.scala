@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.ext.Checkpoints.CutOps
 
 /** Clustering / linear-algebra family over the embeddings table:
   * distributed Lloyd's k-means, the d x d covariance matrix, and PCA
@@ -29,6 +30,35 @@ object ClusterQ {
     * model-embedding range) and keep the top 4 components. */
   private val PcaHiD = 1536
   private val PcaHiK = 4
+
+  /** ONE power-iteration fit per (session, fixture) for the high-dim
+    * PCA row (ADVICE r16): the lazy-oracle SQL generator and the query
+    * closure both read this memo, so the inlined oracle constants and
+    * the projected values come from the SAME (mu, components,
+    * explained) factors by construction — no reliance on refit
+    * determinism across treeAggregate partitionings. The memo holds
+    * only driver-side arrays (d x (k+1) doubles, ~50 KB); the lifted
+    * frame itself is persisted through Caches for the fit pass and
+    * rebuilt cheaply by later projections. pcaProject's d > 1024
+    * PRODUCTION routing stays pinned by ClusterSpec (planted-spectrum
+    * d = 1200) and the probe-guard tests — the registry row's job is
+    * the oracle-checked projection, not the router. */
+  private val pcaHiMemo = new scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (Array[Double], Array[Array[Double]], Double)]
+  private def pcaHiFit(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Array[Double], Array[Array[Double]], Double) = {
+    pcaHiMemo.keys.filter(_._1.sparkContext.isStopped).toList
+      .foreach(pcaHiMemo.remove)
+    pcaHiMemo.getOrElseUpdate((s, d), {
+      val emb = graft.ext.Caches.track(
+        graft.ext.Embeddings.jlExpand(Tables.embeddings(s, d), PcaHiD, 64)
+          .persist())
+      val (_, mu, _, comps, explained) =
+        graft.ext.Embeddings.topKComponentsPowerIteration(emb, k = PcaHiK)
+      (mu, comps, explained)
+    })
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -251,9 +281,7 @@ object ClusterQ {
     // factors vs exact jacobiEigen at d = 64; planted spectrum at
     // d = 1200 where only the distributed path can run).
     QueryDef.lazyOracle("emb_pca_project_highdim") { (s, d) =>
-      val emb = graft.ext.Embeddings.jlExpand(Tables.embeddings(s, d), PcaHiD, 64)
-      val (_, mu, _, comps, explained) =
-        graft.ext.Embeddings.topKComponentsPowerIteration(emb, k = PcaHiK)
+      val (mu, comps, explained) = pcaHiFit(s, d)
       def lst(a: Array[Double]) = a.map(VecOracle.dbl).mkString("[", ", ", "]")
       def pc(w: String, alias: String) =
         s"""CAST(FLOOR(list_reduce(list_transform(range(1, ${PcaHiD + 1}),
@@ -284,16 +312,14 @@ object ClusterQ {
          |  CAST(${math.floor(explained * 1e6 + 0.5).toLong} AS BIGINT) AS var_explained_u6
          |FROM eh CROSS JOIN consts""".stripMargin
     } { (s, d) =>
-      // persist the lifted frame (tracked — Bench/Verify releaseAll
-      // cleans it): the fit's materialization, the dim probe, and the
-      // output projection all read it, so the 1536-wide lift UDF runs
-      // once per row instead of three times
-      val emb = graft.ext.Caches.track(
+      // ONE fit feeds both the oracle constants and this projection
+      // (pcaHiFit memo, ADVICE r16); the projection itself is the same
+      // map-only broadcast-components stage pcaProject's d > 1024
+      // branch runs
+      val (mu, comps, explained) = pcaHiFit(s, d)
+      val emb =
         graft.ext.Embeddings.jlExpand(Tables.embeddings(s, d), PcaHiD, 64)
-          .persist())
-      // routes through pcaProject's d > 1024 branch — the registry row
-      // exercises the production entry point, not the internal fitter
-      val (proj, explained) = graft.ext.Embeddings.pcaProject(emb, k = PcaHiK)
+      val proj = graft.ext.Embeddings.projectOnto(emb, mu, comps)
       proj.select(
         Seq(col("vec_id"), col("label")) ++
           (0 until PcaHiK).map(c =>
@@ -639,7 +665,7 @@ object ClusterQ {
       val p = Tables.embeddings(s, d).select(col("vec_id"),
         element_at(col("embedding"), 1).cast("double").as("x"),
         element_at(col("embedding"), 2).cast("double").as("y"))
-        .localCheckpoint()
+        .cutLineage()
       // auto-eps: same IEEE op order as the oracle's par CTE
       val eps = 0.02 * math.sqrt(500.0 / p.count().toDouble)
       dbscanGrid(p, eps, minPts = 4)
@@ -770,7 +796,7 @@ object ClusterQ {
       val g = p
         .withColumn("cx", floor(col("x") / lit(eps)).cast("long"))
         .withColumn("cy", floor(col("y") / lit(eps)).cast("long"))
-        .localCheckpoint()
+        .cutLineage()
       val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
         struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
       val aSide = g
@@ -785,7 +811,7 @@ object ClusterQ {
             && ((col("ax") - col("bx")) * (col("ax") - col("bx"))
               + (col("ay") - col("by")) * (col("ay") - col("by")))
               <= lit(eps * eps))
-        .select(col("u"), col("v")).localCheckpoint()
+        .select(col("u"), col("v")).cutLineage()
       val core = e.groupBy("u").agg(count(lit(1)).as("n"))
         .filter(col("n") >= minPts).select(col("u").as("vec_id"))
       val ce = e

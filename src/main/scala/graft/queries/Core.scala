@@ -4,6 +4,7 @@ import graft.{Det, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.ext.Checkpoints.CutOps
 
 /** Batch relational core: projection/filter, every join type, core and
   * statistical aggregations. Each query is paired with ANSI SQL the driver
@@ -458,7 +459,7 @@ object Core {
           col("exact_median_qty"))
       val cd = li(s, d).groupBy("l_returnflag")
         .agg(count_distinct(col("l_orderkey")).as("exact_orders"))
-      val both = pct.join(cd, "l_returnflag").localCheckpoint()
+      val both = pct.join(cd, "l_returnflag").cutLineage()
       both.collect().foreach { r =>
         val aD = r.getAs[Long]("approx_orders").toDouble
         val eD = r.getAs[Long]("exact_orders").toDouble

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import graft.ext.Checkpoints.CutOps
 
 /** Event/product analytics over the events stream: ordered funnels and
   * cohort retention — the two queries every telemetry pipeline serves
@@ -380,7 +381,7 @@ object EventsQ {
         .agg(floor(unix_timestamp(max(col("ts")))).cast("long").as("recency"),
           count(lit(1)).cast("long").as("frequency"),
           sum(col("value").cast(DecimalType(18, 2))).as("monetaryd"))
-        .localCheckpoint()
+        .cutLineage()
       def score(df: org.apache.spark.sql.DataFrame, metric: String,
           out: String) = {
         val (ranked, n) = GlobalRank.withGlobalRowNumber(

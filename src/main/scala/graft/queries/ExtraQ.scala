@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Det, QueryDef, Tables}
 import graft.ext.Multimodal
 import org.apache.spark.sql.functions._
+import graft.ext.Checkpoints.CutOps
 
 /** Inventory stragglers: rolling-hash fingerprinting, embedding-cosine
   * near-dup pairs, and the multimodal decode/frame-sample plumbing.
@@ -281,7 +282,7 @@ object ExtraQ {
         .agg(
           expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("approx_nd"),
           count_distinct(col("l_orderkey")).as("exact_nd"))
-        .localCheckpoint()
+        .cutLineage()
       both.collect().foreach { r =>
         val est = r.getAs[Number]("approx_nd").doubleValue()
         val exact = r.getAs[Long]("exact_nd").toDouble
@@ -318,7 +319,7 @@ object ExtraQ {
           col("ap").getItem(0).as("a50"), col("ap").getItem(1).as("a95"),
           col("ex").getItem(0).as("lo50"), col("ex").getItem(2).as("hi50"),
           col("ex").getItem(3).as("lo95"), col("ex").getItem(5).as("hi95"))
-        .localCheckpoint() // materialize once — gate + result share it
+        .cutLineage() // materialize once — gate + result share it
       both.collect().foreach { r =>
         def d(c: String) = r.getAs[Number](c).doubleValue()
         require(d("a50") >= d("lo50") && d("a50") <= d("hi50"),

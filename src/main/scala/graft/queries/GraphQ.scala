@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import graft.ext.Checkpoints.CutOps
 
 /** Graph-shaped curation operators: link centrality (the web-corpus
   * quality prior) and blocked fuzzy entity linkage (the record-dedup
@@ -204,7 +205,7 @@ object GraphQ {
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
-        .localCheckpoint()
+        .cutLineage()
       val edges = pairs
         .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
         .unionAll(pairs
@@ -572,14 +573,14 @@ object GraphQ {
       val und = knnUnd(s, d)
       val adj = und.select(col("a").as("u"), col("b").as("v"))
         .unionAll(und.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint()
+        .cutLineage()
       var dist = und.agg(min(col("a")).as("node")).withColumn("dist", lit(0))
       (1 to BfsRounds).foreach { _ =>
         val nbr = dist.join(adj, dist("node") === adj("u"))
           .select(adj("v").as("node"), (dist("dist") + 1).as("dist"))
         dist = dist.unionAll(nbr)
           .groupBy("node").agg(min(col("dist")).as("dist"))
-          .localCheckpoint()
+          .cutLineage()
       }
       dist.select(col("node"), col("dist").cast("int").as("dist"))
         .orderBy("node")
@@ -776,7 +777,7 @@ object GraphQ {
       scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), Entry]
 
     private def cut(df: DataFrame): (DataFrame, DataFrame) = {
-      val cp = df.localCheckpoint()
+      val cp = df.cutLineage()
       (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), cp)
     }
 

@@ -258,7 +258,7 @@ object PipelineQ {
          |  ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
          |     AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      graft.ext.Dedup.minhashCandidates(Tables.documents(s, d))
+      graft.ext.Dedup.minhashCandidates(Tables.documents(s, d), maxBucket = Int.MaxValue)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -389,7 +389,7 @@ object PipelineQ {
         min(expr(s"(${i + 1} * h0 + ${bsv(i)}) % $p")).as(s"m$i")
       }
       val mins = base.groupBy("doc_id").agg(minsCols.head, minsCols.tail: _*)
-      val cand = graft.ext.Dedup.minhashCandidates(docs)
+      val cand = graft.ext.Dedup.minhashCandidates(docs, maxBucket = Int.MaxValue)
       val sa = mins.select(col("doc_id").as("doc_a") +:
         (0 until 8).map(i => col(s"m$i").as(s"a$i")): _*)
       val sb = mins.select(col("doc_id").as("doc_b") +:

@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.ext.Checkpoints.CutOps
 
 /** Time-series + incremental-ETL operators (round 10): calendar
   * gap-fill with LOCF / linear interpolation, OHLC downsampling, and
@@ -631,7 +632,7 @@ object TimeSeriesQ {
           floor(unix_timestamp(col("hr")) / lit(3600)).cast("long").as("hb"),
           (col("cnt").cast("double")
             - col("tot").cast("double") / col("n")).as("dev"))
-        .localCheckpoint()
+        .cutLineage()
       val den = dv.groupBy("event_type")
         .agg(sum(floor(col("dev") * col("dev") * lit(1e6))
           .cast(DecimalType(38, 0))).cast("long").as("den"))

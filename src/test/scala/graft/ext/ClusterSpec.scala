@@ -371,6 +371,22 @@ class ClusterSpec extends SparkSpec {
     assert(top1("emb_cosine_topk") === 11L, "cosine must pick the aligned one")
   }
 
+  test("pcaProject probe fails loud on empty and null-first inputs (ADVICE r16)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Array[Double])]
+      .toDF("vec_id", "label", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ext.Embeddings.pcaProject(empty, k = 2)
+    }
+    assert(e1.getMessage.contains("no rows"), e1.getMessage)
+    val nullFirst = Seq((1L, "a", null: Array[Double]))
+      .toDF("vec_id", "label", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Embeddings.pcaProject(nullFirst, k = 2)
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
   test("driver-side eigen path refuses high dims loudly, names the alternative") {
     // jacobiEigen is O(d^3) DRIVER work — fine at embedding dims, wrong
     // past ~1k; the guard must refuse (not degrade) and point at the

@@ -27,7 +27,7 @@ class EmptyInputSpec extends SparkSpec {
 
   test("dedup entry points: empty corpus -> empty result, no crash") {
     assert(Dedup.nearDupEdges(emptyDocs).count() == 0)
-    assert(Dedup.minhashCandidates(emptyDocs).count() == 0)
+    assert(Dedup.minhashCandidates(emptyDocs, Int.MaxValue).count() == 0)
     assert(Dedup.canonicalDocs(emptyDocs).count() == 0)
     assert(Dedup.lshVerifiedCanonicalDocs(emptyDocs).count() == 0)
     assert(Dedup.bloomNewDocs(emptyDocs, emptyDocs).count() == 0)

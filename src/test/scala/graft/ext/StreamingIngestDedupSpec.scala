@@ -76,6 +76,67 @@ class StreamingIngestDedupSpec extends SparkSpec {
       "an empty batch must not grow the standing state")
   }
 
+  test("ingestStep: at-least-once safety — idempotent replay, orphaned crash attempts invisible, compact/vacuum") {
+    import graft.streaming.IngestDedup
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("ingest-atomic").toString
+    val seed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    IngestDedup.ingestStep(spark, store, seed, batchId = Some(0L))
+    val b1 = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"), // near-dup of 1
+      (4L, "completely different words nothing shared here at all ok"))
+      .toDF("doc_id", "text")
+    val r1 = IngestDedup.ingestStep(spark, store, b1, batchId = Some(1L))
+    val pairs1 = r1.pairs.select("doc_corpus", "doc_new").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val acc1 = r1.accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pairs1 == Set((1L, 3L)) && acc1 == Set(4L), s"$pairs1 / $acc1")
+    val afterB1 = IngestDedup.stateRows(spark, store)
+
+    // REPLAY batch 1 (at-least-once): identical result, store unchanged
+    val r1b = IngestDedup.ingestStep(spark, store, b1, batchId = Some(1L))
+    assert(r1b.pairs.select("doc_corpus", "doc_new").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == pairs1)
+    assert(r1b.accepted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == acc1)
+    assert(IngestDedup.stateRows(spark, store) == afterB1,
+      "replaying a committed batch must not grow the store")
+
+    // CRASHED ATTEMPT: a staged batch dir with no manifest entry must be
+    // invisible to every reader (this is the crash-between-appends hole
+    // the manifest closes)
+    val orphan = s"$store/batches/99-deadbeef"
+    val ghost = Seq((999L, "ghost doc from a crashed attempt never committed"))
+      .toDF("doc_id", "text").repartition(1)
+    ghost.write.parquet(s"$orphan/corpus")
+    Dedup.bandSignatures(ghost).repartition(1).write.parquet(s"$orphan/sig")
+    ghost.select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .write.parquet(s"$orphan/hash")
+    assert(IngestDedup.stateRows(spark, store) == afterB1,
+      "an uncommitted attempt must not be visible as standing state")
+    val probe = Seq((5L, "ghost doc from a crashed attempt never committed"))
+      .toDF("doc_id", "text")
+    val r2 = IngestDedup.ingestStep(spark, store, probe, batchId = Some(2L))
+    assert(r2.accepted.count() == 1,
+      "a doc colliding only with an uncommitted orphan must be accepted")
+    IngestDedup.vacuum(spark, store)
+    assert(!new java.io.File(orphan).exists(), "vacuum must drop orphans")
+
+    // COMPACT: state counts identical, dedup vs the folded index intact
+    val beforeCompact = IngestDedup.stateRows(spark, store)
+    IngestDedup.compact(spark, store)
+    assert(IngestDedup.stateRows(spark, store) == beforeCompact,
+      "compaction must preserve the standing state exactly")
+    val dup = Seq((6L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text") // exact copy of seed doc 2
+    val r3 = IngestDedup.ingestStep(spark, store, dup, batchId = Some(3L))
+    assert(r3.accepted.count() == 0,
+      "exact dup must still be caught after compaction")
+  }
+
   test("FOURTEENTH pair: persisted-index ingest — replay parity, growing index, bounded state") {
     import graft.streaming.IngestDedup
     import spark.implicits._
