@@ -32,7 +32,8 @@ object SparkEntry {
       _root_.graft.queries.SetSimQ.all ++
       _root_.graft.queries.LangIdQ.all ++
       _root_.graft.queries.BpeQ.all ++
-      _root_.graft.queries.AuditQ.all
+      _root_.graft.queries.AuditQ.all ++
+      _root_.graft.queries.TpchTailQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-join + agg — exercises scan, broadcast join, partial agg. */

@@ -10,6 +10,113 @@ import graft.ext.Checkpoints.CutOps
   */
 object ExtraQ {
 
+  // ---- shared multimodal payload builders (mm_* rows + their rollup
+  // twins must decode IDENTICAL payloads; see mm_video_meta_rollup) ----
+
+  /** 0.1 s 16-bit mono sine WAV, frequency keyed on doc_id. */
+  private val mkWav = udf { (id: Long) =>
+    val rate = 8000; val n = rate / 10
+    val freq = 200.0 + (id % 200)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (math.sin(2 * math.Pi * freq * i / rate) * 0.5 * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthesized container: even ids ISO-BMFF MP4, odd
+    * ids RIFF/AVI, params keyed on doc_id. */
+  private val mkVideo = udf { (id: Long) =>
+    if (id % 2 == 0)
+      Multimodal.syntheticMp4(
+        timescale = 1000, duration = 1000L * (id % 120 + 1),
+        width = 320 + 16 * (id % 8).toInt, height = 240 + 16 * (id % 8).toInt,
+        codec = if (id % 4 == 0) "avc1" else "hev1")
+    else
+      Multimodal.syntheticAvi(
+        microSecPerFrame = 40000, frames = 25 * (id % 120 + 1).toInt,
+        width = 320 + 16 * (id % 8).toInt, height = 240 + 16 * (id % 8).toInt,
+        codec = if (id % 4 == 1) "MJPG" else "XVID")
+  }
+
+  /** doc_id-filtered (not limit-ed) payload frames for the rollup
+    * twins: the filter is deterministic across plans, so the lazy
+    * oracle's persisted decode and the query closure's recompute see
+    * the SAME doc set by construction. */
+  private def wavPayloads(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), mkWav(col("doc_id")).as("payload"))
+  private def videoPayloads(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), mkVideo(col("doc_id")).as("payload"))
+  private def textPayloads(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Seeded 32x32 8x8-block JPEG (real ImageIO encode — high-contrast
+    * blocks so the aHash survives JPEG loss). */
+  private def blockJpeg(seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val r = new java.util.Random(seed)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val v = if (r.nextBoolean()) 0xffffff else 0x000000
+        var dy = 0
+        while (dy < 4) {
+          var dx = 0
+          while (dx < 4) { img.setRGB(bx * 4 + dx, by * 4 + dy, v); dx += 1 }
+          dy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Six-frame MJPEG-in-AVI per doc; every 10th doc gets frame 0
+    * REPLAYED at index 3 — the planted duplicate the frame-level
+    * near-dup must surface at hamming 0. */
+  private val mkMjpegAvi = udf { (id: Long) =>
+    val frames = (0 until 6).map(f => blockJpeg(id * 31 + f))
+    val planted = if (id % 10 == 0) frames.updated(3, frames(0)) else frames
+    Multimodal.syntheticMjpegAvi(planted, microSecPerFrame = 40000,
+      width = 32, height = 32)
+  }
+
+  private def mjpegPayloads(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), mkMjpegAvi(col("doc_id")).as("payload"))
+
+  /** Persist a decode output under target/mm_side/<sf>/ at lazy-oracle
+    * generation time, so DuckDB can aggregate the SAME decoded rows the
+    * Spark closure recomputes — the decode kernel stays spec-verified
+    * (MultimodalSpec), but every DOWNSTREAM aggregate becomes
+    * hash-checked (VERDICT r16 item 6). Written once per Verify run;
+    * Bench never reads it (the query closures recompute). */
+  private def sideTable(df: org.apache.spark.sql.DataFrame,
+      d: String, name: String): String = {
+    val tag = new java.io.File(d).getName
+    val path = s"/root/repo/target/mm_side/$tag/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
   val all: Seq[QueryDef] = Seq(
     // Polynomial rolling hash over character codes, mod 1e9+7 at each step
     // so both engines stay in exact BIGINT range (no overflow divergence).
@@ -679,26 +786,6 @@ object ExtraQ {
     // real-audio physics (RMS = amp/sqrt(2), ZCR = 2f/rate) is
     // asserted against constructed signals in MultimodalSpec.
     QueryDef.noOracle("mm_audio_features") { (s, d) =>
-      import org.apache.spark.sql.functions.udf
-      val mkWav = udf { (id: Long) =>
-        val rate = 8000; val n = rate / 10
-        val freq = 200.0 + (id % 200)
-        val pcm = new Array[Byte](n * 2)
-        var i = 0
-        while (i < n) {
-          val v = (math.sin(2 * math.Pi * freq * i / rate) * 0.5 * 32767).toInt
-          pcm(2 * i) = (v & 0xff).toByte
-          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
-          i += 1
-        }
-        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
-          new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        bos.toByteArray
-      }
       val payloads = Tables.documents(s, d).limit(200)
         .select(col("doc_id"), mkWav(col("doc_id")).as("payload"))
       Multimodal.decodeAudio(payloads).toDF()
@@ -719,19 +806,6 @@ object ExtraQ {
     // params, both container families, v1 mvhd, truncation safety) is
     // asserted in MultimodalSpec.
     QueryDef.noOracle("mm_video_meta") { (s, d) =>
-      import org.apache.spark.sql.functions.udf
-      val mkVideo = udf { (id: Long) =>
-        if (id % 2 == 0)
-          Multimodal.syntheticMp4(
-            timescale = 1000, duration = 1000L * (id % 120 + 1),
-            width = 320 + 16 * (id % 8).toInt, height = 240 + 16 * (id % 8).toInt,
-            codec = if (id % 4 == 0) "avc1" else "hev1")
-        else
-          Multimodal.syntheticAvi(
-            microSecPerFrame = 40000, frames = 25 * (id % 120 + 1).toInt,
-            width = 320 + 16 * (id % 8).toInt, height = 240 + 16 * (id % 8).toInt,
-            codec = if (id % 4 == 1) "MJPG" else "XVID")
-      }
       val payloads = Tables.documents(s, d).limit(200)
         .select(col("doc_id"), mkVideo(col("doc_id")).as("payload"))
       Multimodal.decodeVideoMeta(payloads).toDF()
@@ -800,6 +874,148 @@ object ExtraQ {
           feats.filter(col("width") === 16 && col("height") === 16)
             .select("doc_id", "phash"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- downstream-twin rollups (r17, VERDICT r16 item 6): the five
+    // mm decode rows are structurally no-oracle (DuckDB cannot decode
+    // WAV/PNG/ISO-BMFF), but everything DOWNSTREAM of the decode is
+    // plain relational — so each rollup persists its decode output once
+    // per Verify run (sideTable) and lets DuckDB aggregate the SAME
+    // rows the Spark closure recomputes. The decode kernel stays
+    // spec-pinned (MultimodalSpec); the aggregation arithmetic, type
+    // bridges and group semantics become hash-checked. All sums are
+    // exact-integer (u-grid quantized doubles / native ints), so the
+    // compare is bit-for-bit. ----
+
+    // REAL video frame decode (r17, VERDICT r16 item 5): MJPEG-in-AVI is
+    // the one codec the JDK can decode (its frames are plain JPEGs).
+    // Synthesized 6-frame containers (the MultimodalSpec
+    // synthesize-then-parse discipline), decoded DISTRIBUTED through
+    // the RIFF movi walk + ImageIO; every 10th doc carries a planted
+    // duplicate frame that must collapse to an identical aHash. The
+    // decode kernel is spec-pinned (MultimodalSpec: round-trip, planted
+    // dup at hamming 0, truncation fuzz); the rollup twin below
+    // hash-checks everything downstream.
+    QueryDef.noOracle("mm_frame_decode") { (s, d) =>
+      Multimodal.decodeMjpegFrames(mjpegPayloads(s, d)).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("phash"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    QueryDef.lazyOracle("mm_frame_decode_rollup") { (s, d) =>
+      val path = sideTable(
+        Multimodal.decodeMjpegFrames(mjpegPayloads(s, d)).toDF(),
+        d, "frame_decode")
+      s"""SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |       CAST(COUNT(DISTINCT phash) AS BIGINT) AS n_distinct_hash,
+         |       CAST(MIN(width) AS BIGINT) AS min_w,
+         |       CAST(MAX(height) AS BIGINT) AS max_h,
+         |       CAST(SUM(CAST(FLOOR(mean_luma * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS luma_u6_sum
+         |FROM '$path/*.parquet'
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      Multimodal.decodeMjpegFrames(mjpegPayloads(s, d)).toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("phash")).as("n_distinct_hash"),
+          min("width").cast("bigint").as("min_w"),
+          max("height").cast("bigint").as("max_h"),
+          sum(floor(col("mean_luma") * lit(1e6) + lit(0.5)).cast("long"))
+            .as("luma_u6_sum"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef.lazyOracle("mm_video_meta_rollup") { (s, d) =>
+      val path = sideTable(
+        Multimodal.decodeVideoMeta(videoPayloads(s, d)).toDF(), d, "video_meta")
+      s"""SELECT container, codec,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(MIN(width) AS BIGINT) AS min_w,
+         |       CAST(MAX(width) AS BIGINT) AS max_w,
+         |       CAST(SUM(CAST(FLOOR(duration_sec * 1e3 + 0.5) AS BIGINT)) AS BIGINT) AS dur_ms_sum
+         |FROM '$path/*.parquet'
+         |GROUP BY container, codec
+         |ORDER BY container, codec""".stripMargin
+    } { (s, d) =>
+      Multimodal.decodeVideoMeta(videoPayloads(s, d)).toDF()
+        .groupBy("container", "codec")
+        .agg(count(lit(1)).as("n"),
+          min("width").cast("bigint").as("min_w"),
+          max("width").cast("bigint").as("max_w"),
+          sum(floor(col("duration_sec") * lit(1e3) + lit(0.5)).cast("long"))
+            .as("dur_ms_sum"))
+        .orderBy("container", "codec")
+    },
+
+    QueryDef.lazyOracle("mm_audio_features_rollup") { (s, d) =>
+      val path = sideTable(
+        Multimodal.decodeAudio(wavPayloads(s, d)).toDF(), d, "audio_features")
+      s"""SELECT doc_id % 8 AS b,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(n_samples) AS BIGINT) AS samples_sum,
+         |       CAST(SUM(CAST(FLOOR(rms * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS rms_u6_sum,
+         |       CAST(SUM(CAST(FLOOR(zero_crossing_rate * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS zcr_u6_sum
+         |FROM '$path/*.parquet'
+         |GROUP BY doc_id % 8
+         |ORDER BY b""".stripMargin
+    } { (s, d) =>
+      Multimodal.decodeAudio(wavPayloads(s, d)).toDF()
+        .groupBy((col("doc_id") % 8).as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum("n_samples").as("samples_sum"),
+          sum(floor(col("rms") * lit(1e6) + lit(0.5)).cast("long"))
+            .as("rms_u6_sum"),
+          sum(floor(col("zero_crossing_rate") * lit(1e6) + lit(0.5)).cast("long"))
+            .as("zcr_u6_sum"))
+        .orderBy("b")
+    },
+
+    QueryDef.lazyOracle("mm_decode_features_rollup") { (s, d) =>
+      val path = sideTable(
+        Multimodal.decodeImages(textPayloads(s, d)).toDF(), d, "decode_features")
+      s"""SELECT CAST(FLOOR(width / 128) AS BIGINT) AS wb,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(n_bytes) AS BIGINT) AS bytes_sum,
+         |       CAST(SUM(CAST(FLOOR(mean_luma * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS luma_u6_sum,
+         |       CAST(MIN(phash) AS BIGINT) AS phash_min
+         |FROM '$path/*.parquet'
+         |GROUP BY CAST(FLOOR(width / 128) AS BIGINT)
+         |ORDER BY wb""".stripMargin
+    } { (s, d) =>
+      Multimodal.decodeImages(textPayloads(s, d)).toDF()
+        .groupBy(floor(col("width") / lit(128)).cast("bigint").as("wb"))
+        .agg(count(lit(1)).as("n"),
+          sum("n_bytes").as("bytes_sum"),
+          sum(floor(col("mean_luma") * lit(1e6) + lit(0.5)).cast("long"))
+            .as("luma_u6_sum"),
+          min("phash").as("phash_min"))
+        .orderBy("wb")
+    },
+
+    QueryDef.lazyOracle("mm_frame_sample_rollup") { (s, d) =>
+      val path = sideTable(
+        Multimodal.sampleFrames(textPayloads(s, d), frameSize = 64, stride = 2)
+          .select(col("doc_id"), col("frame_idx"),
+            length(col("frame_bytes")).as("frame_len")), d, "frame_sample")
+      s"""SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |       CAST(MAX(frame_idx) AS BIGINT) AS max_idx,
+         |       CAST(SUM(frame_len) AS BIGINT) AS len_sum
+         |FROM '$path/*.parquet'
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      Multimodal.sampleFrames(textPayloads(s, d), frameSize = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("frame_len"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          max("frame_idx").cast("bigint").as("max_idx"),
+          sum("frame_len").as("len_sum"))
+        .orderBy("doc_id")
     },
 
     // Equi-width histogram (data profiling): data-driven [min, max]

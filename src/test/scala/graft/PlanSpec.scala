@@ -20,6 +20,12 @@ class PlanSpec extends SparkSpec {
       .explainString(ExplainMode.fromString("formatted"))
   }
 
+  private def planSimple(name: String): String = {
+    spark.catalog.clearCache()
+    SparkEntry.queries(name)(spark, sf()).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val p = plan("proj_select")
     assert(p.contains("PushedFilters:"), p.take(800))
@@ -583,6 +589,44 @@ class PlanSpec extends SparkSpec {
     val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(hashAggs >= 2,
       s"the per-part avg should be a standalone aggregate, got $hashAggs:\n${p.take(1500)}")
+  }
+
+  test("tpch q2: nested correlated MIN decorrelates; no per-row re-scan of partsupp") {
+    // the hardest decorrelation in the suite: the correlated scalar
+    // MIN over a 4-table join must become a grouped aggregate joined
+    // on ps_partkey (RewriteCorrelatedScalarSubquery), never a
+    // nested-loop or a surviving per-row subquery
+    val p = plan("sql_tpch_q2")
+    // the partsupp DERIVATION is part CROSS JOIN a 4-literal-row union —
+    // a 4-row broadcast BNLJ by construction; any OTHER nested-loop
+    // (i.e. a non-Cross BNLJ from a failed decorrelation) is banned.
+    // Join types live on the tree line only in simple mode.
+    val ps = planSimple("sql_tpch_q2")
+    assert(!ps.contains("CartesianProduct") &&
+      ps.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+        .forall(_.contains("Cross")),
+      s"q2's correlated MIN must decorrelate to an equi join:\n${ps.take(1500)}")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2,
+      s"the per-part MIN should be a standalone grouped aggregate, got $hashAggs:\n${p.take(1500)}")
+    assert(p.linesIterator.exists(l => l.contains("min(") && l.contains("ps_supplycost")),
+      s"the decorrelated aggregate must compute min(ps_supplycost):\n${p.take(2000)}")
+  }
+
+  test("tpch q20: correlated scalar inside IN decorrelates; lineitem aggregated once") {
+    val p = plan("sql_tpch_q20")
+    // same carve-out as q2: the 4-literal-row partsupp derivation is a
+    // legitimate Cross BNLJ; everything else must be equi-keyed
+    val ps = planSimple("sql_tpch_q20")
+    assert(!ps.contains("CartesianProduct") &&
+      ps.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+        .forall(_.contains("Cross")),
+      s"q20 must stay equi-keyed:\n${ps.take(1500)}")
+    val lower = p.toLowerCase
+    assert(lower.contains("leftsemi") || lower.contains("left semi"),
+      s"the IN must plan as a semi join:\n${p.take(1500)}")
+    assert(p.linesIterator.exists(l => l.contains("sum(") && l.contains("l_quantity")),
+      s"the correlated availqty threshold must become a grouped sum over lineitem:\n${p.take(2000)}")
   }
 
   test("tpch q21: nested EXISTS / NOT EXISTS become semi + anti joins") {

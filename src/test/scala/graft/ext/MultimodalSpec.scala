@@ -253,4 +253,74 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Array[Byte]](2).length <= 64)
     }
   }
+
+  test("MJPEG frame decode: movi walk + ImageIO round-trip, planted dup at hamming 0") {
+    import spark.implicits._
+    def jpeg(seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val r = new java.util.Random(seed)
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val v = if (r.nextBoolean()) 0xffffff else 0x000000
+        for (dy <- 0 until 4; dx <- 0 until 4)
+          img.setRGB(bx * 4 + dx, by * 4 + dy, v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = (0 until 6).map(f => jpeg(100 + f))
+    val planted = frames.updated(3, frames(0)) // frame 3 == frame 0
+    val avi = Multimodal.syntheticMjpegAvi(planted, 40000, 32, 32)
+
+    // container still parses as AVI/MJPG through the metadata walk
+    val meta = Multimodal.decodeVideoMeta(
+      Seq((7L, avi)).toDF("doc_id", "payload")).collect().head
+    assert(meta.container == "avi" && meta.codec == "MJPG", meta.toString)
+
+    // every frame decodes with true dims; planted dup collapses to an
+    // IDENTICAL aHash (hamming 0); distinct frames get distinct hashes
+    val out = Multimodal.decodeMjpegFrames(
+      Seq((7L, avi)).toDF("doc_id", "payload")).collect().sortBy(_.frame_idx)
+    assert(out.length == 6, s"expected 6 frames, got ${out.length}")
+    assert(out.forall(f => f.width == 32 && f.height == 32))
+    assert(out(3).phash == out(0).phash,
+      "planted duplicate frame must hash identically (hamming 0)")
+    assert(out.map(_.phash).distinct.length == 5,
+      s"5 distinct patterns expected: ${out.map(_.phash).mkString(",")}")
+    // decoded bytes are the exact staged JPEGs (dup = byte-identical)
+    assert(out(3).n_bytes == out(0).n_bytes)
+  }
+
+  test("MJPEG frame decode: maxFrames sampling keeps first and last; truncation is safe") {
+    import spark.implicits._
+    def jpeg(seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val r = new java.util.Random(seed)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, if (r.nextBoolean()) 0xffffff else 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = Multimodal.syntheticMjpegAvi(
+      (0 until 10).map(f => jpeg(f)), 40000, 16, 16)
+    val sampled = Multimodal.decodeMjpegFrames(
+      Seq((1L, avi)).toDF("doc_id", "payload"), maxFrames = 3)
+      .collect().map(_.frame_idx).sorted
+    assert(sampled.head == 0 && sampled.last == 9,
+      s"first/last must survive sampling: ${sampled.mkString(",")}")
+    assert(sampled.length == 3, sampled.mkString(","))
+    // truncation fuzz: every cut length decodes to a (possibly empty)
+    // prefix of frames, never a throw
+    Seq(0, 4, 11, 12, 40, avi.length / 2, avi.length - 3).foreach { cut =>
+      val t = java.util.Arrays.copyOf(avi, cut)
+      val got = Multimodal.MjpegDecoder.decode(1L, t)
+      assert(got.map(_.frame_idx) == got.map(_.frame_idx).sorted)
+    }
+    // non-AVI bytes: empty, no throw
+    assert(Multimodal.MjpegDecoder.decode(1L, "not a container".getBytes).isEmpty)
+    assert(Multimodal.MjpegDecoder.decode(1L, null).isEmpty)
+  }
 }
