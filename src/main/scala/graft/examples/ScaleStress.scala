@@ -434,7 +434,8 @@ object ScaleStress {
     // pseudo-names select extra gate blocks below without timing the
     // corresponding full-batch registry row; anything else unrecognized
     // is a typo — fail fast rather than silently drop the timing row
-    val pseudoNames = Set("ivf_recall", "emb_kmeans_scale", "emb_pca_scale",
+    val pseudoNames = Set("ivf_recall", "ann_recall", "emb_kmeans_scale",
+      "emb_pca_scale",
       "emb_pq_scale", "emb_ivfpq_scale", "graph_pagerank_scale",
       "graph_labelprop_scale", "er_matches_scale", "ivf_router_scale", "cc_scale",
       "setsim_fallback_scale", "kcore_scale", "bpe_scale",
@@ -526,18 +527,72 @@ object ScaleStress {
         .select(col("qid"), explode(col("top")).as("t"))
         .select(col("qid"), col("t.id").as("cid"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val tIvf0 = System.nanoTime()
       val ivf = graft.ext.Similarity
         .ivfTopK(embS, queries = qids, k = 10) // auto knobs
         .select("qid", "cid")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfSec = (System.nanoTime() - tIvf0) / 1e9
       val recall = (ivf & exact).size.toDouble / math.max(exact.size, 1)
       timings("ext_ivf_topk_batch_tuned_recall") = recall
-      System.err.println(f"[scale] auto-IVF recall@10 vs exact: $recall%.3f")
+      timings("ivf_recall_sampled") = ivfSec
+      System.err.println(
+        f"[scale] auto-IVF sampled (50 q): $ivfSec%.2f s, recall@10 vs exact: $recall%.3f")
       // the auto-knob contract (VERDICT r5/r6 task 4): at the 10x
       // fixture and beyond, auto params must hold recall@10 >= 0.95 —
       // fail the run loudly, not silently, if scaling breaks it
       require(factor < 10 || recall >= 0.95,
         f"auto-IVF recall@10 $recall%.3f < 0.95 at factor $factor%d")
+    }
+
+    // BRP sampled recall + wall (r17, VERDICT r16 item 7): the
+    // full-corpus batch above is factor²-cost, so the fourth-decade
+    // column runs the SAME 50-query sample as ivf_recall through the
+    // auto-knob BRP path and gates recall@10 vs exact cosine. Note the
+    // auto bucketLength law floors at 0.1 (r17 revision; binds past
+    // n ≈ 4500) — past the floor the buckets are WIDER than 1/sqrt(n)
+    // would give, so candidate volume per query grows with density
+    // (recall holds, cost grows); the wall number measures that trade.
+    if (names.contains("ann_recall")) {
+      val embS = spark.read.parquet(s"$out/embeddings.parquet")
+      val nEmb = embS.count()
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val qids = embS.select("vec_id").orderBy("vec_id").limit(50)
+      val bl = graft.ext.Similarity.autoBucketLength(nEmb)
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 2) {
+        val t0 = System.nanoTime()
+        graft.ext.Similarity
+          .annTopK(embS, queries = qids, k = 10, bucketLength = bl,
+            numTables = 8, maxDistance = 2.0)
+          .write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+        rep += 1
+      }
+      timings("ann_recall_sampled") = best
+      val qside = embS.join(broadcast(qids), "vec_id")
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val corpus = embS.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val exact = broadcast(qside).join(corpus, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), expr("cosine_sim(qe, ce)").as("cos"))
+        .groupBy("qid").agg(expr("topk_by_score(cos, cid, 10)").as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ann = graft.ext.Similarity
+        .annTopK(embS, queries = qids, k = 10, bucketLength = bl,
+          numTables = 8, maxDistance = 2.0)
+        .select("qid", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+      val recall = (ann & exact).size.toDouble / math.max(exact.size, 1)
+      timings("ann_recall_sampled_recall") = recall
+      System.err.println(
+        f"[scale] BRP annTopK sampled (bucketLength=$bl%.3f): $best%.2f s, recall@10 vs exact: $recall%.3f")
+      require(factor < 10 || recall >= 0.95,
+        f"auto-BRP recall@10 $recall%.3f < 0.95 at factor $factor%d")
     }
 
     // Same demo for the BRP path: the collision rate (and so candidate
@@ -765,6 +820,11 @@ object ScaleStress {
       timings("emb_ivfpq_scale_recall") = recall
       System.err.println(
         f"[scale] emb_ivfpq_scale: $best%.2f s, recall@10 vs exact: $recall%.3f")
+      // r17: the auto-refine contract (constant shortlist fraction —
+      // Embeddings.autoRefine) must hold recall as the corpus densifies;
+      // the fixed refine=16 it replaced measured 0.448 at the 2M gate
+      require(factor < 10 || recall >= 0.9,
+        f"IVF-PQ auto-refine recall@10 $recall%.3f < 0.9 at factor $factor%d")
     }
 
     // PageRank (r10): the fixture has no link tables, so synthesize a

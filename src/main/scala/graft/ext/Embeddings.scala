@@ -39,6 +39,13 @@ object Embeddings {
     * lowest cell id). `cents` is (cell: int, cv: array<double>), k rows —
     * always broadcast. Returns (vec_id, cell, d, v).
     *
+    * SCALE NOTE (r17): the crossJoin+min_by form plans a SortAggregate
+    * (min_by's struct buffer carries the vector array, so hash agg is
+    * unavailable) sorting n·k fat rows — keep it to the small k it is
+    * used with (k<=8 here; the declarative form is what the exact-fold
+    * oracle rows pin). Cell-count-scale assignment goes through the
+    * broadcast-argmin narrow map (coarseAssign / Similarity.assignCells).
+    *
     * `codegen = true` uses the native SquaredL2 expression (one fused
     * loop, whole-stage codegen); `false` keeps the zip_with/aggregate HOF
     * form. Both accumulate (x_i-c_i)^2 in index order, so they are
@@ -330,7 +337,12 @@ object Embeddings {
     * the ADC top (refine*k) shortlist with exact distances over the raw
     * vectors: the shortlist (nQueries * refine * k ids) broadcasts, so
     * the corpus contributes one more map-side scan and no shuffle of raw
-    * vectors. refine <= 0 disables it (pure ADC distances out).
+    * vectors. refine = 0 (the default) derives the depth from the
+    * corpus via [[autoRefine]] — the r17 constant-shortlist-FRACTION
+    * law (≈1/80 of the n·np/nc expected candidates, floor 16; at 2M
+    * vectors the old fixed 16 measured recall@10 0.448, the auto ~125
+    * measures 0.996). refine < 0 disables the re-rank (pure ADC
+    * distances out); positive pins it manually.
     *
     * Scale shape: centroids and codebook are driver/broadcast-bounded
     * (nCells*d + m*ksub*subLen doubles); the corpus is touched by one
@@ -342,10 +354,12 @@ object Embeddings {
     */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, nCells: Int = 0, nProbe: Int = 0,
-      refine: Int = 16): DataFrame = {
+      refine: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val (model, resid) = ivfPqFitWithResid(emb, m, ksub, nCells, nProbe)
+    val refineDepth =
+      if (refine == 0) autoRefine(model.n, model.nc, model.np, k) else refine
     val np = model.np
     val subLen = model.subLen
     val e = withV(emb)
@@ -440,7 +454,7 @@ object Embeddings {
         explode(probeU(col("v"))).as("cell"))
       .select(col("qid"), col("cell"), lutU(col("v"), col("cell")).as("lut"))
 
-    val rTake = if (refine > 0) refine * k else k
+    val rTake = if (refineDepth > 0) refineDepth * k else k
     val shortlist = indexed.join(broadcast(qside), "cell")
       .filter(col("qid") =!= col("cid"))
       .withColumn("adist", adcU(col("codes"), col("lut")))
@@ -448,7 +462,7 @@ object Embeddings {
       .agg(expr(s"topk_by_score(-adist, cid, $rTake)").as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.id").as("cid"), (-col("t.score")).as("adist"))
-    if (refine <= 0) shortlist
+    if (refineDepth <= 0) shortlist
     else {
       // exact re-rank of the bounded shortlist: raw vectors touched only
       // for shortlist ids, via broadcast joins — one map-side corpus scan
@@ -472,7 +486,26 @@ object Embeddings {
   private[graft] final case class IvfPqModel(
       nc: Int, np: Int, dim: Int, subLen: Int,
       coarse: Array[(Int, Array[Double])],
-      codebook: Array[(Int, Int, Array[Double])])
+      codebook: Array[(Int, Int, Array[Double])],
+      n: Long)
+
+  /** Auto refine depth (r17, the 1000x gate find): ADC ranking noise is
+    * roughly scale-free, so recall tracks the SHORTLIST FRACTION of the
+    * probed candidates, not its absolute size — refine=16 (shortlist
+    * 160 = 1.6% of ~10k candidates) held 0.946 at 200k vectors but the
+    * same 160 was 0.16% of the ~100k candidates at 2M and recall fell
+    * to 0.448. Finer codes recover less per unit cost (ksub=256 -> 4x
+    * code memory, recall only 0.654); deepening the EXACT re-rank is
+    * decisive (refine=128 -> 0.996 at +16% wall, same codes). The law
+    * holds shortlist ≈ 1/80 of expected candidates (n·np/nc), floored
+    * at the measured fixture-scale 16 — it reproduces BOTH measured
+    * good points (16 at 200k, ~125 at 2M). Broadcast budget: the refine
+    * join ships nQueries·refine·k ids; past ~10^8 ids total, swap the
+    * broadcast for a shuffle join on cid (noted in ivfPqTopK). */
+  private[graft] def autoRefine(n: Long, nc: Int, np: Int, k: Int): Int = {
+    val candidates = n.toDouble * np / math.max(1, nc)
+    math.max(16, math.ceil(candidates / (80.0 * math.max(1, k))).toInt)
+  }
 
   private[graft] def ivfPqFit(emb: DataFrame, m: Int = 8, ksub: Int = 16,
       nCells: Int = 0, nProbe: Int = 0): IvfPqModel =
@@ -509,11 +542,23 @@ object Embeddings {
     val np = math.min(
       if (nProbe > 0) nProbe else 2 * Similarity.autoNProbe(nc), nc)
     val e = withV(emb)
-    // coarse quantizer: one Lloyd sweep from deterministic seeds; the
-    // (cellId, centroid) pairs collect driver-side (nCells-bounded)
-    val seeds = e.filter(col("vec_id") < nc)
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
-    val coarse = lloydUpdate(lloydAssign(e, seeds), exact = false)
+    // Coarse quantizer: one Lloyd sweep from deterministic seeds via the
+    // broadcast-argmin NARROW MAP (r17). The old crossJoin+min_by sweep
+    // planned as a SortAggregate over n*nc rows each carrying BOTH
+    // 64-double vectors (min_by's struct buffer holds an array, so hash
+    // agg is off the table) — at the 2M-vector 1000x gate that is 4e9
+    // ~1.1 KB rows sorted, a guaranteed spill death ("No space left on
+    // device", measured). The argmin UDF reads the broadcast centroid
+    // matrix per row instead, so the only shuffle is lloydUpdate's
+    // (cell,dim)-key decimal aggregate. Same index-order double
+    // distance sums, same lowest-cell tie-break, same 1e-12-quantized
+    // mean -> bit-identical centroids to the old path.
+    val seedArr = e.filter(col("vec_id") < nc)
+      .select(col("vec_id").cast("int").as("cell"), col("v")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val coarse = lloydUpdate(
+        coarseAssign(e, seedArr).select(col("cell"), col("v")),
+        exact = false)
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     // residual PQ codebook (IVFADC: bits spent within-cell)
@@ -521,13 +566,17 @@ object Embeddings {
     val (cbRows, subLen) =
       pqTrainArrays(resid.select("vec_id", "v"), dim, m, ksub, iters = 2)
     (IvfPqModel(nc, np, dim, subLen, coarse,
-      cbRows.sortBy(t => (t._1, t._2))), resid)
+      cbRows.sortBy(t => (t._1, t._2)), n), resid)
   }
 
-  /** Corpus route + per-cell residuals over a trained coarse quantizer
-    * (broadcast join on the nc-row centroid frame — zip_with stays
-    * codegen-friendly; only the argmin assignment is a udf). */
-  private def ivfPqResiduals(e: DataFrame,
+  /** (vec_id, cell, v) nearest-cell assignment as a broadcast-argmin
+    * narrow map — O(nc·d) flops per row (two-level-routed past the
+    * threshold), NO join and no aggregate. The scale-safe assign shape
+    * shared by the fit sweep and the residual route; contrast
+    * [[lloydAssign]], whose crossJoin+min_by form plans a SortAggregate
+    * once the min_by struct carries the vector (fine at the k<=8 it is
+    * used with, fatal at IVF cell counts — see ivfPqFitWithResid). */
+  private def coarseAssign(e: DataFrame,
       coarse: Array[(Int, Array[Double])]): DataFrame = {
     val spark = e.sparkSession
     val rIdx =
@@ -544,9 +593,18 @@ object Embeddings {
         case None => nearestCellsIn((ids, cs), va, 1)(0)
       }
     }
+    e.select(col("vec_id"), col("v"), assignU(col("v")).as("cell"))
+  }
+
+  /** Corpus route + per-cell residuals over a trained coarse quantizer
+    * (broadcast join on the nc-row centroid frame — zip_with stays
+    * codegen-friendly; only the argmin assignment is a udf). */
+  private def ivfPqResiduals(e: DataFrame,
+      coarse: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = e.sparkSession
     val centDf = spark.createDataFrame(
       coarse.toSeq.map { case (id, arr) => (id, arr.toSeq) }).toDF("cell", "cv")
-    e.select(col("vec_id"), col("v"), assignU(col("v")).as("cell"))
+    coarseAssign(e, coarse)
       .join(broadcast(centDf), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))

@@ -315,8 +315,20 @@ object Similarity {
     *  - BRP AND-width m: +2 projections per 10x corpus (6 at 2k, 8 at
     *    20k — re-tightens buckets to ~1.2x growth with zero recall
     *    loss on the planted truth set, DedupSpec).
-    *  - BRP bucket length: ∝ 1/sqrt(n) through the measured 10x point
-    *    (0.15 at 2k → 0.047 ≈ the hand-measured 0.05 at 20k).
+    *  - BRP bucket length: ∝ 1/sqrt(n) from the measured 2k point,
+    *    FLOORED AT 0.1 (r17). The 1/sqrt(n) narrowing keeps per-bucket
+    *    occupancy — and so candidate volume — constant, but the r17
+    *    fourth-decade gate showed recall at fixed table count is
+    *    governed by the ABSOLUTE width (d=64 neighbor distances barely
+    *    shrink with n): the old 0.02 floor measured recall@10 = 0.39
+    *    at 2M vectors. The measured grid at 2M (50-query sample):
+    *    0.02/8T 14.5s R=0.39, 0.02/32T 36.5s R=0.89, 0.05/16T 38.3s
+    *    R=0.93, 0.10/8T 30.4s R=0.956 — widening beats OR-amplification
+    *    on both axes, so the floor is 0.1 (recall-first contract).
+    *    The honest consequence: past the floor, per-query candidate
+    *    volume grows ~linearly with n — BRP stays the simple/portable
+    *    path, and the 100 TB route is IVF (recall 1.0 measured at the
+    *    same 2M gate, √n-cell probe cost, two-level router beyond).
     *
     * Each consumer computes `n` with one cheap count job only when the
     * caller leaves the knob at its ≤0 "auto" sentinel. */
@@ -332,7 +344,7 @@ object Similarity {
       math.round(6.0 + 2.0 * math.log10(math.max(1L, n) / 2000.0)).toInt))
 
   def autoBucketLength(n: Long): Double =
-    math.max(0.02, math.min(0.5, 0.15 * math.sqrt(2000.0 / math.max(1L, n))))
+    math.max(0.1, math.min(0.5, 0.15 * math.sqrt(2000.0 / math.max(1L, n))))
 
   /** Seq-of-ids sugar for [[annTopK]] (small ad-hoc query sets). */
   def annTopK(

@@ -395,9 +395,15 @@ object ClusterQ {
     // and the exact re-rank bit-for-bit. Planted-cluster recall@10
     // >= 0.9 vs brute force stays REQUIREd in ClusterSpec.
     QueryDef.lazyOracle("ext_ivfpq_topk") { (s, d) =>
-      val mm = 8; val subq = 16; val k = 10; val refineTake = 16 * k
+      val mm = 8; val subq = 16; val k = 10
       val model = graft.ext.Embeddings.ivfPqFit(
         Tables.embeddings(s, d), m = mm, ksub = subq)
+      // r17: refine depth is auto-derived (constant shortlist FRACTION —
+      // see Embeddings.autoRefine); the oracle derives it from the SAME
+      // fitted model the query run uses, so both sides stay in lockstep
+      // (resolves to the old 16 at every fixture scale)
+      val refineTake =
+        graft.ext.Embeddings.autoRefine(model.n, model.nc, model.np, k) * k
       val subLen = model.subLen
       val np = model.np
       val centRows = model.coarse.map { case (c, w) =>

@@ -58,8 +58,10 @@ object ExtQ {
       // cardinality the candidate volume is queries x collision-rate x
       // corpus, so bucket width is the knob a real corpus-scale
       // deployment turns. Since r7 it DERIVES from the corpus count
-      // (autoBucketLength: 0.15 at the 2k fixture, ∝ 1/sqrt(n) through
-      // the measured 10x point) while 8 OR-tables hold recall.
+      // (autoBucketLength: 0.15 at the 2k fixture, ∝ 1/sqrt(n), floored
+      // at 0.1 since r17 — the recall-first revision; see the
+      // Similarity.autoBucketLength scaladoc for the 2M-vector grid)
+      // while 8 OR-tables hold recall.
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(emb, queries = emb.select("vec_id"),
         k = 10, bucketLength = Similarity.autoBucketLength(emb.count()),

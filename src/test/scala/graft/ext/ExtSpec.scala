@@ -159,7 +159,11 @@ class ExtSpec extends SparkSpec {
     assert(Similarity.autoHashesPerTable(2000) == 6)
     assert(Similarity.autoHashesPerTable(20000) == 8)
     assert(math.abs(Similarity.autoBucketLength(2000) - 0.15) < 1e-9)
-    assert(math.abs(Similarity.autoBucketLength(20000) - 0.047) < 0.003)
+    // r17 recall-first floor: the 1/sqrt(n) narrowing stops at 0.1 —
+    // the 2M-vector gate measured recall@10 0.39 at the old 0.02 floor
+    // vs 0.956 at 0.1 (see Similarity.autoBucketLength scaladoc)
+    assert(math.abs(Similarity.autoBucketLength(20000) - 0.1) < 1e-9)
+    assert(math.abs(Similarity.autoBucketLength(2000000) - 0.1) < 1e-9)
     // degenerate corpora stay sane
     assert(Similarity.autoNCells(0) == 1)
     assert(Similarity.autoHashesPerTable(0) >= 2)

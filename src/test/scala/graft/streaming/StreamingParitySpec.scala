@@ -169,6 +169,49 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("restart-to-first-result: restore processes only the delta, bounded latency") {
+    // R7 restore discipline (samsa/kafka/storage.py:151-184 — rebuild
+    // state, do NOT replay history): with a file source the checkpoint
+    // records file offsets, so a fresh query on the same checkpoint
+    // reloads state and reads only files added since. This pins BOTH
+    // halves of that claim: the restarted run's input is exactly the
+    // one-row delta (a history replay would re-read all N rows), and
+    // its wall is bounded — max(30 s, 3x the build run) is generous
+    // enough for a contended CI box while still failing loudly if a
+    // restore ever scales with history length instead of state size.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("restore-in")
+    val ckpt = tmp("restore-ckpt")
+    val staged = eventRecords().toDF()
+    staged.write.mode("overwrite").parquet(dir)
+    val schema = staged.schema
+
+    def run(): (Double, Long) = {
+      val src = spark.readStream.schema(schema).parquet(dir).as[KeyedRecord]
+      val t0 = System.nanoTime()
+      val q = ChangeDetector(src).toDF().writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val input = q.recentProgress.map(_.numInputRows).sum
+      ((System.nanoTime() - t0) / 1e9, input)
+    }
+
+    val (buildSec, buildRows) = run()
+    val n = staged.count()
+    assert(buildRows == n, s"build run should ingest all $n rows, saw $buildRows")
+
+    Seq(KeyedRecord("restore-probe", "x", "events", 0, new Timestamp(1700000000000L)))
+      .toDF().write.mode("append").parquet(dir)
+    val (restoreSec, restoreRows) = run()
+    assert(restoreRows <= 1,
+      s"restart replayed history: $restoreRows input rows (expected <= 1 — the delta file only)")
+    val bound = math.max(30.0, 3.0 * buildSec)
+    assert(restoreSec <= bound,
+      f"restore latency $restoreSec%.1f s exceeds bound $bound%.1f s (build was $buildSec%.1f s)")
+  }
+
   test("flatMapGroupsWithState fallback matches transformWithState semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
