@@ -122,36 +122,19 @@ object Embeddings {
     * that makes billion-vector ANN feasible — with m=8, ksub=16 a 64-dim
     * float vector (256 B) becomes 8 nibbles.
     *
-    * Scale shape: all m subspace k-means run in ONE frame keyed by
-    * (subspace, cell) — assign is a broadcast hash join on the m*ksub-row
-    * codebook + min_by partial agg per (vec_id, s); update is an
-    * (s, cell, dim)-key aggregation. Same no-Window, map-side-combinable
-    * discipline as `lloyd`. Returns (vec_id, codes array<int> ordered by
-    * subspace, recon_sq_err = total squared quantization error).
+    * Scale shape: training is treeAggregate sweeps over the corpus with
+    * the dense codebook broadcast (pqTrainArrays — exact quantized-long
+    * sums); encoding is ONE narrow map per row against the same
+    * broadcast (r17 — see pqEncodeWithV for why the old explode+join+
+    * min_by chain was a SortAggregate hazard). Returns (vec_id, codes
+    * array<int> ordered by subspace, recon_sq_err = total squared
+    * quantization error).
     */
   def pqEncode(emb: DataFrame, m: Int = 8, ksub: Int = 16,
       iters: Int = 2): DataFrame = {
     val (codebook, subLen) = pqTrain(emb, m, ksub, iters)
     pqEncodeWith(emb, codebook, m, subLen)
   }
-
-  /** Per-vector m subspace slices: (vec_id, s, sv). */
-  private def subVectors(e: DataFrame, m: Int, sub: Int): DataFrame =
-    e.select(col("vec_id"), posexplode(expr(
-      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sub + 1, $sub))"))
-      .as(Seq("s", "sv")))
-
-  /** One subspace-k-means assignment round: nearest codebook entry per
-    * (vec_id, subspace) — broadcast hash join on the m*ksub-row codebook
-    * + min_by partial agg, same no-Window shape as [[lloydAssign]]. */
-  private def pqAssign(sv: DataFrame, c: DataFrame): DataFrame =
-    sv.join(broadcast(c), "s")
-      .withColumn("dd", expr("squared_l2(sv, cv)"))
-      .groupBy("vec_id", "s")
-      .agg(min_by(struct(col("cell"), col("dd"), col("sv")),
-        struct(col("dd"), col("cell"))).as("mm"))
-      .select(col("vec_id"), col("s"), col("mm.cell").as("cell"),
-        col("mm.dd").as("dd"), col("mm.sv").as("sv"))
 
   /** Train the m-subspace PQ codebooks. Returns ((s, cell, cv) frame,
     * subspace length). Deterministic seeds: the ksub lowest vec_ids seed
@@ -299,25 +282,66 @@ object Embeddings {
       subLen: Int): DataFrame =
     pqEncodeWithV(withV(emb), codebook, m, subLen)
 
-  /** [[pqEncodeWith]] over a pre-projected (vec_id, v) frame. */
+  /** [[pqEncodeWith]] over a pre-projected (vec_id, v) frame.
+    *
+    * ONE narrow map over the corpus with the dense codebook broadcast
+    * (r17 — replaces the subVectors-explode → broadcast-join → min_by →
+    * two-collect_list chain). The old shape put n·m·ksub rows CARRYING
+    * THE SUBVECTOR ARRAY through a SortAggregate (min_by's struct
+    * buffer holds the array, so hash agg is unavailable — the same
+    * plan-shape defect that killed the IVF-PQ coarse sweep at the
+    * 2M-vector gate: ~256M fat rows sorted there). Semantics are
+    * bit-identical: per subspace the argmin scans codes in ascending
+    * order with strict < (== min_by's (dd, cell) tie-break to the
+    * lowest cell), distances accumulate (x_i-c_i)² in index order
+    * (== squared_l2), and recon_sq_err folds the m per-subspace
+    * minima in s order (== the old sorted-collect_list fold and
+    * DuckDB's list_reduce(list(dd ORDER BY s)) — what lets the
+    * emb_pq_encode lazy oracle hash-match). */
   private def pqEncodeWithV(e: DataFrame, codebook: DataFrame, m: Int,
       subLen: Int): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
-    pqAssign(subVectors(e, m, subLen), codebook)
-      .groupBy("vec_id")
-      .agg(
-        transform(array_sort(collect_list(struct(col("s"), col("cell")))),
-          p => p.getField("cell")).as("codes"),
-        // subspace-ORDERED fold, not sum(): plain double sum accumulates
-        // in partial-agg arrival order (nondeterministic run-to-run and
-        // engine-to-engine); folding the m values in s order is
-        // bit-identical with DuckDB's list_reduce(list(dd ORDER BY s))
-        // — what lets the emb_pq_encode lazy oracle hash-match.
-        aggregate(
-          transform(array_sort(collect_list(struct(col("s"), col("dd")))),
-            p => p.getField("dd")),
-          lit(0.0), (a, b) => a + b).as("recon_sq_err"))
+    val spark = e.sparkSession
+    val cbRows = codebook
+      .select(col("s").cast("int"), col("cell").cast("int"), col("cv"))
+      .collect()
+    val ksub = cbRows.iterator.map(_.getInt(1)).max + 1
+    val cbDense: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(_ => Array.ofDim[Array[Double]](ksub))
+    cbRows.foreach(r =>
+      cbDense(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val bc = spark.sparkContext.broadcast(cbDense)
+    val encodeU = udf { (v0: Seq[Double]) =>
+      val cbv = bc.value
+      val va = v0.toArray // one unboxing pass (UDF Seq apply is linear)
+      val codes = new Array[Int](m)
+      var err = 0.0
+      var s = 0
+      while (s < m) {
+        val row = cbv(s)
+        var best = -1; var bd = Double.MaxValue
+        var c = 0
+        while (c < row.length) {
+          val w = row(c)
+          if (w != null) {
+            var dd = 0.0; var i = 0
+            while (i < subLen) {
+              val t = va(s * subLen + i) - w(i); dd += t * t; i += 1
+            }
+            if (dd < bd) { bd = dd; best = c }
+          }
+          c += 1
+        }
+        codes(s) = best
+        err += bd // s-ordered fold of the per-subspace minima
+        s += 1
+      }
+      (codes, err)
+    }
+    e.select(col("vec_id"), encodeU(col("v")).as("_e"))
+      .select(col("vec_id"), col("_e._1").as("codes"),
+        col("_e._2").as("recon_sq_err"))
   }
+
 
   /** IVF-PQ approximate nearest neighbor (the billion-scale ANN index
     * layout, Jégou et al. 2011): a coarse k-means quantizer routes each
