@@ -46,6 +46,33 @@ object Verify {
     val json = SparkEntry.oracleSqlFor(spark, sfDir).filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Golden-hash gate for the six no-DuckDB decode kernels (r18,
+    // VERDICT item 5): hash each kernel's full raw output against the
+    // COMMITTED hashes in src/main/resources/graft/golden_mm.txt so a
+    // JDK/ImageIO drift fails loudly instead of silently shifting
+    // spec-only rows. GRAFT_GOLDEN_WRITE=1 regenerates the lines
+    // (target/golden_mm_<sf>.txt) after an INTENTIONAL kernel change.
+    if (only.isEmpty) try {
+      val checks = graft.ext.GoldenHash.check(spark, sfDir)
+      val tag = graft.ext.GoldenHash.sfTag(sfDir)
+      if (sys.env.get("GRAFT_GOLDEN_WRITE").contains("1")) {
+        Files.writeString(Paths.get(s"target/golden_mm_$tag.txt"),
+          checks.map(c => s"$tag ${c.name} ${c.computed}").mkString("", "\n", "\n"))
+        println(s"[golden] wrote target/golden_mm_$tag.txt")
+      }
+      val gj = checks.map(c =>
+        s"${q(c.name)}: {${q("computed")}: ${q(c.computed)}, " +
+        s"${q("committed")}: ${c.expected.map(q).getOrElse("null")}, " +
+        s"${q("match")}: ${c.ok}}").mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/golden_check.json"), gj)
+      checks.foreach { c =>
+        if (c.ok) println(s"[golden] ${c.name} ok")
+        else System.err.println(s"[golden] ${c.name} MISMATCH: computed " +
+          s"${c.computed}, committed ${c.expected.getOrElse("<absent>")}")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[golden] check failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -257,7 +257,7 @@ object ScaleStress {
     * replicas (the reconciliation row joins them). Prices, statuses and
     * dates ride unchanged — the snapshot-diff derivation rules (%97 /
     * %13 / %89) hit shifted keys at the same rates. */
-  private def buildOrdersFixture(spark: SparkSession, src: String,
+  def buildOrdersFixture(spark: SparkSession, src: String,
       out: String, factor: Int): Unit = {
     val fs = new java.io.File(s"$out/_built_orders_x$factor")
     if (fs.exists()) return

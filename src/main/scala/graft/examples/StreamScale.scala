@@ -35,11 +35,17 @@ object StreamScale {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 1
     val provider = if (args.length > 1) args(1) else "rocksdb"
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // arg 3: shuffle-partition count — in Structured Streaming this IS
+    // the state-store partition count (each shuffle partition owns one
+    // store instance), so sweeping it measures restore/snapshot
+    // parallelism (r18, VERDICT item 3)
+    val shufflePartitions =
+      if (args.length > 2) args(2).toInt else cpus.toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -114,6 +120,25 @@ object StreamScale {
       val buildSec = run()
       val rows = lastRows
       val ckptBytes = dirBytes(ckpt)
+      // per-partition state snapshot sizes (<ckpt>/state/0/<pid>/...):
+      // each shuffle partition owns one store — the distribution shows
+      // whether restore work parallelizes or one partition dominates
+      val partDir = java.nio.file.Paths.get(ckpt, "state", "0")
+      val partSizes: Array[Long] =
+        if (Files.exists(partDir)) {
+          val st = Files.list(partDir)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.filter(Files.isDirectory(_: Path))
+              .map(p => dirBytes(p.toString)).toArray.sorted
+          } finally st.close()
+        } else Array.empty[Long]
+      if (partSizes.nonEmpty)
+        println(f"[streamscale] $name: ${partSizes.length} state " +
+          f"partitions, per-partition KiB min/median/max " +
+          f"${partSizes.head / 1024}/" +
+          f"${partSizes(partSizes.length / 2) / 1024}/" +
+          f"${partSizes.last / 1024}")
       // restore: one new tiny file, FRESH query on the same checkpoint —
       // wall = state reload + a one-row batch
       Seq(("restore-probe", "x", "bench", 0,
@@ -183,11 +208,18 @@ object StreamScale {
         f"(${nDocs / idSec}%.0f docs/s), sig rows $sigRows, " +
         f"empty-batch turnaround $idRestore%.2f s")
 
+      // Skipped operators emit {"skipped":true}, never negative
+      // sentinels — a sec:-1.00 with eps = nEvents/-1 parses as a real
+      // (absurd) measurement downstream (r18, ADVICE fix).
+      def opJson(sec: Double, rows: Long, bytes: Long, restore: Double)
+          : String =
+        if (sec < 0) """{"skipped":true}"""
+        else f"""{"sec":$sec%.2f,"eps":${nEvents / sec}%.0f,"rows":$rows,"ckptKiB":${bytes / 1024},"restoreSec":$restore%.2f}"""
       println(
-        f"""[streamscale-json] {"factor":$factor,"provider":"$provider","events":$nEvents,""" +
-        f""""change":{"sec":$cdSec%.2f,"eps":${nEvents / cdSec}%.0f,"rows":$cdRows,"ckptKiB":${cdBytes / 1024},"restoreSec":$cdRestore%.2f},""" +
-        f""""session":{"sec":$ssSec%.2f,"eps":${nEvents / ssSec}%.0f,"rows":$ssRows,"ckptKiB":${ssBytes / 1024},"restoreSec":$ssRestore%.2f},""" +
-        f""""topk":{"sec":$tkSec%.2f,"eps":${nEvents / tkSec}%.0f,"rows":$tkRows,"ckptKiB":${tkBytes / 1024},"restoreSec":$tkRestore%.2f},""" +
+        f"""[streamscale-json] {"factor":$factor,"provider":"$provider","shufflePartitions":$shufflePartitions,"events":$nEvents,""" +
+        s""""change":${opJson(cdSec, cdRows, cdBytes, cdRestore)},""" +
+        s""""session":${opJson(ssSec, ssRows, ssBytes, ssRestore)},""" +
+        s""""topk":${opJson(tkSec, tkRows, tkBytes, tkRestore)},""" +
         f""""ingestdedup":{"docs":$nDocs,"sec":$idSec%.2f,"docsPerSec":${nDocs / idSec}%.0f,"sigRows":$sigRows,"hashRows":$hashRows,"emptyBatchSec":$idRestore%.2f}}""")
     }
     measureAll()

@@ -26,6 +26,14 @@ import graft.ext.Checkpoints.CutOps
   */
 object Embeddings {
 
+  /** Sentinels for [[ivfPqTopK]]'s `refine` parameter. BEHAVIOR CHANGE
+    * (r17): `0` used to mean "disable the exact re-rank"; it now means
+    * "auto-derive the shortlist depth" ([[autoRefine]]'s constant-
+    * fraction law). Callers wanting pure-ADC distances must pass
+    * [[RefineOff]] (any negative). Positive values pin the depth. */
+  val RefineAuto: Int = 0
+  val RefineOff: Int = -1
+
   /** (vec frame with v: array<double>) from the raw embeddings table. */
   private def withV(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
@@ -304,6 +312,9 @@ object Embeddings {
     val cbRows = codebook
       .select(col("s").cast("int"), col("cell").cast("int"), col("cv"))
       .collect()
+    require(cbRows.nonEmpty,
+      "pqEncodeWith: empty codebook (0 rows) — train one with pqTrain " +
+        "before encoding")
     val ksub = cbRows.iterator.map(_.getInt(1)).max + 1
     val cbDense: Array[Array[Array[Double]]] =
       Array.tabulate(m)(_ => Array.ofDim[Array[Double]](ksub))
@@ -311,6 +322,11 @@ object Embeddings {
       cbDense(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
     val bc = spark.sparkContext.broadcast(cbDense)
     val encodeU = udf { (v0: Seq[Double]) =>
+      // null embedding → null codes (the old posexplode chain dropped
+      // the row silently; a null row out preserves vec_id visibility
+      // without NPE-ing the task — r18 ADVICE fix)
+      if (v0 == null) null
+      else {
       val cbv = bc.value
       val va = v0.toArray // one unboxing pass (UDF Seq apply is linear)
       val codes = new Array[Int](m)
@@ -336,6 +352,7 @@ object Embeddings {
         s += 1
       }
       (codes, err)
+      }
     }
     e.select(col("vec_id"), encodeU(col("v")).as("_e"))
       .select(col("vec_id"), col("_e._1").as("codes"),
@@ -365,8 +382,10 @@ object Embeddings {
     * corpus via [[autoRefine]] — the r17 constant-shortlist-FRACTION
     * law (≈1/80 of the n·np/nc expected candidates, floor 16; at 2M
     * vectors the old fixed 16 measured recall@10 0.448, the auto ~125
-    * measures 0.996). refine < 0 disables the re-rank (pure ADC
-    * distances out); positive pins it manually.
+    * measures 0.996). refine < 0 ([[RefineOff]]) disables the re-rank
+    * (pure ADC distances out); positive pins it manually. NOTE the r17
+    * behavior change: 0 previously meant "off" — see [[RefineAuto]]/
+    * [[RefineOff]].
     *
     * Scale shape: centroids and codebook are driver/broadcast-bounded
     * (nCells*d + m*ksub*subLen doubles); the corpus is touched by one
@@ -378,12 +397,13 @@ object Embeddings {
     */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, nCells: Int = 0, nProbe: Int = 0,
-      refine: Int = 0): DataFrame = {
+      refine: Int = RefineAuto): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val (model, resid) = ivfPqFitWithResid(emb, m, ksub, nCells, nProbe)
     val refineDepth =
-      if (refine == 0) autoRefine(model.n, model.nc, model.np, k) else refine
+      if (refine == RefineAuto) autoRefine(model.n, model.nc, model.np, k)
+      else refine
     val np = model.np
     val subLen = model.subLen
     val e = withV(emb)
@@ -576,7 +596,12 @@ object Embeddings {
     // matrix per row instead, so the only shuffle is lloydUpdate's
     // (cell,dim)-key decimal aggregate. Same index-order double
     // distance sums, same lowest-cell tie-break, same 1e-12-quantized
-    // mean -> bit-identical centroids to the old path.
+    // mean -> bit-identical centroids to the old path BELOW
+    // Similarity.twoLevelCellThreshold (4096 cells, i.e. all fixture
+    // and oracle scales); past it coarseAssign routes through the
+    // approximate two-level index, so assignments (and centroids) may
+    // differ from the exact sweep (>=99% agreement pinned in
+    // ClusterSpec's two-level gate).
     val seedArr = e.filter(col("vec_id") < nc)
       .select(col("vec_id").cast("int").as("cell"), col("v")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)

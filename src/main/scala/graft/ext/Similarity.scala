@@ -359,6 +359,54 @@ object Similarity {
     annTopK(emb, queryIds.toDF("vec_id"), k, bucketLength, numTables, maxDistance)
   }
 
+  /** Corpus-size boundary for [[annTopKRouted]]: at or above this many
+    * vectors the router picks IVF; below it BRP-LSH. Set from the r18
+    * crossover measurement (SCALE.md): with the recall-first 0.1
+    * bucket floor, BRP candidate volume grows ~linearly in n (absolute
+    * bucket width fixed → a constant FRACTION of the corpus collides
+    * per query), while IVF probe cost grows ~√n (autoNCells ∝ √n,
+    * probes a constant fraction of cells). Measured walls at equal
+    * ≥0.9 recall put the crossover between the 20k and 200k fixtures;
+    * 20k keeps every fixture-scale oracle row (≤ sf0.1, n ≤ 12k) on
+    * the BRP path bit-unchanged. */
+  val brpRouteMaxN: Long = 20000L
+
+  /** Routing decision of [[annTopKRouted]], exposed pure so ExtSpec can
+    * pin it: "brp" below [[brpRouteMaxN]], "ivf" at/above, unless
+    * forced. */
+  def annRouteChoice(n: Long, force: String = "auto"): String =
+    force match {
+      case "brp" | "ivf" => force
+      case _ => if (n >= brpRouteMaxN) "ivf" else "brp"
+    }
+
+  /** Auto-routing ANN front door (r18, VERDICT r17 item 6): one call
+    * that picks the scale-appropriate index — BRP-LSH below
+    * [[brpRouteMaxN]] corpus rows (simple, no fit stage, recall-floored
+    * by the 0.1 bucket width), IVF at or above it (√n-cell probe cost —
+    * the 100 TB path; BRP's post-floor candidate volume is ~linear in
+    * n, see the [[autoBucketLength]] scaladoc). `force` = "brp"/"ivf"
+    * overrides; anything else = auto. `corpusCount` > 0 skips the
+    * count job (pass a previously computed count). Unified output
+    * (qid, cid, cos) — the BRP arm's euclidean-on-normalized distance
+    * converts exactly (cos = 1 - d²/2). */
+  def annTopKRouted(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      corpusCount: Long = 0L,
+      force: String = "auto"): DataFrame = {
+    val n = if (corpusCount > 0) corpusCount else emb.count()
+    annRouteChoice(n, force) match {
+      case "ivf" => ivfTopK(emb, queries, k, corpusCount = n)
+      case _ =>
+        annTopK(emb, queries, k, autoBucketLength(n),
+            numTables = 8, maxDistance = 2.0)
+          .select(col("qid"), col("cid"),
+            (lit(1.0) - col("dist") * col("dist") / 2.0).as("cos"))
+    }
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into `nCells` cells
     * (deterministic seed centroids = the first nCells vectors, one
     * refinement sweep), then search only the `nProbe` cells nearest to

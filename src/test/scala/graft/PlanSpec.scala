@@ -771,6 +771,49 @@ class PlanSpec extends SparkSpec {
       s"regexp chain should stay native:\n${p.take(800)}")
   }
 
+  test("no registry plan carries an array through a SortAggregate buffer") {
+    // r18, VERDICT item 4: the r17 scale kills (IVF-PQ coarse sweep,
+    // pqEncode) were both the same plan shape — a SortAggregate whose
+    // aggregation buffer holds an ARRAY (min_by/max_by over a struct
+    // carrying the vector), which forbids hash aggregation and sorts
+    // n-fat rows. The guarded exact path (lloydAssign, k<=8 oracle
+    // rows) must never leak into a registry row. Walk every registry
+    // plan and assert the signature is absent, so the r17 audit cannot
+    // regress silently.
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    def hasArray(dt: DataType): Boolean = dt match {
+      case _: ArrayType => true
+      case s: StructType => s.fields.exists(f => hasArray(f.dataType))
+      case _ => false
+    }
+    // Documented exception: emb_kmeans is the k<=8 exact-fold oracle
+    // row that deliberately keeps lloydAssign's declarative
+    // crossJoin+min_by (bounded at k centroids, scale warning at
+    // ext/Embeddings lloydAssign). Every production path (ivf fits,
+    // IVF-PQ coarse sweep, assignCells, pqEncode) routes the narrow
+    // map; nothing else may appear here. (CorpusBuild's canonical pick
+    // min_by's a struct of scalars — no array in the buffer — so it
+    // needs no exemption.)
+    val allowlist = Set("emb_kmeans")
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.defs.foreach { q =>
+      spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+      val df = SparkEntry.queries(q.name)(spark, sf())
+      val bad = df.queryExecution.sparkPlan.collect {
+        case s: SortAggregateExec if s.aggregateExpressions.exists(ae =>
+          ae.aggregateFunction.aggBufferAttributes.exists(a =>
+            hasArray(a.dataType))) => s
+      }
+      if (bad.nonEmpty && !allowlist(q.name)) offenders += q.name
+    }
+    spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
+    assert(offenders.isEmpty,
+      s"array-buffer SortAggregate leaked into registry plans: " +
+        s"${offenders.mkString(", ")} — route through the narrow-map " +
+        "assign/encode shapes (ext/Embeddings coarseAssign/pqEncodeWith)")
+  }
+
   test("whole-stage codegen covers the relational core") {
     // AQE's pre-execution dump hides codegen spans (isFinalPlan=false);
     // inspect the non-adaptive plan for the codegen fences

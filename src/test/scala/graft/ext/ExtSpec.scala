@@ -84,6 +84,39 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall with auto cells/probes")
   }
 
+  test("annTopKRouted: BRP at fixture scale, IVF past the measured boundary") {
+    import spark.implicits._
+    // pure decision pins (r18, VERDICT item 6): every fixture/oracle
+    // scale stays on the BRP path (rows bit-unchanged), the measured
+    // crossover sends larger corpora to IVF, force overrides both ways
+    assert(Similarity.annRouteChoice(2000L) == "brp")   // sf0.001 corpus
+    assert(Similarity.annRouteChoice(12000L) == "brp")  // sf0.1 corpus
+    assert(Similarity.annRouteChoice(Similarity.brpRouteMaxN) == "ivf")
+    assert(Similarity.annRouteChoice(2000000L) == "ivf") // the 2M gate
+    assert(Similarity.annRouteChoice(2000000L, force = "brp") == "brp")
+    assert(Similarity.annRouteChoice(100L, force = "ivf") == "ivf")
+    // routed call at fixture scale == the BRP arm with the batch knobs,
+    // cos-converted exactly (cos = 1 - d²/2)
+    val emb = Tables.embeddings(spark, sf())
+    val n = emb.count()
+    val qids = Seq(0L, 1L, 2L, 3L, 4L).toDF("vec_id")
+    val routed = Similarity.annTopKRouted(emb, qids, k = 10, corpusCount = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brp = Similarity.annTopK(emb, qids, k = 10,
+        bucketLength = Similarity.autoBucketLength(n), numTables = 8,
+        maxDistance = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed == brp, s"routed pairs != BRP-arm pairs at fixture scale")
+    // forced-IVF arm still recalls against brute force
+    val exact = graft.SparkEntry.queries("emb_cosine_topk")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annTopKRouted(emb, qids, k = 10, corpusCount = n,
+        force = "ivf")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"forced-IVF routed recall $recall")
+  }
+
   test("ANN entry points are single distributed jobs — no per-query union") {
     // VERDICT r3 item 2: the old shape was one Spark job per query vector
     // unioned on the driver. The plan must contain no Union and only a
