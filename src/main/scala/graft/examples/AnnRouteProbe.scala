@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * (20k/200k/2M vectors) to locate the crossover that sets
   * `Similarity.brpRouteMaxN`.
   *
-  * Usage: runMain graft.examples.AnnRouteProbe <fixtureDir>
-  * One [annroute-json] line per run.
+  * Usage: runMain graft.examples.AnnRouteProbe <factor|fixtureDir>
+  * (a numeric arg derives target/sfx<factor> from sf0.1, building the
+  * embedding fixture if absent). One [annroute-json] line per run.
   */
 object AnnRouteProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,6 +24,13 @@ object AnnRouteProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val dir = args(0).toIntOption match {
+      case Some(f) =>
+        val out = s"/root/repo/target/sfx$f"
+        ScaleStress.buildFixture(spark, "/root/testdata/sf0.1", out, f)
+        out
+      case None => args(0)
+    }
 
     val embS = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = embS.count()

@@ -20,15 +20,21 @@ import graft.ext.Checkpoints.CutOps
   * each result so bit-identity across modes is CHECKED at scale, not
   * assumed from the fixture-scale CheckpointModeSpec pin.
   *
-  * Rows: `ext_pagerank` (registry row over the `factor`-replicated
-  * orders/lineitem fixtures — 3 damped sweeps), a planted
+  * Rows: PageRank over the `graph_pagerank_scale` synthetic graph at
+  * `factor` (20000·f nodes, 6·n directed edges — 120M at 1000×; the
+  * REGISTRY ext_pagerank's orders⋈lineitem prologue at 1000× is a
+  * 600M-row batch join whose shuffle spill exceeds this box's disk —
+  * measured: SPILL_OUT_OF_MEMORY at 60 GB free — and the prologue is
+  * a one-shot batch stage, not the iterative surface the checkpoint
+  * toggle protects; the sweeps are identical either way), a planted
   * 1000-chains + 8-cliques CC graph at 5M nodes (the `cc_scale`
   * discipline — ext_entity_components' operator; its registry row's ER
   * candidate join is brand-blocked and replicas grow blocks, so the
   * planted graph is the honest scale vehicle for the CC loop), and
-  * `ext_mst_backbone` (registry row; the session-cached kNN-fixture
-  * prologue is warmed once untimed so both modes measure the Borůvka
-  * contraction, which is where the per-round cuts live).
+  * `ext_mst_backbone` (registry row over the replicated lineitem
+  * fixture; the session-cached kNN-fixture prologue is warmed once
+  * untimed so both modes measure the Borůvka contraction, which is
+  * where the per-round cuts live).
   *
   * Usage: runMain graft.examples.GraphCkptScale [factor]
   * (default 1000; fixtures under target/sfx<factor>). One
@@ -65,9 +71,20 @@ object GraphCkptScale {
     val src = "/root/testdata/sf0.1"
     val out = s"/root/repo/target/sfx$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions SCALE WITH THE DATA (arg 2 overrides): at
+    // factor 1000 the pagerank pairs-distinct hash-aggregates ~600M
+    // rows — at the fixture-scale 32 partitions that is ~19M rows per
+    // task and 32 concurrent spill-merges in an 8g heap (measured OOM
+    // in HashAggregateExec.finishAggregate). 256 partitions is the
+    // cluster-shaped setting (partitions ∝ data, AQE coalesces the
+    // small stages back down) and keeps every task's working set
+    // bounded at the same heap.
+    val shufflePartitions =
+      if (args.length > 1) args(1).toInt
+      else math.max(cpus.toInt, if (factor >= 100) 256 else cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -78,8 +95,24 @@ object GraphCkptScale {
     import spark.implicits._
 
     ScaleStress.buildLineitemFixture(spark, src, out, factor)
-    ScaleStress.buildOrdersFixture(spark, src, out, factor)
     val ckptDir = s"/root/repo/target/relckpt-graph-$factor"
+
+    // synthetic pagerank graph, the graph_pagerank_scale discipline
+    def prEdges(): DataFrame = {
+      val n = 20000L * factor
+      val base = spark.range(n).select(col("id"))
+      val edges = base.select(explode(array(
+          struct(col("id").as("src"),
+            pmod(xxhash64(col("id"), lit(1)), lit(n)).as("dst")),
+          struct(col("id").as("src"),
+            pmod(xxhash64(col("id"), lit(2)), lit(n)).as("dst")),
+          struct(col("id").as("src"), ((col("id") + 1) % n).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      edges.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
 
     // planted CC graph, the cc_scale discipline at 5M nodes
     def ccEdges(): DataFrame = {
@@ -108,7 +141,12 @@ object GraphCkptScale {
 
     val results = scala.collection.mutable.LinkedHashMap[
       (String, String), (Double, String, Long)]()
-    for (mode <- Seq("local", "reliable")) {
+    // TWO full passes: a single local→reliable sequence confounds the
+    // mode with warmup (measured: "reliable" 2.5× faster than the cold
+    // local run that preceded it — JIT + shuffle page cache, not the
+    // toggle). Pass 1 warms everything and checks identity; pass 2's
+    // numbers (both modes equally warm) are the reported tax.
+    for (pass <- 1 to 2; mode <- Seq("local", "reliable")) {
       if (mode == "reliable")
         spark.conf.set("graft.checkpoint.dir", ckptDir)
       else spark.conf.unset("graft.checkpoint.dir")
@@ -118,14 +156,17 @@ object GraphCkptScale {
         val h = distHash(mk)
         val sec = (System.nanoTime() - t0) / 1e9
         val ck = dirBytes(ckptDir)
+        // identity must hold across passes AND modes
+        results.get((row, "local")).foreach { case (_, h0, _) =>
+          require(h0 == h, s"$row: result hash drifted ($h0 -> $h)") }
         results((row, mode)) = (sec, h, ck)
-        println(f"[graphckpt] $row%-22s $mode%-8s $sec%8.1f s  hash=$h  " +
-          f"ckptMiB=${ck / 1024 / 1024}")
+        println(f"[graphckpt] $row%-22s $mode%-8s pass$pass $sec%8.1f s  " +
+          f"hash=$h  ckptMiB=${ck / 1024 / 1024}")
         graft.ext.Caches.releaseAll(spark); spark.catalog.clearCache()
       }
 
-      run("ext_pagerank") {
-        graft.SparkEntry.queries("ext_pagerank")(spark, out)
+      run("pagerank_synth") {
+        graft.ext.Graph.pageRank(prEdges(), iters = 3)
       }
       run("cc_planted_5m") {
         graft.ext.Dedup.connectedComponents(ccEdges().cutLineage())
@@ -135,7 +176,7 @@ object GraphCkptScale {
       }
     }
 
-    val rows = Seq("ext_pagerank", "cc_planted_5m", "ext_mst_backbone")
+    val rows = Seq("pagerank_synth", "cc_planted_5m", "ext_mst_backbone")
     val js = rows.map { r =>
       val (ls, lh, _) = results((r, "local"))
       val (rs, rh, rc) = results((r, "reliable"))

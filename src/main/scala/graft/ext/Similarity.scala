@@ -361,14 +361,13 @@ object Similarity {
 
   /** Corpus-size boundary for [[annTopKRouted]]: at or above this many
     * vectors the router picks IVF; below it BRP-LSH. Set from the r18
-    * crossover measurement (SCALE.md): with the recall-first 0.1
-    * bucket floor, BRP candidate volume grows ~linearly in n (absolute
-    * bucket width fixed → a constant FRACTION of the corpus collides
-    * per query), while IVF probe cost grows ~√n (autoNCells ∝ √n,
-    * probes a constant fraction of cells). Measured walls at equal
-    * ≥0.9 recall put the crossover between the 20k and 200k fixtures;
-    * 20k keeps every fixture-scale oracle row (≤ sf0.1, n ≤ 12k) on
-    * the BRP path bit-unchanged. */
+    * two-sided crossover measurement (AnnRouteProbe, SCALE.md): at 2k
+    * vectors IVF RECALL collapses (0.656 — the √n-cell law leaves 16
+    * cells / 4 probes) while BRP holds 0.978; from 20k up IVF wins
+    * both axes (20k: 0.66 s/0.990 vs BRP 1.72 s/0.936; 2M: 6.4 s/1.000
+    * vs 29.4 s/0.956 — BRP's post-floor candidate volume is ~linear in
+    * n, IVF probe cost ~√n). 20k also keeps every fixture-scale oracle
+    * row (≤ sf0.1, n ≤ 12k) on the BRP path bit-unchanged. */
   val brpRouteMaxN: Long = 20000L
 
   /** Routing decision of [[annTopKRouted]], exposed pure so ExtSpec can
