@@ -42,7 +42,7 @@ object Bench {
     // the plan's real cost; caches are cleared between reps so each rep
     // does identical work.
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // relative rep spread (max-min)/min per query: the in-run contention
+    // relative rep spread (max-min)/min per query: the in-run noise
     // signal (r18, VERDICT item 7). When a row's cross-round driver
     // delta looks like a regression but its OWN two reps disagree by
     // more than the regression bar (40% and 1 s), the machine was
@@ -52,17 +52,14 @@ object Bench {
     val suspects = scala.collection.mutable.ArrayBuffer[String]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.defs.foreach { q =>
-      var best = Double.MaxValue
-      var worst = 0.0
+      val reps = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       var rep = 0
       while (rep < 2 && !failed) {
         val t0 = System.nanoTime()
         try {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          best = math.min(best, dt)
-          worst = math.max(worst, dt)
+          reps += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             failed = true
@@ -76,10 +73,16 @@ object Bench {
         rep += 1
       }
       if (!failed) {
+        val best = reps.min
         timings(q.name) = best
-        val spread = if (best > 0) (worst - best) / best else 0.0
-        spreads(q.name) = spread
-        if (spread > 0.4 && worst - best > 1.0) suspects += q.name
+        spreads(q.name) = if (best > 0) (reps.max - best) / best else 0.0
+        // contention signature = the SECOND rep is the slow one by more
+        // than the regression bar. Rep 1 slower is the NORMAL shape
+        // (per-query codegen/classload warmup — measured 9-11 rows per
+        // SOLO run when flagged symmetrically); rep 2 slower means
+        // something else took the box mid-row.
+        if (reps.length == 2 && reps(1) > reps(0) * 1.4
+            && reps(1) - reps(0) > 1.0) suspects += q.name
       }
     }
     // Streaming throughput: the reference's hot path is a synchronous
