@@ -140,12 +140,27 @@ object Similarity {
       k: Int,
       bucketLength: Double,
       numTables: Int,
+      maxDistance: Double): DataFrame =
+    annTopKScores(emb, queries, k, bucketLength, numTables, maxDistance)
+      .select(col("qid"), col("cid"),
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("cos"))).as("dist"))
+
+  /** [[annTopK]] before the cosine→euclidean output transform —
+    * (qid, cid, cos) with cos the RAW codegen'd cosine_sim score (the
+    * routed front door emits this form; converting dist back to cos
+    * would round twice and break oracle bit-equality). */
+  private[graft] def annTopKScores(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      bucketLength: Double,
+      numTables: Int,
       maxDistance: Double): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val hashedOpt = hashedBuckets(emb, bucketLength, numTables)
     if (hashedOpt.isEmpty) return spark.emptyDataFrame
-      .select(lit(0L).as("qid"), lit(0L).as("cid"), lit(0.0).as("dist")).limit(0)
+      .select(lit(0L).as("qid"), lit(0L).as("cid"), lit(0.0).as("cos")).limit(0)
     val hashed = Caches.track(hashedOpt.get.cache())
     // semi-join prune of the query side (plan size independent of |Q|;
     // left_semi emits each corpus row at most once, so duplicate query
@@ -166,8 +181,7 @@ object Similarity {
       .groupBy("qid")
       .agg(expr(s"topk_by_score(cos, cid, $k)").as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
-      .select(col("qid"), col("t.id").as("cid"),
-        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("t.score"))).as("dist"))
+      .select(col("qid"), col("t.id").as("cid"), col("t.score").as("cos"))
   }
 
   /** (vec_id, tbl, h) bucket rows for every embedding under `numTables`
@@ -387,8 +401,9 @@ object Similarity {
     * n, see the [[autoBucketLength]] scaladoc). `force` = "brp"/"ivf"
     * overrides; anything else = auto. `corpusCount` > 0 skips the
     * count job (pass a previously computed count). Unified output
-    * (qid, cid, cos) — the BRP arm's euclidean-on-normalized distance
-    * converts exactly (cos = 1 - d²/2). */
+    * (qid, cid, cos) — the BRP arm emits [[annTopKScores]]' raw
+    * codegen'd cosine directly (a dist→cos round-trip would round
+    * twice and lose bit-equality with the lazy oracle). */
   def annTopKRouted(
       emb: DataFrame,
       queries: DataFrame,
@@ -398,11 +413,8 @@ object Similarity {
     val n = if (corpusCount > 0) corpusCount else emb.count()
     annRouteChoice(n, force) match {
       case "ivf" => ivfTopK(emb, queries, k, corpusCount = n)
-      case _ =>
-        annTopK(emb, queries, k, autoBucketLength(n),
-            numTables = 8, maxDistance = 2.0)
-          .select(col("qid"), col("cid"),
-            (lit(1.0) - col("dist") * col("dist") / 2.0).as("cos"))
+      case _ => annTopKScores(emb, queries, k, autoBucketLength(n),
+        numTables = 8, maxDistance = 2.0)
     }
   }
 

@@ -68,6 +68,27 @@ object ExtQ {
         numTables = 8, maxDistance = 2.0)
     },
 
+    // The auto-routing ANN front door as its own oracle row (r18,
+    // VERDICT r17 item 6): one call that picks BRP below
+    // Similarity.brpRouteMaxN corpus vectors and IVF at/above (the
+    // measured two-sided crossover — at 2k IVF recall collapses to
+    // 0.656, at 20k+ IVF wins both wall and recall; SCALE.md r18). At
+    // every fixture scale the route is BRP with the batch knobs, so
+    // the same dual-engine LSH oracle reproduces it bit-for-bit —
+    // emitting the router's unified contract, the RAW codegen'd
+    // cosine (annTopKScores; a dist→cos round-trip would round twice).
+    // The decision function and the forced-IVF arm are pinned in
+    // ExtSpec; the crossover table lives in SCALE.md.
+    QueryDef.lazyOracle("ext_ann_topk_routed") { (s, d) =>
+      val n = Tables.embeddings(s, d).count()
+      annOracleSql(s, d, numTables = 8,
+        bucketLength = Similarity.autoBucketLength(n), qFilter = "",
+        emitCos = true)
+    } { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.annTopKRouted(emb, emb.select("vec_id"), k = 10)
+    },
+
     // Incremental dedup prefilter: docs with even ids form the "existing
     // corpus", odd ids are the incoming batch; only genuinely-new odd
     // docs survive. No oracle (bloom bit layout is implementation-
@@ -374,7 +395,7 @@ object ExtQ {
 
   private def annOracleSql(s: org.apache.spark.sql.SparkSession,
       d: String, numTables: Int, bucketLength: Double,
-      qFilter: String): String = {
+      qFilter: String, emitCos: Boolean = false): String = {
     val dim = Tables.embeddings(s, d)
       .select(size(col("embedding"))).head().getInt(0)
     val planes = Similarity.lshPlanes(dim, numTables, 1)
@@ -413,7 +434,8 @@ object ExtQ {
        |           (x, y) -> x + y) / (a.nrm * c2.nrm) AS cos
        |  FROM cand JOIN vv a ON a.vec_id = cand.qid
        |            JOIN vv c2 ON c2.vec_id = cand.cid)
-       |SELECT qid, cid, sqrt(greatest(0.0, 2.0 - 2.0 * cos)) AS dist FROM (
+       |SELECT qid, cid, ${if (emitCos) "cos"
+           else "sqrt(greatest(0.0, 2.0 - 2.0 * cos)) AS dist"} FROM (
        |  SELECT qid, cid, cos,
        |         ROW_NUMBER() OVER (PARTITION BY qid
        |           ORDER BY cos DESC, cid) AS rn
