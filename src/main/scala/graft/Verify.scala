@@ -52,6 +52,11 @@ object Verify {
     // JDK/ImageIO drift fails loudly instead of silently shifting
     // spec-only rows. GRAFT_GOLDEN_WRITE=1 regenerates the lines
     // (target/golden_mm_<sf>.txt) after an INTENTIONAL kernel change.
+    // The gate's contract (r18 ADVICE, medium): golden_check.json is
+    // ALWAYS written when the gate is in scope — a crash writes an
+    // explicit {"error": ...} record instead of silently leaving the
+    // file absent, so downstream tooling can distinguish "gate failed"
+    // from "gate never ran".
     if (only.isEmpty) try {
       val checks = graft.ext.GoldenHash.check(spark, sfDir)
       val tag = graft.ext.GoldenHash.sfTag(sfDir)
@@ -72,6 +77,9 @@ object Verify {
       }
     } catch { case e: Throwable =>
       System.err.println(s"[golden] check failed: ${e.getMessage}")
+      try Files.writeString(Paths.get(s"$outDir/golden_check.json"),
+        s"{${q("error")}: ${q(Option(e.getMessage).getOrElse(e.getClass.getName))}}")
+      catch { case _: Throwable => () }
     }
     spark.stop()
   }

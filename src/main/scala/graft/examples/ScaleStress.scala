@@ -413,9 +413,12 @@ object ScaleStress {
     // optional 4th arg: comma-separated subset of `heavy` (chunked runs)
     val names = if (args.length > 3) args(3).split(',').toSeq else heavy
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // factor>=100 needs partitions ∝ data at the fixed core count (the
+    // box-lessons knob law; AQE coalesces the small stages back down)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -456,6 +459,12 @@ object ScaleStress {
       buildOrdersFixture(spark, src, out, factor)
     if (names.contains("ext_skyline") || names.contains("sql_tpch_q19"))
       buildPartFixture(spark, src, out, factor)
+    // r19 (VERDICT r18 item 3): the REGISTRY ext_pagerank row at scale —
+    // its orders⋈lineitem trade-graph prologue needs both fixtures
+    if (names.contains("ext_pagerank")) {
+      buildLineitemFixture(spark, src, out, factor)
+      buildOrdersFixture(spark, src, out, factor)
+    }
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
       s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")

@@ -39,13 +39,15 @@ object StreamScale {
     // arg 3: shuffle-partition count — in Structured Streaming this IS
     // the state-store partition count (each shuffle partition owns one
     // store instance), so sweeping it measures restore/snapshot
-    // parallelism (r18, VERDICT item 3)
-    val shufflePartitions =
-      if (args.length > 2) args(2).toInt else cpus.toInt
+    // parallelism (r18, VERDICT item 3). "auto" (r19, item 4) resolves
+    // it AFTER the event frame is known, via
+    // SamsaStream.autoStatePartitions over estimated state bytes.
+    val partArg = if (args.length > 2) args(2) else cpus
+    val initialPartitions = partArg.toIntOption.getOrElse(cpus.toInt)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.shuffle.partitions", initialPartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -71,6 +73,22 @@ object StreamScale {
         // fixture reads as NTZ under nanosAsLong)
         col("ts").cast("timestamp").as("ts"))
     val nEvents = ev.count()
+    // "auto": estimate state bytes = distinct keys × the measured
+    // change-detector checkpoint cost (~900 B/key at the 100M-event
+    // decade: 1.31 GiB / 1.5M rows, SCALE.md r18) and let the knob law
+    // pick the store count. Runtime-settable — resolved before any
+    // query starts, which is when the count is frozen into the
+    // checkpoint.
+    val shufflePartitions = partArg match {
+      case "auto" =>
+        val nKeys = ev.select("key").distinct().count()
+        val p = graft.api.SamsaStream.autoStatePartitions(nKeys * 900L)
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        println(s"[streamscale] auto state partitions: keys=$nKeys " +
+          s"estBytes=${nKeys * 900L} -> p=$p")
+        p
+      case s => s.toInt
+    }
     // Stage ~125k-row files and trigger 4 files per micro-batch: an
     // unbounded AvailableNow batch at factor 100 put the WHOLE 10M-event
     // replay in ONE micro-batch and (correctly) tripped the per-key

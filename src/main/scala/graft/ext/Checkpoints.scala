@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage cuts for the iterative operators (connected components,
   * PageRank, label propagation, BPE merges, k-means residuals, the
@@ -56,7 +57,26 @@ object Checkpoints {
   /** Cut `df`'s lineage: reliable `checkpoint` when
     * `graft.checkpoint.dir` is configured, `localCheckpoint` otherwise.
     * `eager = false` defers materialization to the first action (the
-    * BPE merge-loop shape). */
+    * BPE merge-loop shape).
+    *
+    * Reliable eager cuts PERSIST the frame before checkpointing (r19,
+    * VERDICT r18 item 2): `Dataset.checkpoint(true)` runs the
+    * materializing action and THEN a separate checkpoint-write job, so
+    * an unpersisted frame is computed TWICE — for a cut whose upstream
+    * is a 600M-row join+distinct, the recompute (not the file write)
+    * was most of the measured +28% PageRank tax at 1000×. A transient
+    * MEMORY_AND_DISK persist makes the write job a cache read; it is
+    * released (non-blocking) as soon as the checkpoint files exist.
+    * Frames the CALLER already persisted are left alone — unpersisting
+    * them here would silently drop the caller's cache.
+    *
+    * Two companion knobs for the reliable mode, both measured in
+    * SCALE.md r19: `spark.checkpoint.compress=true` (core conf — set it
+    * at session build; lz4 on the checkpoint stream cuts the write
+    * bytes) and `graft.checkpoint.stride` (how many iterative sweeps
+    * run between in-loop cuts, default 4 — recovery recompute after an
+    * executor loss is bounded by stride sweeps, while the per-cut bytes
+    * are paid iters/stride times; see [[Graph.pageRank]]). */
   def cut(df: DataFrame, eager: Boolean = true): DataFrame =
     configuredDir(df) match {
       case Some(dir) =>
@@ -64,9 +84,26 @@ object Checkpoints {
         applied.computeIfAbsent((sc, dir), _ => {
           sc.setCheckpointDir(dir); dir
         })
-        df.checkpoint(eager)
+        if (eager && df.storageLevel == StorageLevel.NONE) {
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+          try df.checkpoint(true)
+          finally df.unpersist(blocking = false)
+        } else df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }
+
+  /** Sweeps between in-loop lineage cuts for the iterative operators
+    * (`graft.checkpoint.stride`, default 4). The k-choice law, measured
+    * at 1000× in SCALE.md r19: total cut cost ∝ bytes-per-cut ×
+    * iters/stride, while an executor-loss recovery in reliable mode
+    * recomputes at most `stride` sweeps from the last cut — so larger
+    * strides trade bounded extra recovery work for proportionally
+    * cheaper steady-state wall. Plan/lineage depth between cuts grows
+    * linearly in stride (multiplicative analysis cost per sweep), which
+    * is why the default stays small. */
+  def stride(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("graft.checkpoint.stride")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4)
 
   /** `.cutLineage()` / `.cutLineageLazy()` postfix forms so operator
     * code keeps the chaining shape `.distinct().cutLineage()`. */

@@ -67,8 +67,13 @@ object Graph {
             lit(damping) * (col("su") / lit(1.0e15))).as("r"))
       it += 1
       // bound lineage/plan depth on long runs (analyzed-tree growth is
-      // multiplicative per sweep — same lesson as CorpusBuild r9)
-      if (it % 4 == 0 && it < iters) ranks = ranks.cutLineage()
+      // multiplicative per sweep — same lesson as CorpusBuild r9).
+      // Cut cadence is `graft.checkpoint.stride` (default 4): in
+      // reliable mode each cut materializes the full rank frame through
+      // the checkpoint filesystem, so the stride is the tax/recovery
+      // dial — see Checkpoints.stride for the measured k-choice law.
+      if (it % Checkpoints.stride(edges) == 0 && it < iters)
+        ranks = ranks.cutLineage()
     }
     ranks
   }

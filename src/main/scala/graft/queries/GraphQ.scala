@@ -124,8 +124,19 @@ object GraphQ {
         |       FROM edges e JOIN i2 r ON r.id = e.src JOIN deg d ON d.src = e.src
         |       GROUP BY e.dst)
         |SELECT id AS node_id, r AS pr FROM i3 ORDER BY node_id""".stripMargin) { (s, d) =>
+      // Prologue restructured for factor-1000 survival (r19, VERDICT
+      // r18 item 3): project BOTH sides to their two key columns before
+      // the join (the shuffle then moves 16-byte rows, nothing else)
+      // and hint the orders side SHUFFLE_HASH — sort-merge-join must
+      // SORT 600M lineitem rows per side at 1000×, and that sort spill
+      // (not the distinct) is what exceeded the box's disk; a shuffled
+      // hash join builds a per-partition map of the smaller orders side
+      // (~600k rows/partition at 256 partitions) and streams lineitem
+      // unsorted. Values are unchanged — same equi-join, same distinct.
       val pairs = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey")).hint("shuffle_hash")
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
       val edges = pairs
@@ -201,8 +212,12 @@ object GraphQ {
       // the checkpoint the orders⋈lineitem distinct ran twice (the
       // library checkpoints edges and seeds separately; this is the
       // caller-side share, ~1 s of the old 1.7×-over-plain-PR gap)
+      // same factor-1000 prologue shape as ext_pagerank (r19): pruned
+      // projections + SHUFFLE_HASH on the orders build side — no sort
       val pairs = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey")).hint("shuffle_hash")
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
         .cutLineage()

@@ -42,6 +42,42 @@ class SamsaStreamSpec extends SparkSpec {
     assert(graft.io.ChangelogSink.topicName("nodes", 7) == "nodes-7-changelog")
   }
 
+  test("autoStatePartitions follows the measured bytes-per-store law (r19)") {
+    val MiB = 1024L * 1024
+    // the r18 sweep's local optimum at dashboard-size state: 50 MiB of
+    // change-detector state ran best at 8 partitions (8 beat 32 beat
+    // 128 on throughput AND restore) — small state gets the floor
+    assert(SamsaStream.autoStatePartitions(50 * MiB) == 8)
+    assert(SamsaStream.autoStatePartitions(0) == 8)
+    // the fourth-decade measured state (1.31 GiB at 100M events) must
+    // SCALE the count past the floor: ceil(1.31 GiB / 128 MiB) = 11
+    val p131 = SamsaStream.autoStatePartitions((1.31 * 1024 * MiB).toLong)
+    assert(p131 == 11, s"1.31 GiB -> $p131")
+    // large state stays inside the RocksDB-comfortable band
+    val TB = 1024 * 1024 * MiB
+    val pTb = SamsaStream.autoStatePartitions(TB)
+    assert(pTb == 8192)
+    assert(TB / pTb >= 100 * MiB && TB / pTb <= 1024 * MiB,
+      "bytes-per-store must stay in the measured 100 MB-1 GB band")
+    // monotone in state size, clamped at the backstop
+    val pts = Seq(0L, 50 * MiB, 1024 * MiB, 100 * 1024 * MiB, TB, 1000 * TB)
+      .map(SamsaStream.autoStatePartitions)
+    assert(pts == pts.sorted, s"must be monotone: $pts")
+    assert(SamsaStream.autoStatePartitions(Long.MaxValue)
+      == SamsaStream.maxStatePartitions)
+  }
+
+  test("configure(spark, stateBytes) wires the auto knob as the default (r19)") {
+    val s = SamsaStream(Seq("t"), "g", "tbl")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.configure(spark, 50L * 1024 * 1024)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+      s.configure(spark, 2L * 1024 * 1024 * 1024)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "16")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("store dispatch selects provider class (R9/R24)") {
     assert(StoreType.RocksDB.providerClass.contains("RocksDBStateStoreProvider"))
     assert(StoreType.Default.providerClass.contains("HDFSBackedStateStoreProvider"))

@@ -73,4 +73,43 @@ class CheckpointModeSpec extends SparkSpec {
     assert(cut.count() == 100,
       "reliable checkpoint must be re-readable after its cached blocks drop")
   }
+
+  test("checkpoint stride is configurable and value-neutral (r19)") {
+    import spark.implicits._
+    // default 4; conf overrides; garbage/non-positive fall back
+    assert(Checkpoints.stride(spark.range(1).toDF) == 4)
+    spark.conf.set("graft.checkpoint.stride", "2")
+    try assert(Checkpoints.stride(spark.range(1).toDF) == 2)
+    finally spark.conf.unset("graft.checkpoint.stride")
+    spark.conf.set("graft.checkpoint.stride", "0")
+    try assert(Checkpoints.stride(spark.range(1).toDF) == 4)
+    finally spark.conf.unset("graft.checkpoint.stride")
+    // the stride changes WHEN lineage is cut, never the values: the
+    // identity pin that lets the tax/recovery dial move freely
+    val edges = (0L until 400L).flatMap { i =>
+      Seq((i, (i * 7 + 1) % 400), (i, (i * 11 + 3) % 400))
+    }.toDF("src", "dst")
+    val base = sorted(Graph.pageRank(edges, iters = 9).select("id", "r"))
+    for (k <- Seq("1", "3", "8")) {
+      spark.conf.set("graft.checkpoint.stride", k)
+      try assert(sorted(Graph.pageRank(edges, iters = 9).select("id", "r"))
+        == base, s"stride $k must not change PageRank values")
+      finally spark.conf.unset("graft.checkpoint.stride")
+    }
+  }
+
+  test("reliable eager cut leaves a caller-persisted frame cached (r19)") {
+    import spark.implicits._
+    val df = spark.range(50).toDF("id")
+    df.persist()
+    try {
+      df.count()
+      val (cut, _) = withReliable { Checkpoints.cut(df) }
+      assert(cut.count() == 50)
+      // Checkpoints.cut persists-then-releases only frames IT persisted;
+      // a caller-owned cache must survive the cut untouched
+      assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "cut must not unpersist a caller-persisted frame")
+    } finally df.unpersist()
+  }
 }
