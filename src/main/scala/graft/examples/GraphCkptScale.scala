@@ -36,9 +36,11 @@ import graft.ext.Checkpoints.CutOps
   * untimed so both modes measure the Borůvka contraction, which is
   * where the per-round cuts live).
   *
-  * Usage: runMain graft.examples.GraphCkptScale [factor]
-  * (default 1000; fixtures under target/sfx<factor>). One
-  * [graphckpt-json] line per run.
+  * Usage: runMain graft.examples.GraphCkptScale [factor] [partitions]
+  * [local|reliable|both] (default 1000 / data-scaled / both; fixtures
+  * under target/sfx<factor>). One [graphckpt-json] line per run. For
+  * the adjudicated tax, run each mode in its OWN JVM (see the mode
+  * note in main) and compare the per-mode minima across the two logs.
   */
 object GraphCkptScale {
 
@@ -96,10 +98,9 @@ object GraphCkptScale {
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // r19 (VERDICT r18 item 2): lz4 the reliable-checkpoint stream —
-      // core conf, must be set at session build. Together with
-      // Checkpoints.cut's persist-before-checkpoint (which removes the
-      // hidden RECOMPUTE of the cut frame inside Dataset.checkpoint's
-      // separate write job) this is what cut PageRank's reliable tax.
+      // core conf, must be set at session build. The bigger lever was
+      // Checkpoints.pin: PageRank's loop-invariant edge/degree frames
+      // no longer route through the checkpoint FS at all.
       .config("spark.checkpoint.compress", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -150,14 +151,22 @@ object GraphCkptScale {
     }
     graft.ext.Caches.releaseAll(spark); spark.catalog.clearCache()
 
+    // (sec is MIN over passes per (row, mode) — see pass note below)
     val results = scala.collection.mutable.LinkedHashMap[
       (String, String), (Double, String, Long)]()
-    // TWO full passes: a single local→reliable sequence confounds the
-    // mode with warmup (measured: "reliable" 2.5× faster than the cold
-    // local run that preceded it — JIT + shuffle page cache, not the
-    // toggle). Pass 1 warms everything and checks identity; pass 2's
-    // numbers (both modes equally warm) are the reported tax.
-    for (pass <- 1 to 2; mode <- Seq("local", "reliable")) {
+    // Mode selection (r19): arg 3 restricts the run to ONE mode so the
+    // A/B can run in SEPARATE JVMs. The r18 same-JVM two-pass protocol
+    // handled warmup (pass 1 warms, pass 2 reports) but not SESSION
+    // AGING: measured r19, the same pagerank row ran 59.5 → 122 → 118
+    // → 147 s across one session REGARDLESS of mode (ckpt bytes 0 in
+    // all four) — accumulated block-manager/page-cache state swamped
+    // the toggle. One JVM per mode + min-over-passes per mode is the
+    // same discipline as the bench fold (separate JVMs, minima).
+    // Cross-JVM identity is checked on the hashes carried in the JSON.
+    val modes =
+      if (args.length > 2 && args(2) != "both") Seq(args(2))
+      else Seq("local", "reliable")
+    for (pass <- 1 to 2; mode <- modes) {
       if (mode == "reliable")
         spark.conf.set("graft.checkpoint.dir", ckptDir)
       else spark.conf.unset("graft.checkpoint.dir")
@@ -167,10 +176,11 @@ object GraphCkptScale {
         val h = distHash(mk)
         val sec = (System.nanoTime() - t0) / 1e9
         val ck = dirBytes(ckptDir)
-        // identity must hold across passes AND modes
+        // identity must hold across passes AND (same-JVM) modes
         results.get((row, "local")).foreach { case (_, h0, _) =>
           require(h0 == h, s"$row: result hash drifted ($h0 -> $h)") }
-        results((row, mode)) = (sec, h, ck)
+        val best = results.get((row, mode)).map(_._1.min(sec)).getOrElse(sec)
+        results((row, mode)) = (best, h, ck)
         println(f"[graphckpt] $row%-22s $mode%-8s pass$pass $sec%8.1f s  " +
           f"hash=$h  ckptMiB=${ck / 1024 / 1024}")
         graft.ext.Caches.releaseAll(spark); spark.catalog.clearCache()
@@ -180,7 +190,8 @@ object GraphCkptScale {
         graft.ext.Graph.pageRank(prEdges(), iters = 3)
       }
       run("cc_planted_5m") {
-        graft.ext.Dedup.connectedComponents(ccEdges().cutLineage())
+        // edges are loop-invariant: pinned (lineage kept), not cut
+        graft.ext.Dedup.connectedComponents(ccEdges().pinInvariant())
       }
       run("ext_mst_backbone") {
         graft.SparkEntry.queries("ext_mst_backbone")(spark, out)
@@ -189,14 +200,23 @@ object GraphCkptScale {
 
     val rows = Seq("pagerank_synth", "cc_planted_5m", "ext_mst_backbone")
     val js = rows.map { r =>
-      val (ls, lh, _) = results((r, "local"))
-      val (rs, rh, rc) = results((r, "reliable"))
-      val same = lh == rh
-      println(f"[graphckpt] $r%-22s local $ls%7.1f s  reliable $rs%7.1f s " +
-        f"(tax ${100 * (rs - ls) / ls}%+.1f%%)  identical=$same")
-      f""""$r":{"localSec":$ls%.1f,"reliableSec":$rs%.1f,"identical":$same,"ckptMiB":${rc / 1024 / 1024}}"""
+      val cells = modes.flatMap { m =>
+        results.get((r, m)).map { case (sec, h, ck) =>
+          f""""${m}Sec":$sec%.1f,"${m}Hash":"$h","${m}CkptMiB":${ck / 1024 / 1024}"""
+        }
+      }
+      val tax = for {
+        (ls, lh, _) <- results.get((r, "local"))
+        (rs, rh, _) <- results.get((r, "reliable"))
+      } yield {
+        val same = lh == rh
+        println(f"[graphckpt] $r%-22s local $ls%7.1f s  reliable $rs%7.1f s " +
+          f"(tax ${100 * (rs - ls) / ls}%+.1f%%)  identical=$same")
+        s""""identical":$same"""
+      }
+      s""""$r":{${(cells ++ tax).mkString(",")}}"""
     }.mkString("{", ",", "}")
-    println(s"""[graphckpt-json] {"factor":$factor,"rows":$js}""")
+    println(s"""[graphckpt-json] {"factor":$factor,"modes":"${modes.mkString("+")}","rows":$js}""")
     spark.stop()
   }
 }

@@ -102,8 +102,9 @@ object KillRecovery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.executor.extraJavaOptions",
-        s"$addOpens -Dspark.ui.enabled=false")
+      // NOTE: spark.* flags are forbidden inside extraJavaOptions
+      // (SparkConf.validateSettings) — only the module opens go here
+      .config("spark.executor.extraJavaOptions", addOpens)
       .config("spark.checkpoint.compress", "true")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // default 4 task failures / 4 stage attempts are the recovery

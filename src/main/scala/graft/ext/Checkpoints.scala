@@ -59,16 +59,15 @@ object Checkpoints {
     * `eager = false` defers materialization to the first action (the
     * BPE merge-loop shape).
     *
-    * Reliable eager cuts PERSIST the frame before checkpointing (r19,
-    * VERDICT r18 item 2): `Dataset.checkpoint(true)` runs the
-    * materializing action and THEN a separate checkpoint-write job, so
-    * an unpersisted frame is computed TWICE — for a cut whose upstream
-    * is a 600M-row join+distinct, the recompute (not the file write)
-    * was most of the measured +28% PageRank tax at 1000×. A transient
-    * MEMORY_AND_DISK persist makes the write job a cache read; it is
-    * released (non-blocking) as soon as the checkpoint files exist.
-    * Frames the CALLER already persisted are left alone — unpersisting
-    * them here would silently drop the caller's cache.
+    * A persist-before-checkpoint variant was tried and MEASURED WORSE
+    * (r19, SCALE.md): Spark's checkpoint-write job mostly re-reads the
+    * cut frame's existing shuffle output, so the "avoid computing
+    * twice" persist only adds a second full write of the data through
+    * the block manager — PageRank's 1000× reliable tax went +28→+30%,
+    * CC +5→+25%, Borůvka +4.5→+194% (the persist evicted the MST kNN
+    * session cache). Cuts stay plain `checkpoint`; what actually cut
+    * the tax is [[pin]] below — most of PageRank's checkpoint bytes
+    * were a loop-INVARIANT frame that never needed a lineage cut.
     *
     * Two companion knobs for the reliable mode, both measured in
     * SCALE.md r19: `spark.checkpoint.compress=true` (core conf — set it
@@ -84,13 +83,30 @@ object Checkpoints {
         applied.computeIfAbsent((sc, dir), _ => {
           sc.setCheckpointDir(dir); dir
         })
-        if (eager && df.storageLevel == StorageLevel.NONE) {
-          df.persist(StorageLevel.MEMORY_AND_DISK)
-          try df.checkpoint(true)
-          finally df.unpersist(blocking = false)
-        } else df.checkpoint(eager)
+        df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }
+
+  /** Materialize a LOOP-INVARIANT frame once, WITHOUT cutting lineage
+    * (r19, VERDICT r18 item 2): eager MEMORY_AND_DISK persist. The
+    * distinction from [[cut]] is what executor loss means: a persisted
+    * frame's lost blocks RECOMPUTE from lineage (its upstream is a
+    * one-shot batch stage that still exists), so durability is free —
+    * no checkpoint write in either mode. Only frames whose lineage
+    * GROWS (the per-sweep rank/label/component frames of an iterative
+    * loop) need [[cut]]; a loop-invariant input (PageRank's edge list,
+    * PPR's seed base) materialized with `cut` was paying the full
+    * reliable write-through for nothing — the 120M-edge frame was
+    * ~1 GiB of PageRank's ~1 GiB checkpoint footprint and most of its
+    * +28% reliable tax (SCALE.md r18 vs r19). The plan-depth cost of
+    * keeping lineage is constant (the prologue appears once per sweep
+    * plan, never compounds). */
+  def pin(df: DataFrame): DataFrame = {
+    if (df.storageLevel == StorageLevel.NONE)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
 
   /** Sweeps between in-loop lineage cuts for the iterative operators
     * (`graft.checkpoint.stride`, default 4). The k-choice law, measured
@@ -110,5 +126,7 @@ object Checkpoints {
   implicit final class CutOps(private val df: DataFrame) extends AnyVal {
     def cutLineage(): DataFrame = cut(df, eager = true)
     def cutLineageLazy(): DataFrame = cut(df, eager = false)
+    /** Loop-invariant materialization — see [[Checkpoints.pin]]. */
+    def pinInvariant(): DataFrame = pin(df)
   }
 }

@@ -39,10 +39,16 @@ object Graph {
     require(iters >= 1, s"need iters >= 1, got $iters")
     // The edge list is scanned iters+1 times; materialize it once
     // (upstream joins/distincts would otherwise re-execute per sweep).
-    // At cluster scale this is persist-to-memory-and-disk of the edge
-    // relation — the standard iterative-graph discipline.
-    val e = edges.cutLineage()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // PINNED, not cut (r19, VERDICT r18 item 2): the frame is
+    // loop-invariant — its lineage never grows, so executor-loss
+    // recovery recomputes it from the one-shot prologue for free, and
+    // routing it through a reliable checkpoint was ~1 GiB of write
+    // bytes per run (the bulk of the measured +28% reliable tax at
+    // 120M edges). deg is pinned for the same reason: joined every
+    // sweep, and a pin turns iters re-aggregations of the edge list
+    // into one.
+    val e = Checkpoints.pin(edges)
+    val deg = Checkpoints.pin(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
     val n = deg.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     var ranks = deg.select(col("src").as("id"),
@@ -94,7 +100,8 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val e = edges.cutLineage()
+    // loop-invariant -> pinned, not cut (see pageRank / Checkpoints.pin)
+    val e = Checkpoints.pin(edges)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = deg.select(col("src").as("id"))
     // VERDICT r10 item 3: nodes ⋈ seed-set is LOOP-INVARIANT —
@@ -110,7 +117,7 @@ object Graph {
         seeds.select(col("id")).distinct().withColumn("is_seed", lit(true)),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .cutLineage()
+      .pinInvariant()
     val nS = base0.filter(col("is_seed")).count()
     require(nS > 0,
       "personalized PageRank needs ≥1 seed that appears as an edge source")
@@ -133,7 +140,8 @@ object Graph {
           (col("tp") +
             lit(damping) * coalesce(col("mass"), lit(0.0))).as("r"))
       it += 1
-      if (it % 4 == 0 && it < iters) ranks = ranks.cutLineage()
+      if (it % Checkpoints.stride(edges) == 0 && it < iters)
+        ranks = ranks.cutLineage()
     }
     ranks
   }
