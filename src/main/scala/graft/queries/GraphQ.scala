@@ -139,10 +139,15 @@ object GraphQ {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
+      // both directions via ONE explode pass (r19): the union-of-two-
+      // selects form referenced the un-materialized `pairs` twice, so
+      // pinning the edges executed the whole join+distinct prologue
+      // TWICE at factor 1000; explode reads it once
       val edges = pairs
-        .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
-        .unionAll(pairs
-          .select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        .select(explode(array(
+          struct((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+          struct((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.ext.Graph.pageRank(edges, iters = 3)
         .select(col("id").as("node_id"), col("r").as("pr"))
         .orderBy("node_id")
@@ -221,10 +226,13 @@ object GraphQ {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
         .cutLineage()
+      // one explode pass over the cached pairs (r19, same reason as
+      // ext_pagerank — one scan instead of two union branches)
       val edges = pairs
-        .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
-        .unionAll(pairs
-          .select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        .select(explode(array(
+          struct((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+          struct((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val seeds = pairs
         .join(Tables.customer(s, d), col("c_custkey") === col("c"))
         .filter(col("c_mktsegment") === "BUILDING")
