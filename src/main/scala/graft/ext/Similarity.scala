@@ -381,7 +381,15 @@ object Similarity {
     * both axes (20k: 0.66 s/0.990 vs BRP 1.72 s/0.936; 2M: 6.4 s/1.000
     * vs 29.4 s/0.956 — BRP's post-floor candidate volume is ~linear in
     * n, IVF probe cost ~√n). 20k also keeps every fixture-scale oracle
-    * row (≤ sf0.1, n ≤ 12k) on the BRP path bit-unchanged. */
+    * row (≤ sf0.1, n ≤ 12k) on the BRP path bit-unchanged.
+    *
+    * Re-measured across dimensionality (r19, VERDICT r18 item 5 —
+    * SCALE.md grid at d ∈ {64, 512, 1536} × n ∈ {2k, 20k, 200k} with
+    * pairwise cosines held exactly fixed): the boundary is d-STABLE,
+    * so the route stays single-parameter. IVF's small-n recall
+    * collapse is the √n cell count (0.656 at 2k at EVERY d), and at
+    * n ≥ 20k IVF holds 0.990 recall at every d while its wall
+    * advantage grows with d (16× at 200k × 1536). */
   val brpRouteMaxN: Long = 20000L
 
   /** Routing decision of [[annTopKRouted]], exposed pure so ExtSpec can
