@@ -24,21 +24,40 @@ import graft.ext.Checkpoints.CutOps
   */
 object Graph {
 
-  /** Hash-partition a loop-invariant frame on its per-sweep equi-join
-    * key, then pin it (r19): without this, every sweep's join
-    * re-exchanges the EDGE-sized side — at factor 1000 (~1B edge rows)
-    * the accumulated per-sweep shuffle files exceeded the box's disk
-    * before the third sweep. Partitioned once, the cached frame's
-    * hash(key) output partitioning satisfies every sweep's join
-    * requirement and the degree aggregation, so the node-sized rank
-    * frame is the only thing that moves per sweep (plus the one
-    * unavoidable edge-sized groupBy(dst) transpose). This is the
-    * module-scaladoc "pre-partition the edge list by src" claim made
-    * actual; on a real cluster it is the difference between shuffling
-    * the 100 TB edge list once and shuffling it every sweep. */
+  /** Below this many edge rows the pinned frame is left UN-partitioned:
+    * a fixed partitioning disables AQE's shuffle coalescing for every
+    * per-sweep exchange that must align with it, and at fixture scale
+    * that costs more in per-task scheduling than the re-shuffles it
+    * avoids (measured r19: ext_pagerank_personalized 5.3 → 8.5 s at
+    * sf0.1 with unconditional co-partitioning). Above it, the static
+    * hash layout wins and keeps winning to 1B+ rows (48.4 vs 58.1 s at
+    * 120M edges; at 1.17B the un-partitioned form out-spilled the
+    * disk). The gate reads the row count pin() materializes anyway. */
+  val copartitionMinRows: Long = 10000000L
+
+  /** Pin a loop-invariant frame, hash-partitioned on its per-sweep
+    * equi-join key when it is large (r19): without the partitioning,
+    * every sweep's join re-exchanges the EDGE-sized side — at factor
+    * 1000 (~1B edge rows) the accumulated per-sweep shuffle files
+    * exceeded the box's disk before the third sweep. Partitioned once,
+    * the cached frame's hash(key) output partitioning satisfies every
+    * sweep's join requirement and the degree aggregation, so the
+    * node-sized rank frame is the only thing that moves per sweep
+    * (plus the one unavoidable edge-sized groupBy(dst) transpose).
+    * This is the module-scaladoc "pre-partition the edge list by src"
+    * claim made actual; on a real cluster it is the difference between
+    * shuffling the 100 TB edge list once and shuffling it every sweep.
+    * Below [[copartitionMinRows]] the frame is pinned as-is — the
+    * fixture-scale regime where AQE coalescing beats a fixed layout. */
   private def pinByKey(df: DataFrame, key: String): DataFrame = {
-    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    Checkpoints.pin(df.repartition(p, col(key)))
+    val pinned = Checkpoints.pin(df)
+    if (pinned.count() < copartitionMinRows) pinned
+    else {
+      val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val re = Checkpoints.pin(pinned.repartition(p, col(key)))
+      pinned.unpersist()
+      re
+    }
   }
 
   /** `iters` damped PageRank sweeps over a directed edge list
@@ -65,9 +84,14 @@ object Graph {
     // sweep, and a pin turns iters re-aggregations of the edge list
     // into one. Partitioned on src at pin time (see [[pinByKey]]) so
     // the per-sweep joins and the degree aggregate are exchange-free —
-    // the edge list crosses the wire once, not once per sweep.
+    // the edge list crosses the wire once, not once per sweep. The deg
+    // pin rides the same size gate: below it the extra eager action is
+    // pure fixture-scale overhead (the re-aggregation it saves is
+    // cheap there, and AQE handles the small exchanges).
     val e = pinByKey(edges, "src")
-    val deg = Checkpoints.pin(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val deg0 = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val deg = if (e.count() >= copartitionMinRows) Checkpoints.pin(deg0)
+              else deg0
     val n = deg.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     var ranks = deg.select(col("src").as("id"),
@@ -123,7 +147,9 @@ object Graph {
     // Checkpoints.pin / pinByKey); deg pinned too — it is joined every
     // sweep, and the pin turns iters re-aggregations into one.
     val e = pinByKey(edges, "src")
-    val deg = Checkpoints.pin(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val degP = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val deg = if (e.count() >= copartitionMinRows) Checkpoints.pin(degP)
+              else degP
     val nodes = deg.select(col("src").as("id"))
     // VERDICT r10 item 3: nodes ⋈ seed-set is LOOP-INVARIANT —
     // materialize the flagged node list once and join only the
