@@ -54,9 +54,12 @@ object GraphCkptScale {
     // cells, so (null,'a') vs ('a',null) — or null vs empty string —
     // would otherwise hash identically. coalesce to a sentinel that
     // cannot collide with a real cell (contains the field separator).
-    val rowHash = md5(concat_ws("",
+    // The \u0001 separator landed in r19 as a literal control char --
+    // invisible to a grep, which read it as an empty string; written
+    // as an escape since r20 so the source audits as what it is.
+    val rowHash = md5(concat_ws("\u0001",
       df.columns.map(c =>
-        coalesce(col(c).cast("string"), lit("NULL"))): _*))
+        coalesce(col(c).cast("string"), lit("\u0001NULL\u0001"))): _*))
     val r = df.select(
       sum(conv(substring(rowHash, 1, 15), 16, 10).cast("decimal(38,0)"))
         .cast("string").as("h"),
@@ -187,7 +190,11 @@ object GraphCkptScale {
       }
 
       run("pagerank_synth") {
-        graft.ext.Graph.pageRank(prEdges(), iters = 3)
+        // 6n directed edges, known exactly (ADVICE r19: the hint keeps
+        // the >=10M-row pin single-copy instead of the two-phase
+        // repartition that transiently doubled peak storage)
+        graft.ext.Graph.pageRank(prEdges(), iters = 3,
+          edgeRowsHint = Some(6L * 20000L * factor))
       }
       run("cc_planted_5m") {
         // edges are loop-invariant: pinned (lineage kept), not cut

@@ -42,12 +42,14 @@ import org.apache.spark.sql.functions._
 object KillRecovery {
 
   /** Same order-insensitive fingerprint as GraphCkptScale: per-row md5
-    * (null cells rendered explicitly), folded by an exact DECIMAL sum
-    * of the first 60 bits plus a row count. */
+    * (null cells rendered explicitly; non-empty \u0001 field separator,
+    * a literal control char until r20, now escaped so it audits as
+    * what it is), folded by an exact DECIMAL sum of the first 60 bits
+    * plus a row count. */
   private def distHash(df: DataFrame): String = {
-    val rowHash = md5(concat_ws("",
+    val rowHash = md5(concat_ws("\u0001",
       df.columns.map(c =>
-        coalesce(col(c).cast("string"), lit("NULL"))): _*))
+        coalesce(col(c).cast("string"), lit("\u0001NULL\u0001"))): _*))
     val r = df.select(
       sum(conv(substring(rowHash, 1, 15), 16, 10).cast("decimal(38,0)"))
         .cast("string").as("h"),
@@ -161,7 +163,8 @@ object KillRecovery {
       val t0 = System.nanoTime()
       try {
         r.hash = distHash(
-          graft.ext.Graph.pageRank(prEdges(), iters = 6))
+          graft.ext.Graph.pageRank(prEdges(), iters = 6,
+            edgeRowsHint = Some(6L * 20000L * factor)))
         r.wall = (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         r.wall = (System.nanoTime() - t0) / 1e9

@@ -274,6 +274,26 @@ object ScaleStress {
     fs.createNewFile(): Unit
   }
 
+  /** Replicated customer (r20, ADVICE r19): c_custkey shifts by the
+    * SAME 1e9-per-replica stride as the orders fixture's o_custkey, so
+    * the ext_pagerank_personalized seed join (customer ⋈ trade pairs on
+    * custkey) finds every replica's BUILDING-segment customers;
+    * c_mktsegment rides unchanged, so the seed RATIO is
+    * factor-invariant. */
+  private def buildCustomerFixture(spark: SparkSession, src: String,
+      out: String, factor: Int): Unit = {
+    val fs = new java.io.File(s"$out/_built_customer_x$factor")
+    if (fs.exists()) return
+    new java.io.File(out).mkdirs()
+    val base = spark.read.parquet(s"$src/customer.parquet")
+    val replicated = (0 until factor).map { i =>
+      base.withColumn("c_custkey",
+        col("c_custkey") + lit(i.toLong * 1000000000L))
+    }.reduce(_ unionByName _)
+    replicated.write.mode("overwrite").parquet(s"$out/customer.parquet")
+    fs.createNewFile(): Unit
+  }
+
   /** Replicated part: keys shift, (price, size) ride unchanged — each
     * replica re-plants the SAME Pareto frontier, so the skyline OUTPUT
     * grows by the factor while the dominated mass (the pruning claim
@@ -477,11 +497,17 @@ object ScaleStress {
     if (names.contains("ext_skyline") || names.contains("sql_tpch_q19"))
       buildPartFixture(spark, src, out, factor)
     // r19 (VERDICT r18 item 3): the REGISTRY ext_pagerank row at scale —
-    // its orders⋈lineitem trade-graph prologue needs both fixtures
-    if (names.contains("ext_pagerank")) {
+    // its orders⋈lineitem trade-graph prologue needs both fixtures.
+    // r20 (ADVICE r19): the personalized row shares the prologue AND
+    // reads customer from the out dir for its seed set — gate covers
+    // it, plus the customer replica its seed join needs.
+    if (names.contains("ext_pagerank")
+        || names.contains("ext_pagerank_personalized")) {
       buildLineitemFixture(spark, src, out, factor)
       buildOrdersFixture(spark, src, out, factor)
     }
+    if (names.contains("ext_pagerank_personalized"))
+      buildCustomerFixture(spark, src, out, factor)
     val unknown = names.filterNot(n => byName.contains(n) || pseudoNames(n))
     require(unknown.isEmpty,
       s"unknown query names (not in SparkEntry.defs or $pseudoNames): ${unknown.mkString(",")}")
@@ -768,6 +794,11 @@ object ScaleStress {
     //     (the honest finding: at small factors AQE leaves the skew
     //     alone and the salt is the only lever).
     if (names.contains("skew_join_scale")) {
+      // r20 (ADVICE r19): this gate is relational-only runnable, so the
+      // top-of-run corpus/events build may have been skipped — build the
+      // events replica here (the _built marker makes it idempotent when
+      // the full build already ran)
+      buildEventsFixture(spark, src, out, factor)
       val evS = spark.read.parquet(s"$out/events.parquet").select(
         when(col("event_id") % 10 < 3, lit(7L))
           .otherwise(col("user_id")).as("uid"),
@@ -882,7 +913,9 @@ object ScaleStress {
       var rep = 0
       while (rep < 2) {
         val t0 = System.nanoTime()
-        graft.ext.Graph.pageRank(sym, iters = 3)
+        // 6n directed edges, known exactly -> edgeRowsHint picks the
+        // co-partition layout up front (single-copy pin; ADVICE r19)
+        graft.ext.Graph.pageRank(sym, iters = 3, edgeRowsHint = Some(6L * n))
           .write.format("noop").mode("overwrite").save()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
         spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
@@ -915,7 +948,8 @@ object ScaleStress {
       var rep = 0
       while (rep < 2) {
         val t0 = System.nanoTime()
-        graft.ext.Graph.labelPropagation(nodes, sym, iters = 3)
+        graft.ext.Graph.labelPropagation(nodes, sym, iters = 3,
+            edgeRowsHint = Some(6L * n))
           .write.format("noop").mode("overwrite").save()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
         spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
@@ -1036,11 +1070,18 @@ object ScaleStress {
     // flat in the factor) and REQUIREs the exact component count.
     if (names.contains("cc_scale")) {
       import spark.implicits._
+      // r20 (ADVICE r19): cc_scale is relational-only runnable, so
+      // nDocs is 0 when the corpus build was skipped — size the planted
+      // graph from the SOURCE document count × factor instead (the
+      // nDocs-equivalent; metadata-cheap parquet count), so the graph
+      // keeps scaling with the requested factor either way
+      val ccDocs = if (nDocs > 0) nDocs
+        else spark.read.parquet(s"$src/documents.parquet").count() * factor
       // round UP to a multiple of 1000: a trailing 1-node chain block
       // emits no edge, so connectedComponents never reports it and the
       // expected-count require would fail spuriously whenever
       // half % 1000 == 1 (ADVICE r11)
-      val half = ((math.max(nDocs / 2, 2000L) + 999L) / 1000L) * 1000L
+      val half = ((math.max(ccDocs / 2, 2000L) + 999L) / 1000L) * 1000L
       val chains = spark.range(half - 1).filter(col("id") % 1000 =!= 999)
         .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
       val bs = 8

@@ -66,7 +66,8 @@ object StrideProbe {
     }
 
     // untimed warm (JIT + page cache) at the default stride
-    graft.ext.Graph.pageRank(prEdges(), iters = 3)
+    graft.ext.Graph.pageRank(prEdges(), iters = 3,
+        edgeRowsHint = Some(6L * 20000L * factor))
       .write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache(); graft.ext.Caches.releaseAll(spark)
 
@@ -75,9 +76,13 @@ object StrideProbe {
       spark.conf.set("graft.checkpoint.stride", k.toString)
       val b0 = dirBytes()
       val t0 = System.nanoTime()
-      val res = graft.ext.Graph.pageRank(prEdges(), iters = iters)
-      // same order-insensitive fingerprint as GraphCkptScale
-      val rowHash = md5(concat_ws("",
+      val res = graft.ext.Graph.pageRank(prEdges(), iters = iters,
+        edgeRowsHint = Some(6L * 20000L * factor))
+      // same order-insensitive fingerprint as GraphCkptScale: non-empty
+      // \u0001 field separator (landed r19 as a literal control char --
+      // invisible to a grep, which read it as ""; escaped in r20 so the
+      // source audits as what it is)
+      val rowHash = md5(concat_ws("\u0001",
         res.columns.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*))
       val r = res.select(
         sum(conv(substring(rowHash, 1, 15), 16, 10).cast("decimal(38,0)"))

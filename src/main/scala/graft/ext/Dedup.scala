@@ -245,8 +245,11 @@ object Dedup {
     * old sweep re-joined the full symmetric edge list against labels
     * every iteration — the shape that holds at 100 TB.
     *
-    * Each round localCheckpoints the new edge set (O(1) plan depth)
-    * and frees the previous one; convergence is the star-forest test
+    * Rounds materialize the new edge set each time and cut lineage
+    * every `graft.checkpoint.stride` rounds (persist-only in between —
+    * plan depth stays O(stride), and reliable-mode checkpoint bytes
+    * are paid rounds/stride times, not every round), freeing the
+    * previous round's frames; convergence is the star-forest test
     * (one map-side-combinable aggregate), which is exact: E is a fixed
     * point of both operations iff it is a star forest, and edges only
     * ever point to smaller ids, so each star's center IS its
@@ -282,13 +285,27 @@ object Dedup {
     var cand: DataFrame = null
     var converged = false
     var rounds = 0
+    // Cut cadence rides `graft.checkpoint.stride` (r20, VERDICT r19
+    // item 3): in reliable mode every cut writes the full edge + label
+    // frames through the checkpoint FS, and CC's per-ROUND cuts were
+    // most of its +21.6% reliable tax at 5M nodes (vs PageRank's +1.7%
+    // once strided). Non-cut rounds persist + materialize instead —
+    // executor-loss recovery then recomputes at most `stride` rounds of
+    // star-contraction from the last reliable cut, the same k-choice
+    // law as the rank loops (Checkpoints.stride scaladoc). The
+    // convergence probe reads the same fully-materialized candidate
+    // frame either way: persist rounds force it with cand.count()
+    // (whose aggregate scans every partition of the new edge frame, so
+    // one job fills BOTH caches) because the isEmpty probe alone is a
+    // take(1) that can leave partitions uncached and silently turn the
+    // next round into a recompute of this one. Frames are freed only
+    // AFTER the new round materializes — a persist-only round still
+    // reads its parent's blocks while computing.
+    val stride = Checkpoints.stride(edges)
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(e)).cutLineage()
-      // hardUnpersist frees the RDD blocks BACKING the checkpointed
-      // frame (plain Dataset.unpersist is a silent no-op on
-      // localCheckpoint storage — CacheHygieneSpec lesson)
-      prevCk.foreach(Caches.hardUnpersist)
-      prevCk = Some(next)
+      val cutRound = (rounds + 1) % stride == 0
+      val next0 = smallStar(largeStar(e))
+      val next = if (cutRound) next0.cutLineage() else next0.persist()
       e = next
       // ONE aggregation doubles as the convergence test AND the result:
       // emit (child → parent) plus (center → center) rows; a node with
@@ -301,11 +318,18 @@ object Dedup {
       // have to be smaller). The materialized candidate is reused as
       // the returned labels, so the converged round pays no extra
       // label-construction job.
-      cand = e.select(col("src").as("node"), col("dst").as("label"))
+      val cand0 = e.select(col("src").as("node"), col("dst").as("label"))
         .union(e.select(col("dst").as("node"), col("dst").as("label")))
         .groupBy("node")
         .agg(min("label").as("label"), countDistinct("label").as("k"))
-        .cutLineage()
+      cand = if (cutRound) cand0.cutLineage()
+             else { val c = cand0.persist(); c.count(); c }
+      // hardUnpersist frees the RDD blocks BACKING a checkpointed
+      // frame (plain Dataset.unpersist is a silent no-op on
+      // localCheckpoint storage — CacheHygieneSpec lesson); it also
+      // handles the persist-round frames
+      prevCk.foreach(Caches.hardUnpersist)
+      prevCk = Some(next)
       prevCand.foreach(Caches.hardUnpersist)
       prevCand = Some(cand)
       converged = cand.filter(col("k") > 1).isEmpty
@@ -333,10 +357,12 @@ object Dedup {
         .unionByName(selfOnly.join(starLabels, Seq("node"), "left_anti")
           .select(col("node"), col("node").as("label")))
         .cutLineage())
-    // the result's checkpoint IS its storage (lineage was cut
-    // upstream, so it cannot be recomputed). Caches.releaseAll frees
-    // it — and the round/input intermediates — once the caller is done
-    // ([[Caches]] scaladoc: CC results are single-lifecycle).
+    // the result's checkpoint/persist IS its storage (on a cut round
+    // lineage was severed and cannot be recomputed; on a persist round
+    // lineage reaches back at most stride rounds to the last cut).
+    // Caches.releaseAll frees it — and the round/input intermediates —
+    // once the caller is done ([[Caches]] scaladoc: CC results are
+    // single-lifecycle).
     prevCk.foreach(Caches.track)
     (labels.select(col("node"), col("label").as("component")), rounds)
   }

@@ -48,15 +48,37 @@ object Graph {
     * claim made actual; on a real cluster it is the difference between
     * shuffling the 100 TB edge list once and shuffling it every sweep.
     * Below [[copartitionMinRows]] the frame is pinned as-is — the
-    * fixture-scale regime where AQE coalescing beats a fixed layout. */
-  private def pinByKey(df: DataFrame, key: String): DataFrame = {
-    val pinned = Checkpoints.pin(df)
-    if (pinned.count() < copartitionMinRows) pinned
-    else {
-      val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      val re = Checkpoints.pin(pinned.repartition(p, col(key)))
-      pinned.unpersist()
-      re
+    * fixture-scale regime where AQE coalescing beats a fixed layout.
+    *
+    * `sizeHint` (r20, ADVICE r19): a caller-supplied row-count estimate
+    * — typically an UPPER BOUND from a metadata-cheap parquet count of
+    * the prologue's fact table — that decides the layout BEFORE the
+    * first materialization, so the frame is cached exactly once. The
+    * hint-less fallback must pin first to learn the count, and above
+    * the gate it transiently holds TWO full cached copies (the
+    * unpartitioned pin stays alive while the repartitioned pin
+    * materializes from it) in exactly the disk-bound 1B-row regime the
+    * repartition targets. The gate is a perf heuristic, never
+    * semantics, so an upper-bound hint only risks choosing the static
+    * layout a little early near the boundary. */
+  private def pinByKey(df: DataFrame, key: String,
+      sizeHint: Option[Long] = None): DataFrame = {
+    def partitions = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    sizeHint match {
+      case Some(n) if n < copartitionMinRows => Checkpoints.pin(df)
+      case Some(_) =>
+        Checkpoints.pin(df.repartition(partitions, col(key)))
+      case None =>
+        val pinned = Checkpoints.pin(df)
+        if (pinned.count() < copartitionMinRows) pinned
+        else {
+          // two-phase: the double-copy window documented above — pay it
+          // only when the caller cannot estimate scale up front
+          val re = Checkpoints.pin(pinned.repartition(partitions, col(key)))
+          pinned.unpersist()
+          re
+        }
     }
   }
 
@@ -68,7 +90,7 @@ object Graph {
     * are pointwise, cross-row sums are exact DECIMAL(38,18).
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      teleport: Double = 0.15): DataFrame = {
+      teleport: Double = 0.15, edgeRowsHint: Option[Long] = None): DataFrame = {
     // teleport is a separate literal, NOT computed as 1.0 - damping:
     // IEEE 1.0 - 0.85 = 0.15000000000000002 != the double literal 0.15
     // the oracle SQL carries, and the hash gate sees every ulp.
@@ -88,7 +110,7 @@ object Graph {
     // pin rides the same size gate: below it the extra eager action is
     // pure fixture-scale overhead (the re-aggregation it saves is
     // cheap there, and AQE handles the small exchanges).
-    val e = pinByKey(edges, "src")
+    val e = pinByKey(edges, "src", edgeRowsHint)
     val deg0 = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val deg = if (e.count() >= copartitionMinRows) Checkpoints.pin(deg0)
               else deg0
@@ -141,12 +163,13 @@ object Graph {
     * rank domain (never an edge source) are excluded from nS so their
     * teleport share doesn't silently leak out of the system. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
-      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+      damping: Double = 0.85, teleport: Double = 0.15,
+      edgeRowsHint: Option[Long] = None): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     // loop-invariant -> pinned src-partitioned, not cut (see pageRank /
     // Checkpoints.pin / pinByKey); deg pinned too — it is joined every
     // sweep, and the pin turns iters re-aggregations into one.
-    val e = pinByKey(edges, "src")
+    val e = pinByKey(edges, "src", edgeRowsHint)
     val degP = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val deg = if (e.count() >= copartitionMinRows) Checkpoints.pin(degP)
               else degP
@@ -210,13 +233,13 @@ object Graph {
     * all shuffles keyed by node id, edge list scanned once per sweep.
     */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, edgeRowsHint: Option[Long] = None): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     // loop-invariant edge list: pinned a-partitioned (r19, the pageRank
     // discipline) — each sweep's vote join then only moves the
     // node-sized label frame, and recovery recomputes the pin from its
     // one-shot upstream instead of paying a reliable write-through
-    val e = pinByKey(edges, "a")
+    val e = pinByKey(edges, "a", edgeRowsHint)
     var labs = nodes.select(col("node"), col("node").cast("long").as("lab"))
     var it = 0
     while (it < iters) {
@@ -235,7 +258,13 @@ object Graph {
       labs = labs.join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("wlab"), col("lab")).as("lab"))
       it += 1
-      if (it % 4 == 0 && it < iters) labs = labs.cutLineage()
+      // same stride dial as the rank loops (r20, VERDICT r19 item 3):
+      // in reliable mode each cut writes the node-sized label frame
+      // through the checkpoint FS, so the cadence is configurable —
+      // lineage between cuts is bounded by stride sweeps of
+      // aggregate+join, recovery recomputes at most that much
+      if (it % Checkpoints.stride(edges) == 0 && it < iters)
+        labs = labs.cutLineage()
     }
     labs
   }

@@ -31,6 +31,74 @@ object GraphQ {
     * the unrolled oracle). */
   private val WalkSteps = 6
 
+  /** Lineitem rows above which the pagerank rows' trade-graph prologue
+    * hints its orders⋈lineitem join SHUFFLE_HASH. The hint is what lets
+    * the prologue survive factor 1000 — sort-merge-join must SORT
+    * ~600M lineitem rows per side there, and that sort spill (not the
+    * distinct) exceeded the box's disk.
+    *
+    * r20 measured the VERDICT r19 premise that the hint costs ~+40% at
+    * fixture scale, and it DOES NOT REPRODUCE under a controlled
+    * single-variable A/B: identical r20 code, only this gate flipped
+    * via the conf override, interleaved fresh JVMs, TimeOne best-of-4 —
+    * hint-ON 4.69/4.87 s vs hint-OFF (AQE picks broadcast, confirmed in
+    * the executed plan) 5.49/6.69 s on ext_pagerank, and the same
+    * ordering on ext_pagerank_personalized (5.07/5.94 vs 6.45/6.50).
+    * The r19 verdict's A/B compared the r18 JAR against r19 HEAD —
+    * bundling the hint with the pruned projections and the
+    * explode-edge-emission rewrite — so its attribution to the hint
+    * was confounded. Default therefore stays at the r19 behavior
+    * (hint at every scale: 0 = always); the data-driven gate machinery
+    * remains for clusters where broadcast does win the small regime —
+    * set `graft.graph.shuffleHashMinRows` (or the `spark.`-prefixed
+    * twin at submit time) to restore a broadcast window below that
+    * row count. */
+  private val ShuffleHashMinRows = 0L
+
+  /** The pagerank rows' shared prologue: distinct customer-supplier
+    * trade pairs from orders⋈lineitem, both sides projected to their
+    * two key columns BEFORE the join (the shuffle then moves 16-byte
+    * rows, nothing else), with the orders build side hinted
+    * SHUFFLE_HASH above [[ShuffleHashMinRows]] — a shuffled hash join
+    * builds a per-partition map of the smaller orders side and streams
+    * lineitem unsorted; below the gate AQE keeps its broadcast choice.
+    * Returns the pairs frame plus the lineitem count, which callers
+    * reuse as the edge-row upper bound for
+    * [[graft.ext.Graph.pageRank]]'s `edgeRowsHint` (edges = 2×distinct
+    * pairs ≤ 2×lineitem — deciding the co-partition layout up front
+    * keeps the billion-row edge cache single-copy; ADVICE r19). */
+  /** Memoized lineitem row count per (session, sfDir): the gate's
+    * count-star is metadata-cheap as parquet scans go, but it is still
+    * a 32-task job (~0.3-0.5 s of pure scheduling at fixture scale) and
+    * the registry protocol re-runs each row several times per JVM —
+    * paying it once per session matches how a long-lived production
+    * session would cache table stats. Bounded: one Long per (session,
+    * fixture dir) ever seen. */
+  private val liCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), java.lang.Long]()
+
+  private def pagerankPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, Long) = {
+    val nLi: Long = liCountMemo.computeIfAbsent((s, d),
+      _ => Tables.lineitem(s, d).count())
+    // gate override (`graft.graph.shuffleHashMinRows`, either key form)
+    // so the hint-on/hint-off arms are A/B-able on identical code
+    val gate = s.conf.getOption("graft.graph.shuffleHashMinRows")
+      .orElse(s.conf.getOption("spark.graft.shuffleHashMinRows"))
+      .flatMap(_.toLongOption).getOrElse(ShuffleHashMinRows)
+    val ordersSide =
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val build = if (nLi >= gate) ordersSide.hint("shuffle_hash")
+                else ordersSide
+    val pairs = build
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    (pairs, nLi)
+  }
+
   /** The supplier kNN co-order graph prologue shared by the r14 rows:
     * co-order counts -> per-supplier top-3 by (count DESC, id) -> id-
     * ordered deduped undirected edges. Identical text to the inline
@@ -125,20 +193,9 @@ object GraphQ {
         |       GROUP BY e.dst)
         |SELECT id AS node_id, r AS pr FROM i3 ORDER BY node_id""".stripMargin) { (s, d) =>
       // Prologue restructured for factor-1000 survival (r19, VERDICT
-      // r18 item 3): project BOTH sides to their two key columns before
-      // the join (the shuffle then moves 16-byte rows, nothing else)
-      // and hint the orders side SHUFFLE_HASH — sort-merge-join must
-      // SORT 600M lineitem rows per side at 1000×, and that sort spill
-      // (not the distinct) is what exceeded the box's disk; a shuffled
-      // hash join builds a per-partition map of the smaller orders side
-      // (~600k rows/partition at 256 partitions) and streams lineitem
-      // unsorted. Values are unchanged — same equi-join, same distinct.
-      val pairs = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey")).hint("shuffle_hash")
-        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
+      // r18 item 3), with the SHUFFLE_HASH hint size-gated in r20 —
+      // see [[pagerankPairs]] for both halves of the story.
+      val (pairs, nLi) = pagerankPairs(s, d)
       // both directions via ONE explode pass (r19): the union-of-two-
       // selects form referenced the un-materialized `pairs` twice, so
       // pinning the edges executed the whole join+distinct prologue
@@ -148,7 +205,8 @@ object GraphQ {
           struct((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
           struct((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      graft.ext.Graph.pageRank(edges, iters = 3)
+      graft.ext.Graph.pageRank(edges, iters = 3,
+          edgeRowsHint = Some(2L * nLi))
         .select(col("id").as("node_id"), col("r").as("pr"))
         .orderBy("node_id")
     },
@@ -216,16 +274,11 @@ object GraphQ {
       // r11: pairs feeds BOTH the edge list and the seed set — without
       // the checkpoint the orders⋈lineitem distinct ran twice (the
       // library checkpoints edges and seeds separately; this is the
-      // caller-side share, ~1 s of the old 1.7×-over-plain-PR gap)
-      // same factor-1000 prologue shape as ext_pagerank (r19): pruned
-      // projections + SHUFFLE_HASH on the orders build side — no sort
-      val pairs = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey")).hint("shuffle_hash")
-        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
-        .cutLineage()
+      // caller-side share, ~1 s of the old 1.7×-over-plain-PR gap).
+      // Same prologue as ext_pagerank — pruned projections, size-gated
+      // SHUFFLE_HASH (see [[pagerankPairs]]).
+      val (pairs0, nLi) = pagerankPairs(s, d)
+      val pairs = pairs0.cutLineage()
       // one explode pass over the cached pairs (r19, same reason as
       // ext_pagerank — one scan instead of two union branches)
       val edges = pairs
@@ -237,7 +290,8 @@ object GraphQ {
         .join(Tables.customer(s, d), col("c_custkey") === col("c"))
         .filter(col("c_mktsegment") === "BUILDING")
         .select((col("c") * 2).as("id")).distinct()
-      graft.ext.Graph.personalizedPageRank(edges, seeds, iters = 3)
+      graft.ext.Graph.personalizedPageRank(edges, seeds, iters = 3,
+          edgeRowsHint = Some(2L * nLi))
         .select(col("id").as("node_id"), col("r").as("ppr"))
         .orderBy("node_id")
     },

@@ -53,13 +53,47 @@ class CheckpointModeSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf())
     val local = sorted(Dedup.lshVerifiedCanonicalDocs(docs))
     Caches.releaseAll(spark)
-    val (reliable, dir) = withReliable {
+    // stride 1 for the byte assertion (r20): the CC round loop now
+    // rides `graft.checkpoint.stride` — at the default 4, a fixture
+    // graph that converges in 2-3 star rounds cuts NOTHING (persist
+    // rounds only), which is the stride dial working as designed, not
+    // reliable mode failing to engage. Forcing per-round cuts keeps
+    // this test pinning what it always pinned: configured dir in,
+    // checkpoint files out.
+    spark.conf.set("graft.checkpoint.stride", "1")
+    val (reliable, dir) = try withReliable {
       sorted(Dedup.lshVerifiedCanonicalDocs(docs))
-    }
+    } finally spark.conf.unset("graft.checkpoint.stride")
     Caches.releaseAll(spark)
     assert(local == reliable, "LSH-verified dedup must be mode-independent")
     assert(rddFiles(dir) > 0,
       "reliable mode must materialize checkpoint files under the configured dir")
+  }
+
+  test("CC stride: cut cadence rides graft.checkpoint.stride, values identical (r20)") {
+    import spark.implicits._
+    // a chain forest deep enough for >stride star rounds is not needed:
+    // what matters is (a) identical labels at every stride and (b) at a
+    // stride larger than the round count, reliable mode writes ZERO
+    // checkpoint files (all persist rounds) while still converging
+    val edges = (0L until 900L).filter(_ % 9 != 8)
+      .map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val base = sorted(Dedup.connectedComponents(edges))
+    Caches.releaseAll(spark)
+    for (k <- Seq("1", "2", "50")) {
+      spark.conf.set("graft.checkpoint.stride", k)
+      val (got, dir) = try withReliable {
+        sorted(Dedup.connectedComponents(edges))
+      } finally spark.conf.unset("graft.checkpoint.stride")
+      Caches.releaseAll(spark)
+      assert(got == base, s"stride $k must not change CC labels")
+      if (k == "1")
+        assert(rddFiles(dir) > 0, "stride 1 must cut every round")
+      if (k == "50")
+        assert(rddFiles(dir) == 0,
+          "a stride beyond the round count must leave the ckpt dir empty " +
+            "(persist-only rounds)")
+    }
   }
 
   test("reliable cuts are recoverable: frame survives a blockManager-level unpersist") {

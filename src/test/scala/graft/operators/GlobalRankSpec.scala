@@ -23,6 +23,31 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("monotonically_increasing_id local-index encoding ((pid<<33)+idx) holds") {
+    // withGlobalRowNumber derives the partition-local row number from
+    // Spark's documented monotonically_increasing_id layout
+    // ((partitionId << 33) + row-index-in-iteration-order). The
+    // operator's 2^31 require guards partition SIZE, not the layout —
+    // this spec guards the layout (ADVICE r19): rebuild the exact
+    // ranged/sorted/mid-masked construction and assert the masked low
+    // bits equal row_number over the same per-partition order, so a
+    // future encoding change fails HERE loudly instead of silently
+    // corrupting every rank the operator hands out.
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.customer(spark, sf()).select("c_custkey", "c_acctbal")
+      .repartitionByRange(7, col("c_acctbal"), col("c_custkey"))
+      .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn_mid",
+        (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1L)
+          .cast("int"))
+    val w = Window.partitionBy("_pid")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val mismatches = df.withColumn("_lrn_win", row_number().over(w))
+      .filter(col("_lrn_mid") =!= col("_lrn_win")).count()
+    assert(mismatches == 0L)
+  }
+
   test("withGlobalCumSumBefore equals the naive exclusive prefix sum") {
     val docs = Tables.documents(spark, sf())
       .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("v"))
