@@ -94,8 +94,22 @@ object StreamKillRecovery {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    // Unlike KillRecovery's pure-DataFrame PageRank, this pipeline
+    // ships a REAL Scala closure to executors (groupByKey(_.key) under
+    // transformWithState). Across local-cluster's separate executor
+    // JVMs, lambda deserialization needs the app classes to arrive as
+    // a JAR on the executor task classloader (spark.jars — what
+    // spark-submit normally injects); with classes only on the
+    // inherited system classpath the executor dies with
+    // `cannot assign SerializedLambda to field AppendColumnsExec.func`.
+    // Run `sbt package` first; SPARK_GRAFT_JAR overrides the path.
+    val appJar = sys.env.getOrElse("SPARK_GRAFT_JAR",
+      "/root/repo/target/scala-2.13/samsaspark_2.13-0.1.0.jar")
+    require(new java.io.File(appJar).exists(),
+      s"app jar not found at $appJar — run `sbt package` (or set SPARK_GRAFT_JAR)")
     val spark = SparkSession.builder()
       .master("local-cluster[2,8,12288]")
+      .config("spark.jars", appJar)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
