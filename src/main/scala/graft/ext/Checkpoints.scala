@@ -54,6 +54,24 @@ object Checkpoints {
       .filter(_.nonEmpty)
   }
 
+  /** True when `graft.checkpoint.dir` is configured — i.e. [[cut]]
+    * would write a RELIABLE checkpoint. Iterative loops use this to
+    * pick their in-loop cadence (r20): in LOCAL mode a per-round
+    * `localCheckpoint` is nearly free AND keeps every round's plan a
+    * flat `LogicalRDD` leaf, while a persist-only round nests the full
+    * round plan inside an `InMemoryRelation` — re-analyzed every
+    * subsequent round and re-rendered by AQE per stage, which at
+    * fixture scale swamped the actual work (measured r20: the
+    * CC-consuming registry family regressed 2-8× per row under
+    * unconditional persist rounds — emb_dbscan_grid 4.1→32.8 s,
+    * ext_entity_components 4.8→16.5 s — while the 5M-node reliable-
+    * mode A/B showed the same persist rounds costing ~nothing next to
+    * the checkpoint I/O they avoid). So: local mode cuts every round;
+    * reliable mode cuts every [[stride]] rounds and persists between,
+    * trading bounded recompute for proportionally fewer write-
+    * throughs. */
+  def reliableModeOn(df: DataFrame): Boolean = configuredDir(df).isDefined
+
   /** Cut `df`'s lineage: reliable `checkpoint` when
     * `graft.checkpoint.dir` is configured, `localCheckpoint` otherwise.
     * `eager = false` defers materialization to the first action (the

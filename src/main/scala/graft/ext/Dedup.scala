@@ -245,11 +245,13 @@ object Dedup {
     * old sweep re-joined the full symmetric edge list against labels
     * every iteration — the shape that holds at 100 TB.
     *
-    * Rounds materialize the new edge set each time and cut lineage
-    * every `graft.checkpoint.stride` rounds (persist-only in between —
-    * plan depth stays O(stride), and reliable-mode checkpoint bytes
-    * are paid rounds/stride times, not every round), freeing the
-    * previous round's frames; convergence is the star-forest test
+    * Rounds materialize the new edge set each time; LOCAL mode cuts
+    * lineage every round (localCheckpoint — nearly free, flat plans),
+    * RELIABLE mode cuts every `graft.checkpoint.stride` rounds with
+    * persist-only rounds between (plan depth O(stride); checkpoint
+    * bytes paid rounds/stride times, not every round — see
+    * Checkpoints.reliableModeOn for why the cadences differ), freeing
+    * the previous round's frames; convergence is the star-forest test
     * (one map-side-combinable aggregate), which is exact: E is a fixed
     * point of both operations iff it is a star forest, and edges only
     * ever point to smaller ids, so each star's center IS its
@@ -285,25 +287,34 @@ object Dedup {
     var cand: DataFrame = null
     var converged = false
     var rounds = 0
-    // Cut cadence rides `graft.checkpoint.stride` (r20, VERDICT r19
-    // item 3): in reliable mode every cut writes the full edge + label
-    // frames through the checkpoint FS, and CC's per-ROUND cuts were
-    // most of its +21.6% reliable tax at 5M nodes (vs PageRank's +1.7%
-    // once strided). Non-cut rounds persist + materialize instead —
-    // executor-loss recovery then recomputes at most `stride` rounds of
-    // star-contraction from the last reliable cut, the same k-choice
-    // law as the rank loops (Checkpoints.stride scaladoc). The
-    // convergence probe reads the same fully-materialized candidate
-    // frame either way: persist rounds force it with cand.count()
-    // (whose aggregate scans every partition of the new edge frame, so
-    // one job fills BOTH caches) because the isEmpty probe alone is a
-    // take(1) that can leave partitions uncached and silently turn the
-    // next round into a recompute of this one. Frames are freed only
-    // AFTER the new round materializes — a persist-only round still
-    // reads its parent's blocks while computing.
+    // Cut cadence (r20, VERDICT r19 item 3): in RELIABLE mode every cut
+    // writes the full edge + label frames through the checkpoint FS,
+    // and CC's per-ROUND cuts were most of its +21.6% reliable tax at
+    // 5M nodes (vs PageRank's +1.7% once strided) — so reliable mode
+    // cuts only every `graft.checkpoint.stride`-th round and PERSISTS
+    // the rounds between (measured +4.6% tax at 5M nodes, fingerprints
+    // identical). Executor-loss recovery then recomputes at most
+    // `stride` rounds of star-contraction from the last reliable cut —
+    // the same k-choice law as the rank loops (Checkpoints.stride).
+    // LOCAL mode keeps the r19 per-round localCheckpoint: it is nearly
+    // free and keeps each round's plan a flat LogicalRDD leaf, where a
+    // persist-only round nests the whole round plan in an
+    // InMemoryRelation that Catalyst re-analyzes (and AQE re-renders)
+    // every subsequent round — measured 2-8× per-row regressions
+    // across the CC-consuming registry family at fixture scale (see
+    // Checkpoints.reliableModeOn). The convergence probe reads a
+    // fully-materialized candidate either way: persist rounds force it
+    // with cand.count() (whose aggregate scans every partition of the
+    // new edge frame, so one job fills BOTH caches) because the
+    // isEmpty probe alone is a take(1) that can leave partitions
+    // uncached and silently turn the next round into a recompute of
+    // this one. Frames are freed only AFTER the new round
+    // materializes — a persist-only round still reads its parent's
+    // blocks while computing.
     val stride = Checkpoints.stride(edges)
+    val strideOn = Checkpoints.reliableModeOn(edges)
     while (!converged && rounds < maxIter) {
-      val cutRound = (rounds + 1) % stride == 0
+      val cutRound = !strideOn || (rounds + 1) % stride == 0
       val next0 = smallStar(largeStar(e))
       val next = if (cutRound) next0.cutLineage() else next0.persist()
       e = next
