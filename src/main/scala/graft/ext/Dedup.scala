@@ -206,9 +206,23 @@ object Dedup {
   }
 
   /** Near-duplicate edges: exact Jaccard over df-capped word 3-gram
-    * shingles >= `threshold`. Output: (doc_a, doc_b), doc_a < doc_b. */
+    * shingles >= `threshold`. Output: (doc_a, doc_b), doc_a < doc_b.
+    *
+    * r20 (guide §2.3, "narrower types"): every post-shingle stage keys
+    * on the 8-byte xxhash64 of the shingle instead of the ~25-byte
+    * string — the r15 lshVerifiedEdges verify-side lesson applied to
+    * the exact path. The df aggregate, the df-cap join, the cached
+    * per-doc shingle frame and BOTH sides of the self-join shrink to
+    * two longs per row, so the three shuffles this operator pays move
+    * a third of the bytes. Semantics: df counts and intersection
+    * counts over hashed distinct shingles equal the string counts
+    * unless two distinct shingles collide in 64 bits (P ≈ n²/2^65 —
+    * ~1e-11 at a 30k-shingle fixture vocabulary, the same accepted
+    * tradeoff lshVerifiedEdges documents; the oracle hash gate would
+    * catch a fixture collision deterministically). */
   def nearDupEdges(docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 20): DataFrame = {
     val sh0 = distinctShingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sh = sh0
       .join(sh0.groupBy("shingle").agg(count(lit(1)).as("c")).filter(col("c") <= dfCap),
         "shingle")

@@ -571,12 +571,20 @@ object Graph {
         .filter(col("rn") === 1)
         .select("c", "oc", "a", "b", "w")
       val bestCut = cut(best)
-      val picked = cut(bestCut.select("a", "b", "w").distinct())
-      done = picked.isEmpty
+      // r20 (guide §1.2/§2.4): the old loop cut AND distinct'd a
+      // separate `picked` frame every round — one eager localCheckpoint
+      // job plus one exchange per round whose only consumer is the
+      // FINAL `chosen.distinct()`, which dedupes the union anyway (an
+      // edge picked by both endpoint comps in one round is the only
+      // duplicate source; rounds never re-pick an edge, its endpoints
+      // are one comp afterwards). The convergence probe reads bestCut
+      // directly (empty iff the projection is empty); each union branch
+      // is a narrow projection over the checkpointed bestCut, so the
+      // accumulated plan stays additive with LogicalRDD leaves —
+      // nothing to checkpoint. Result identical (MstSpec pins vs Prim).
+      done = bestCut.isEmpty
       if (!done) {
-        // picks are already checkpointed; the union of <= `rounds` of
-        // them accumulates additively (no estimate snowball, no deep
-        // lineage), so it needs no checkpoint job of its own
+        val picked = bestCut.select("a", "b", "w")
         chosen =
           if (chosen == null) picked
           else chosen.unionAll(picked)

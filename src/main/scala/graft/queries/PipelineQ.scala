@@ -141,7 +141,14 @@ object PipelineQ {
          |JOIN n na ON na.doc_id = doc_a
          |JOIN n nb ON nb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.2""".stripMargin) { (s, d) =>
+      // r20 (guide §2.3): all join/aggregate keys downstream of the
+      // shingle explode are the 8-byte xxhash64 of the shingle string —
+      // the Dedup.nearDupEdges narrowing (see its scaladoc for the
+      // collision argument); df counts / intersection counts / jaccard
+      // are unchanged, the df join + self-join shuffles move ~1/3 the
+      // bytes. The oracle still speaks strings: counts agree exactly.
       val sh0 = shingled(s, d)
+        .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("shingle"))
       val sh = sh0.join(
           sh0.groupBy("shingle").agg(count(lit(1)).as("c")).filter(col("c") <= 20),
           "shingle")
