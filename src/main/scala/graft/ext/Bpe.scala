@@ -117,9 +117,25 @@ object Bpe {
     * diverge from it. Checkpoints are LAZY (eager=false): the step's
     * bestPair argmax materializes them, so each step costs one Spark
     * job, not two. */
+  /** Per-merge lineage handling (r21, VERDICT r20 item 7 — the CC-loop
+    * cadence law applied to the BPE merge loop): LOCAL mode keeps the
+    * per-step lazy `localCheckpoint` (nearly free; every step's plan
+    * stays a flat leaf). RELIABLE mode (`graft.checkpoint.dir` set)
+    * writes the full vocab-sized sequence frame through the checkpoint
+    * FS on every cut, so it cuts only every `graft.checkpoint.stride`
+    * steps and persists the steps between (tracked — freed by
+    * `Caches.releaseAll`); recovery after an executor loss recomputes
+    * at most `stride` merge steps of window algebra from the last cut. */
+  private def stepCut(seq: DataFrame, step: Int, strideOn: Boolean,
+      strideN: Int): DataFrame =
+    if (!strideOn || step % strideN == 0) seq.cutLineageLazy()
+    else Caches.track(seq.persist())
+
   def train(docs: DataFrame, nMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges >= 1)
+    val strideOn = Checkpoints.reliableModeOn(docs)
+    val strideN = Checkpoints.stride(docs)
     var seq = initSeq(wordCounts(docs)).cutLineageLazy()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var s = 1
@@ -128,7 +144,7 @@ object Bpe {
         s"Bpe.train: vocabulary exhausted at merge $s of $nMerges — " +
         "lower nMerges (the unrolled oracle runs a fixed step count)"))
       merges += ((s, a, b, c))
-      seq = mergeStep(seq, a, b).cutLineageLazy()
+      seq = stepCut(mergeStep(seq, a, b), s, strideOn, strideN)
       s += 1
     }
     (merges.result(), seq)
@@ -158,8 +174,12 @@ object Bpe {
     * TOKENIZATION path (classic BPE apply): the same merge steps in
     * learned order, no pair-count argmax per step. */
   def applyMerges(docs: DataFrame,
-      merges: Seq[(Int, String, String, Long)]): DataFrame =
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val strideOn = Checkpoints.reliableModeOn(docs)
+    val strideN = Checkpoints.stride(docs)
     merges.foldLeft(initSeq(wordCounts(docs)).cutLineageLazy()) {
-      case (seq, (_, a, b, _)) => mergeStep(seq, a, b).cutLineageLazy()
+      case (seq, (step, a, b, _)) =>
+        stepCut(mergeStep(seq, a, b), step, strideOn, strideN)
     }
+  }
 }

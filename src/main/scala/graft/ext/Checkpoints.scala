@@ -119,11 +119,16 @@ object Checkpoints {
     * +28% reliable tax (SCALE.md r18 vs r19). The plan-depth cost of
     * keeping lineage is constant (the prologue appears once per sweep
     * plan, never compounds). */
-  def pin(df: DataFrame): DataFrame = {
+  def pin(df: DataFrame): DataFrame = pinCounted(df)._1
+
+  /** [[pin]] that also returns the row count its materializing action
+    * learns — callers that need the count for a layout/strategy gate
+    * (Graph.pinByKey) were re-counting the frame they just pinned. */
+  def pinCounted(df: DataFrame): (DataFrame, Long) = {
     if (df.storageLevel == StorageLevel.NONE)
       df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    df
+    val n = df.count()
+    (df, n)
   }
 
   /** Sweeps between in-loop lineage cuts for the iterative operators

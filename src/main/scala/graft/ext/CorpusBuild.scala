@@ -66,6 +66,24 @@ object CorpusBuild {
   }
 
   def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, Report) = {
+    val (packed, report) = runStaged(docs, cfg)
+    (packed(), report)
+  }
+
+  /** The funnel report alone — stages 1-4 run (they are what the
+    * report counts), stage 5's packing plan is never constructed
+    * (r21, guide §1.2 "don't compute things you throw away"): packing
+    * assigns sequence ids but never drops a document, so
+    * `n_packed == nNearDupCanonical` by construction (the registry
+    * row's own DuckDB oracle encodes exactly this identity —
+    * `(SELECT COUNT(*) FROM surv) AS n_packed`; CorpusBuildSpec
+    * asserts the packing-preserves-rows invariant on the Spark side).
+    * Consumers that need the packed corpus itself call [[run]]. */
+  def runReport(docs: DataFrame, cfg: Config = Config()): Report =
+    runStaged(docs, cfg)._2
+
+  private def runStaged(docs: DataFrame, cfg: Config)
+      : (() => DataFrame, Report) = {
     val toks = split(col("text"), "\\s+")
     val nRaw = timed("0 raw count")(docs.count())
 
@@ -132,14 +150,22 @@ object CorpusBuild {
     //    someone else) is near-dup-graph-sized — usually tiny relative
     //    to the corpus, so AQE broadcasts the anti-join — and no
     //    corpus-sized labelAll join runs here at all (r12).
+    // knownDocCount = nExact: the stage-3 boundary count just measured
+    // this frame — threading it through skips lshVerifiedEdges' own
+    // doc-count probe job (r21)
     val drop = timed("4 lsh+cc (eager CC actions)")(
-      Dedup.lshVerifiedNonCanonical(exactC, cfg.nearDupThreshold))
+      Dedup.lshVerifiedNonCanonical(exactC, cfg.nearDupThreshold,
+        knownDocCount = nExact))
     val deduped = Caches.track(timed("4 near-dup ckpt")(
       exactC.join(drop, Seq("doc_id"), "left_anti").cutLineage()))
     val nNearDup = timed("4 near-dup dedup")(deduped.count())
 
-    // 5. sequence packing over the survivors
-    val packed = graft.operators.GlobalRank
+    // 5. sequence packing over the survivors — a THUNK: GlobalRank's
+    // two-pass prefix sum runs driver-side collect jobs at CONSTRUCTION
+    // time, so building the packed frame eagerly would charge report-
+    // only callers (runReport) for a stage whose row count they already
+    // know (packing never drops a doc)
+    val packed = () => graft.operators.GlobalRank
       .withGlobalCumSumBefore(
         deduped.select(col("doc_id"), col("text").as("clean_text"), col("n_tokens")),
         Seq(col("doc_id")), col("n_tokens"), "cum0")

@@ -473,8 +473,19 @@ object Dedup {
         transform(sequence(lit(0), size(arr) - k),
           i => array_join(slice(arr, i + 1, lit(k)), " ")))
         .otherwise(array().cast("array<string>"))
+    // r21 (guide §2.3, the r20 nearDupEdges discipline): the gram key
+    // leaves this pipeline as soon as it is exploded — df counting and
+    // the semi-join back only need gram IDENTITY, never the text — so
+    // both shuffles key on the 8-byte xxhash64 of the ~50-byte k-word
+    // string (k=8 grams are the widest string keys in the repo). The
+    // span output is positions only, so semantics are unchanged unless
+    // two distinct grams collide in 64 bits (P ≈ n²/2^65 — ~1e-11 at
+    // fixture vocabulary; a collision could only MERGE two grams' df
+    // counts, and the oracle hash gate on the three span rows would
+    // catch a fixture hit deterministically).
     val grams = Spread(docs).select(col("doc_id"),
-      posexplode(gramArr).as(Seq("pos", "gram")))
+        posexplode(gramArr).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gram"))
     val dfq = grams.groupBy("gram").agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDf &&
         (if (dfCap > 0) col("df") <= dfCap else lit(true)))
@@ -560,8 +571,10 @@ object Dedup {
     * caller's anti-join broadcasts. */
   def lshVerifiedNonCanonical(
       docs: DataFrame, threshold: Double = 0.5,
-      scaleGuardMinDocs: Long = DefaultScaleGuardMinDocs): DataFrame = {
-    val (edges, release) = lshVerifiedEdges(docs, threshold, scaleGuardMinDocs)
+      scaleGuardMinDocs: Long = DefaultScaleGuardMinDocs,
+      knownDocCount: Long = -1L): DataFrame = {
+    val (edges, release) =
+      lshVerifiedEdges(docs, threshold, scaleGuardMinDocs, knownDocCount)
     val out = connectedComponents(edges)
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
@@ -577,7 +590,8 @@ object Dedup {
     * the persists pay). */
   private[graft] def lshVerifiedEdges(
       docs: DataFrame, threshold: Double,
-      scaleGuardMinDocs: Long = DefaultScaleGuardMinDocs): (DataFrame, () => Unit) = {
+      scaleGuardMinDocs: Long = DefaultScaleGuardMinDocs,
+      knownDocCount: Long = -1L): (DataFrame, () => Unit) = {
     // Two scale hazards fixed live at the 1000x fixture (5M docs,
     // ~300M shingle rows — a decade the 100x curves never reached;
     // caught by doc_leakage_safe_split, r15):
@@ -612,7 +626,10 @@ object Dedup {
     // candidates, no partner cap) feeding the same exact verify, so
     // small-corpus recall can only be HIGHER; DedupSpec force-enables
     // the guards via a low `scaleGuardMinDocs` to pin their behavior.
-    val nDocs = docs.count()
+    // r21: callers that just materialized+counted `docs` (CorpusBuild's
+    // stage boundaries count every stage for the funnel report anyway)
+    // pass the count in and skip this probe job entirely.
+    val nDocs = if (knownDocCount >= 0) knownDocCount else docs.count()
     val guarded = nDocs >= scaleGuardMinDocs
     val lvl =
       if (nDocs > 1000000L)

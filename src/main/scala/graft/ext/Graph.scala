@@ -61,21 +61,28 @@ object Graph {
     * repartition targets. The gate is a perf heuristic, never
     * semantics, so an upper-bound hint only risks choosing the static
     * layout a little early near the boundary. */
+  /** Returns the pinned frame AND its exact row count — the pin's
+    * materializing count() already learns it (r21: the rank loops were
+    * re-counting the just-pinned frame to gate the deg pin, one extra
+    * 32-task job per call; the count is a byproduct of pinning). When a
+    * `sizeHint` upper bound gates the layout, the pin's own count is
+    * still what's returned (exact, and free — it IS the materialization
+    * action). */
   private def pinByKey(df: DataFrame, key: String,
-      sizeHint: Option[Long] = None): DataFrame = {
+      sizeHint: Option[Long] = None): (DataFrame, Long) = {
     def partitions = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     sizeHint match {
-      case Some(n) if n < copartitionMinRows => Checkpoints.pin(df)
+      case Some(n) if n < copartitionMinRows => Checkpoints.pinCounted(df)
       case Some(_) =>
-        Checkpoints.pin(df.repartition(partitions, col(key)))
+        Checkpoints.pinCounted(df.repartition(partitions, col(key)))
       case None =>
-        val pinned = Checkpoints.pin(df)
-        if (pinned.count() < copartitionMinRows) pinned
+        val (pinned, n) = Checkpoints.pinCounted(df)
+        if (n < copartitionMinRows) (pinned, n)
         else {
           // two-phase: the double-copy window documented above — pay it
           // only when the caller cannot estimate scale up front
-          val re = Checkpoints.pin(pinned.repartition(partitions, col(key)))
+          val re = Checkpoints.pinCounted(pinned.repartition(partitions, col(key)))
           pinned.unpersist()
           re
         }
@@ -110,9 +117,9 @@ object Graph {
     // pin rides the same size gate: below it the extra eager action is
     // pure fixture-scale overhead (the re-aggregation it saves is
     // cheap there, and AQE handles the small exchanges).
-    val e = pinByKey(edges, "src", edgeRowsHint)
+    val (e, nE) = pinByKey(edges, "src", edgeRowsHint)
     val deg0 = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val deg = if (e.count() >= copartitionMinRows) Checkpoints.pin(deg0)
+    val deg = if (nE >= copartitionMinRows) Checkpoints.pin(deg0)
               else deg0
     val n = deg.count()
     require(n > 0, "pageRank needs a non-empty edge list")
@@ -169,9 +176,9 @@ object Graph {
     // loop-invariant -> pinned src-partitioned, not cut (see pageRank /
     // Checkpoints.pin / pinByKey); deg pinned too — it is joined every
     // sweep, and the pin turns iters re-aggregations into one.
-    val e = pinByKey(edges, "src", edgeRowsHint)
+    val (e, nE) = pinByKey(edges, "src", edgeRowsHint)
     val degP = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val deg = if (e.count() >= copartitionMinRows) Checkpoints.pin(degP)
+    val deg = if (nE >= copartitionMinRows) Checkpoints.pin(degP)
               else degP
     val nodes = deg.select(col("src").as("id"))
     // VERDICT r10 item 3: nodes ⋈ seed-set is LOOP-INVARIANT —
@@ -239,7 +246,7 @@ object Graph {
     // discipline) — each sweep's vote join then only moves the
     // node-sized label frame, and recovery recomputes the pin from its
     // one-shot upstream instead of paying a reliable write-through
-    val e = pinByKey(edges, "a", edgeRowsHint)
+    val (e, _) = pinByKey(edges, "a", edgeRowsHint)
     var labs = nodes.select(col("node"), col("node").cast("long").as("lab"))
     var it = 0
     while (it < iters) {

@@ -1554,11 +1554,18 @@ object CurateQ {
         |       CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_packed"""
         .stripMargin) { (s, d) =>
       import s.implicits._
-      val (packed, r) = graft.ext.CorpusBuild.run(Tables.documents(s, d))
-      val nPacked = packed.count()
+      // r21 (guide §1.2): n_packed == n_neardup BY CONSTRUCTION (packing
+      // assigns sequence ids, it never drops a doc — CorpusBuildSpec
+      // asserts it), and the row's own DuckDB oracle encodes the same
+      // identity (`(SELECT COUNT(*) FROM surv) AS n_packed`). Counting
+      // the packed frame here paid GlobalRank's two-pass prefix sum
+      // (range exchange + cache + driver collect + final count job)
+      // only to re-derive a number stage 4 already produced. runReport
+      // skips stage 5 entirely; output row unchanged bit-for-bit.
+      val r = graft.ext.CorpusBuild.runReport(Tables.documents(s, d))
       graft.ext.Caches.releaseAll(s)
       Seq((r.nRaw, r.nQuality, r.nAfterSpanPolicy, r.nExactCanonical,
-        r.nNearDupCanonical, nPacked))
+        r.nNearDupCanonical, r.nNearDupCanonical))
         .toDF("n_raw", "n_quality", "n_after_span", "n_exact", "n_neardup",
           "n_packed")
     },
@@ -1793,11 +1800,16 @@ object CurateQ {
         |FROM sc""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
       import graft.operators.GlobalRank
-      val tb = Tables.documents(s, d)
+      // r21 (guide §1.2): tb feeds BOTH the LM-count pass and the
+      // scoring pass — uncached, the explode + per-token md5/conv (the
+      // row's dominant compute) ran twice. The cached rows are two
+      // longs each (~16 B/token), far cheaper to hold than to rehash.
+      val tb = graft.ext.Caches.track(Tables.documents(s, d)
         .select(col("doc_id"), explode(toks).as("t"))
         .select(col("doc_id"),
           (conv(substring(md5(concat(lit("ppl:"), col("t")).cast("binary")), 1, 15), 16, 10)
             .cast("long") % 512).as("b"))
+        .cache())
       val cnt = tb.groupBy("b")
         .agg(count(when(col("doc_id") % 25 === 0, 1)).as("ct"))
       val tot = cnt.agg(sum("ct").as("nt"))

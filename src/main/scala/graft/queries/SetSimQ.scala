@@ -81,27 +81,41 @@ object SetSimQ {
       maxCandidatePairs: Long,
       fallbackToLsh: Boolean): org.apache.spark.sql.DataFrame = {
     require(tNum > 0 && tDen >= tNum)
-    val sh = shIn.select("doc_id", "shingle")
+    // r21 (guide §2.3, the nearDupEdges discipline): every shuffle of
+    // this operator downstream of the explode keys on the 8-byte
+    // xxhash64 of the shingle, not the ~25-byte string — the df
+    // aggregate and the vocab join move a third of the bytes. The
+    // GLOBAL ORDER the prefix filter needs changes its tiebreak from
+    // (df, shingle-string) to (df, shingle-hash); the losslessness
+    // proof (pigeonhole over ANY fixed total order) is order-agnostic,
+    // and verification is exact, so emitted pairs are identical —
+    // modulo a 64-bit collision (P ≈ n²/2^65, the repo-standard bound;
+    // a collision would fuse two vocab entries and the oracle hash gate
+    // would catch it on the fixtures).
+    val sh = shIn.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val vocab = graft.operators.GlobalRank.withGlobalRowNumber(
       sh.groupBy("shingle").agg(count(lit(1)).as("c")),
       Seq(col("c"), col("shingle")), "sid")._1
       .select(col("shingle"), col("sid"))
-    // (doc_id, sid): strings leave the pipeline here; sid order IS the
-    // global (df, shingle) order, so per-doc rank and sorted arrays
+    // (doc_id, sid): hashes leave the pipeline here; sid order IS the
+    // global (df, hash) order, so per-doc rank and sorted arrays
     // both come from the one int column
     val ids = sh.join(vocab, "shingle").select(col("doc_id"), col("sid"))
-      .cache()
     val w = Window.partitionBy("doc_id").orderBy("sid")
-    val ranked = ids
+    // persist RANKED, not just the prefix slice (r21, guide §2.4): the
+    // guard aggregate materializes it, prefix is a filter over it (no
+    // exchange), and `arrs` below aggregates it BY THE SAME doc_id key
+    // the window hash-partitioned on — the cached partitioning
+    // satisfies the groupBy, so the former separate `ids → arrs`
+    // exchange (a full re-shuffle of every (doc_id, sid) row) is gone.
+    val ranked = graft.ext.Caches.track(ids
       .withColumn("rn", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-    // persisted: the guard aggregate materializes it, the candidate
-    // join then reuses it — without this the rank windows run twice
-    val prefix = graft.ext.Caches.track(ranked
+      .persist())
+    val prefix = ranked
       .filter(col("rn") <=
         col("n_sh") - floor((col("n_sh") * tNum + (tDen - 1)) / tDen) + 1)
       .select(col("doc_id"), col("sid"), col("rn"), col("n_sh"))
-      .persist())
     // Candidate-mass guard (the cosineCanonical maxExactRows
     // discipline): the exact join's cost is Θ(Σ bucket²) over prefix
     // buckets. On a Zipfian high-cardinality shingle vocabulary the
@@ -156,11 +170,16 @@ object SetSimQ {
       // maxBucket = 8 explicitly: this branch only fires when candidate
       // mass is already quadratic, exactly where the min-star cap's
       // bounded-recall tradeoff is the point (ADVICE r15 made the cap
-      // an explicit caller decision rather than a default)
+      // an explicit caller decision rather than a default).
+      // Signatures are built from the ORIGINAL string shingles (r21):
+      // the md5/LCG band family is the oracle-reproducible contract and
+      // must not see the xxhash64-narrowed keys — fallback candidates
+      // stay bit-identical to every previous round.
       graft.ext.Dedup.candidatesFromSignatures(
-        graft.ext.Dedup.bandSignaturesFrom(sh), maxBucket = 8)
+        graft.ext.Dedup.bandSignaturesFrom(shIn.select("doc_id", "shingle")),
+        maxBucket = 8)
     }
-    val arrs = ids.groupBy("doc_id")
+    val arrs = ranked.groupBy("doc_id")
       .agg(sort_array(collect_list(col("sid"))).as("arr"))
     cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("aa")), "doc_a")
