@@ -112,31 +112,29 @@ object CorpusBuild {
     val spans = Caches.track(timed("2 spans ckpt")(
       Dedup.repeatedSpans(qualityC, cfg.spanK, cfg.spanMinDf).cutLineage()))
     val cov = spans.groupBy("doc_id").agg(sum("span_len").as("covered"))
-    val tok = qualityC.select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
     val keptDocs = qualityC
       .join(cov, Seq("doc_id"), "left")
       .withColumn("n_tok", size(toks))
       .filter(coalesce(col("covered"), lit(0L)).cast("double") / col("n_tok")
         < cfg.spanCoverageDrop)
       .select("doc_id")
-    val keptTok = tok
-      .join(keptDocs, Seq("doc_id"), "left_semi")
-      .join(spans,
-        tok("doc_id") === spans("doc_id")
-          && col("pos").between(col("span_start"), col("span_end")),
-        "left_anti")
-    val cutAgg = keptTok.groupBy("doc_id")
-      .agg(expr("listagg(t, ' ') WITHIN GROUP (ORDER BY pos)").as("text"),
-        count(lit(1)).cast("long").as("n_tokens"))
-    // left join from keptDocs (like the doc_span_cut registry twin): a
-    // kept doc whose EVERY token is span-covered (possible when
-    // spanCoverageDrop > 1.0 disables whole-doc drops) has no rows in
-    // keptTok and would otherwise vanish here, silently deflating the
-    // funnel — restore it with empty text instead.
-    val cut = keptDocs.join(cutAgg, Seq("doc_id"), "left")
+    // MAP-ONLY cut (r21, guide §2.4, the doc_span_cut registry twin's
+    // rewrite): spans collected per doc (span-sized aggregate) and
+    // applied by the compiled TextSpans sweep — the former token
+    // posexplode → anti-join → ordered-listagg shape exchanged every
+    // corpus token string by doc_id just to re-assemble them. Edge
+    // cases preserved by the UDF: a kept doc with EVERY token covered
+    // (spanCoverageDrop > 1.0) yields ("", 0) instead of vanishing;
+    // a doc with no spans yields its whitespace-normalized text.
+    val spanArr = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    val cut = qualityC.join(keptDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), toks.as("arr"))
+      .join(spanArr, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("text"), lit("")).as("text"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        graft.functions.TextSpans.cutSpans(col("arr"), col("sp")).as("c"))
+      .select(col("doc_id"), col("c.clean_text").as("text"),
+        col("c.n_tokens_kept").as("n_tokens"))
     val cutC = Caches.track(timed("2 span policy+cut ckpt")(cut.cutLineage()))
     val nAfterSpan = timed("2 span policy+cut")(cutC.count())
 

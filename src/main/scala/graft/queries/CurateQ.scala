@@ -1421,20 +1421,21 @@ object CurateQ {
         |       COALESCE(agg.clean_text, '') AS clean_text,
         |       COALESCE(agg.n_tokens_kept, 0) AS n_tokens_kept
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin) { (s, d) =>
+      // r21 (guide §2.4): the cut is MAP-ONLY — spans collected per doc
+      // (span-sized aggregate, broadcast join) and applied by the
+      // compiled sweep UDF, instead of exploding every token through a
+      // doc_id exchange and re-assembling with a sort-based listagg.
+      // Output bit-identical (TextSpans scaladoc); oracle unchanged.
       val docs = Tables.documents(s, d)
-      val spans = graft.ext.Dedup.repeatedSpans(docs, k = 8, minDf = 2)
-      val tok = posTokens(s, d)
-      val kept = tok.join(spans,
-          tok("doc_id") === spans("doc_id") &&
-            tok("pos").between(col("span_start"), col("span_end")),
-          "left_anti")
-      val agg = kept.groupBy("doc_id")
-        .agg(expr("listagg(t, ' ') WITHIN GROUP (ORDER BY pos)").as("clean_text"),
-          count(lit(1)).as("n_tokens_kept"))
-      docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      val spanArr = graft.ext.Dedup.repeatedSpans(docs, k = 8, minDf = 2)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+      docs.select(col("doc_id"), toks.as("arr"))
+        .join(spanArr, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"),
-          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+          graft.functions.TextSpans.cutSpans(col("arr"), col("sp")).as("c"))
+        .select(col("doc_id"), col("c.clean_text").as("clean_text"),
+          col("c.n_tokens_kept").as("n_tokens_kept"))
     },
 
     // The WHOLE corpus-build recipe as one call (r8,

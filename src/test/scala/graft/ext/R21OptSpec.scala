@@ -94,6 +94,47 @@ class R21OptSpec extends SparkSpec {
         s"($files3 vs $files1)")
   }
 
+  test("TextSpans.cutSpans equals the explode/anti-join/listagg form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted docs: no spans; head span; fully covered; mid span;
+    // adjacent spans already merged; leading-whitespace empty token
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y z w v"),
+      (3L, "p q"),
+      (4L, " lead tok tail")
+    ).toDF("doc_id", "text")
+    val spans = Seq(
+      (2L, 0L, 1L), (2L, 3L, 3L),
+      (3L, 0L, 1L),
+      (4L, 1L, 1L)
+    ).toDF("doc_id", "span_start", "span_end")
+    val toks = split(col("text"), "\\s+")
+    // reference: the pre-r21 shape, inlined
+    val tok = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+    val kept = tok.join(spans,
+      tok("doc_id") === spans("doc_id") &&
+        tok("pos").between(col("span_start"), col("span_end")), "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(expr("listagg(t, ' ') WITHIN GROUP (ORDER BY pos)").as("ct"),
+        count(lit(1)).as("nk"))
+    val ref = docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("ct"), lit("")).as("ct"),
+        coalesce(col("nk"), lit(0L)).as("nk"))
+      .collect().map(_.toString).sorted.toSeq
+    // the r21 map-only form
+    val spanArr = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    val got = docs.select(col("doc_id"), toks.as("arr"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.TextSpans.cutSpans(col("arr"), col("sp")).as("c"))
+      .select(col("doc_id"), col("c.clean_text"), col("c.n_tokens_kept"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == ref, s"cutSpans must equal the listagg form:\n$got\nvs\n$ref")
+  }
+
   test("ext_entity_components_reliable: twin row, identical rows, conf restored") {
     val local = graft.SparkEntry.defs
       .find(_.name == "ext_entity_components").get
